@@ -1,0 +1,70 @@
+"""Text analysis chain (reference capability B3).
+
+The reference maps every string field to an analyzed ``text`` field via a
+dynamic template (reference: src/utils/elasticsearch_utils.py:58-72), i.e.
+the ES *standard analyzer*: Unicode word segmentation + lowercase, postings
+with term frequencies. This module freezes our analyzer spec once — every
+consumer (index build, query analysis, the DuckDB oracle, golden fixtures)
+uses exactly this definition, so results are rank-identical across paths.
+
+Spec (applies to code-like ASCII corpora per BASELINE.json input_hint):
+    lowercase → split on ``[^a-z0-9_]+`` → drop empty tokens
+
+Three equivalent implementations, equality-tested in tests/test_analyzer.py:
+  * ``tokenize_expr``  — pure Catalyst (JVM, whole-stage codegen): the
+    default hot path. Tokenization stays out of Python entirely.
+  * ``tokenize_udf``   — Arrow-vectorized pandas_udf: the seam where a
+    production code-aware analyzer (camelCase split, stemming) would plug
+    in without touching the engine.
+  * ``analyze_text``   — driver-side Python for query strings (tiny input).
+"""
+
+from __future__ import annotations
+
+import re
+
+import pandas as pd
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+from pyspark.sql.types import ArrayType, StringType
+
+# The single source of truth for token boundaries.
+TOKEN_SPLIT_RE = "[^a-z0-9_]+"
+_PY_SPLIT = re.compile(TOKEN_SPLIT_RE)
+
+
+def tokenize_expr(col: Column | str) -> Column:
+    """Catalyst tokenizer: array<string> of analyzed terms (JVM-side)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.filter(F.split(F.lower(c), TOKEN_SPLIT_RE), lambda x: x != F.lit(""))
+
+
+@F.pandas_udf(ArrayType(StringType()))
+def tokenize_udf(s: pd.Series) -> pd.Series:
+    """Arrow-vectorized tokenizer — semantically identical to tokenize_expr.
+
+    Pandas `.str` ops run in C over the whole Arrow batch; no per-row
+    Python beyond the final list comprehension on already-split arrays.
+    """
+    lowered = s.fillna("").str.lower()
+    split = lowered.str.split(_PY_SPLIT)
+    return split.map(lambda toks: [t for t in toks if t])
+
+
+def analyze_text(text: str) -> list[str]:
+    """Driver-side analysis for query strings (reference analyzes the query
+    text with the same analyzer as the field — ES `match` semantics,
+    reference: src/librecatastro/domain/cadaster_entry/cadaster_entry.py:66).
+    """
+    if text is None:
+        return []
+    return [t for t in _PY_SPLIT.split(text.lower()) if t]
+
+
+def duckdb_tokens_sql(col: str) -> str:
+    """DuckDB SQL fragment producing the same array<string> — used by the
+    oracle_sql() twins in __spark_entry__.py."""
+    return (
+        f"list_filter(regexp_split_to_array(lower({col}), '{TOKEN_SPLIT_RE}'),"
+        " x -> x <> '')"
+    )

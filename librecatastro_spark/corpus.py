@@ -1,0 +1,168 @@
+"""Synthetic source-code corpus (BASELINE.json input_hint schema) and
+parallelism-independent doc_id assignment.
+
+The corpus plays the role of the reference's crawl output: one row per
+document instead of one CadasterEntry JSON per property (reference:
+src/librecatastro/domain/cadaster_entry/cadaster_entry.py:23-35). Columns:
+    repo, path, commit, lang, content, content_sha256
+
+Determinism rules (SURVEY.md §7.4):
+  * every generated value is a pure function of the row index i — a
+    counter-based splitmix64 stream, never a stateful RNG — so the corpus
+    is identical at any partitioning / parallelism level;
+  * content vocabulary is zipfian over code keywords, so stop-terms
+    (`def`, `import`, `return`, …) create the real skew the salted build
+    must handle, plus rare identifiers for selective queries;
+  * content_sha256 is computed JVM-side (F.sha2) and is the per-row
+    invariant verified corpus↔index end-to-end.
+
+doc_id assignment: dense rank over sha256(repo/path/commit) — but a naive
+`row_number() over (order by sha)` collapses to ONE partition. Instead we
+use a scalable two-phase dense rank: the sha is uniform, so its first 16
+bits give fixed-width, deterministic range buckets; per-bucket counts →
+cumulative offsets (tiny, collected); doc_id = offset[bucket] +
+rank-within-bucket. One shuffle, no global sort bottleneck, byte-identical
+ids at local[8] and local[32].
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+# ---------------------------------------------------------------- vocab --
+
+LANGS = ["py", "java", "scala", "js", "go", "rs"]
+
+_COMMON = [
+    "def", "return", "import", "class", "self", "if", "else", "for", "in",
+    "None", "True", "False", "from", "print", "len", "range", "str", "int",
+    "list", "dict", "try", "except", "raise", "with", "open", "lambda",
+    "yield", "while", "not", "and", "or", "pass", "break", "continue",
+    "assert", "global", "del", "is", "elif", "finally", "public", "static",
+    "void", "new", "this", "final", "val", "var", "let", "const", "func",
+    "fn", "impl", "struct", "match", "spark", "session", "builder", "data",
+    "frame", "column", "select", "filter", "group", "join", "agg", "index",
+    "query", "score", "token", "term", "posting", "block", "merge", "sort",
+    "shuffle", "partition", "broadcast", "cache", "stream", "batch", "row",
+]
+# rare identifiers: id0000 .. id1999 — selective query targets
+_N_RARE = 2000
+VOCAB = np.array(_COMMON + [f"id{i:04d}" for i in range(_N_RARE)])
+
+_ZIPF_S = 1.07
+
+
+def _zipf_cdf(n: int, s: float = _ZIPF_S) -> np.ndarray:
+    w = 1.0 / np.power(np.arange(1, n + 1, dtype=np.float64), s)
+    cdf = np.cumsum(w)
+    return cdf / cdf[-1]
+
+
+_CDF = _zipf_cdf(len(VOCAB))
+
+_MASK = np.uint64(0xFFFFFFFFFFFFFFFF)
+
+
+def _splitmix64(x: np.ndarray) -> np.ndarray:
+    """Counter-based 64-bit mix (public-domain splitmix64 constants)."""
+    z = (x.astype(np.uint64) + np.uint64(0x9E3779B97F4A7C15)) & _MASK
+    z = ((z ^ (z >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)) & _MASK
+    z = ((z ^ (z >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)) & _MASK
+    return z ^ (z >> np.uint64(31))
+
+
+def _uniform01(x: np.ndarray) -> np.ndarray:
+    return (_splitmix64(x) >> np.uint64(11)).astype(np.float64) / float(1 << 53)
+
+
+def generate_corpus(
+    spark: SparkSession,
+    n_docs: int,
+    min_tokens: int = 50,
+    max_tokens: int = 2000,
+    seed: int = 42,
+    partitions: int | None = None,
+) -> DataFrame:
+    """Deterministic corpus at the input_hint schema. Pure function of
+    (n_docs, seed) — independent of `partitions`."""
+    base = spark.range(0, n_docs, numPartitions=partitions)
+    seed64 = np.uint64(seed * 0x5851F42D4C957F2D)
+    lo, span = min_tokens, max_tokens - min_tokens + 1
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids = pdf["id"].to_numpy(dtype=np.uint64)
+            if len(ids) == 0:
+                continue
+            counts = (lo + (_splitmix64(ids * np.uint64(3) + seed64) % np.uint64(span))).astype(np.int64)
+            doc_rep = np.repeat(ids, counts)
+            # token position j within each doc, vectorized
+            total = int(counts.sum())
+            j = np.arange(total, dtype=np.uint64)
+            starts = np.zeros(len(ids), dtype=np.uint64)
+            starts[1:] = np.cumsum(counts)[:-1].astype(np.uint64)
+            j = j - np.repeat(starts, counts)
+            u = _uniform01(doc_rep * np.uint64(0x9E3779B1) + j * np.uint64(0x85EBCA77) + seed64)
+            widx = np.searchsorted(_CDF, u, side="left")
+            words = VOCAB[widx]
+            bounds = np.zeros(len(ids) + 1, dtype=np.int64)
+            bounds[1:] = np.cumsum(counts)
+            content = [" ".join(words[bounds[m]:bounds[m + 1]]) for m in range(len(ids))]
+            i64 = ids.astype(np.int64)
+            yield pd.DataFrame(
+                {
+                    "repo": [f"org{a % 7}/repo{a % 53}" for a in i64],
+                    "path": [f"src/mod{(a // 7) % 23}/file{a}.{LANGS[a % len(LANGS)]}" for a in i64],
+                    "lang": [LANGS[a % len(LANGS)] for a in i64],
+                    "content": content,
+                }
+            )
+
+    df = base.mapInPandas(gen, schema="repo string, path string, lang string, content string")
+    return df.withColumn(
+        "commit", F.substring(F.sha2(F.concat_ws("/", "repo", "path"), 256), 1, 40)
+    ).withColumn("content_sha256", F.sha2(F.col("content"), 256))
+
+
+# ------------------------------------------------------- doc_id assignment
+
+def assign_doc_ids(
+    df: DataFrame,
+    key_cols: tuple[str, ...] = ("repo", "path", "commit"),
+    n_buckets: int = 256,
+) -> DataFrame:
+    """Scalable deterministic dense doc_id in [0, N).
+
+    Equivalent to row_number() over (order by sha2(concat(keys))) but
+    without the single-partition global-sort bottleneck: sha prefixes are
+    uniform, so bucket = first 16 bits mod n_buckets is a fixed-width range
+    partition; doc_id = cumulative-offset[bucket] + rank-within-bucket.
+    The only driver-side data is the n_buckets-row count table.
+    """
+    sha = F.sha2(F.concat_ws("/", *[F.col(c) for c in key_cols]), 256)
+    df = df.withColumn("_sha", sha).withColumn(
+        "_bucket",
+        (F.conv(F.substring("_sha", 1, 4), 16, 10).cast("long") % n_buckets).cast("int"),
+    )
+    counts = {
+        r["_bucket"]: r["cnt"]
+        for r in df.groupBy("_bucket").agg(F.count(F.lit(1)).alias("cnt")).collect()
+    }
+    offsets, acc = {}, 0
+    for b in range(n_buckets):
+        offsets[b] = acc
+        acc += counts.get(b, 0)
+    off_expr = F.element_at(
+        F.create_map(*[F.lit(x) for b in range(n_buckets) for x in (b, offsets[b])]),
+        F.col("_bucket"),
+    )
+    w = Window.partitionBy("_bucket").orderBy("_sha")
+    return (
+        df.withColumn("doc_id", (off_expr + F.row_number().over(w) - F.lit(1)).cast("long"))
+        .drop("_sha", "_bucket")
+    )

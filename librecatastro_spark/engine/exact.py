@@ -1,0 +1,157 @@
+"""Exact BM25 scorer over naive postings — the rank-identity oracle.
+
+This is the §7.1 minimum slice from SURVEY.md: entirely built-in Catalyst
+operators (explode → groupBy → broadcast join → sum → TakeOrderedAndProject),
+no Python in the scoring path. Every optimized path (compressed postings,
+block-max WAND) must reproduce this scorer's (doc_id, score) ranks exactly.
+
+Query surface reproduced from the reference's ES usage:
+  * analyzed match, OR-of-terms, BM25-summed        (B6; reference:
+    src/librecatastro/domain/cadaster_entry/cadaster_entry.py:66)
+  * bool must / must_not composition                (B7; reference:
+    src/utils/elasticsearch_utils.py:110-123)
+  * keyword equality filter                         (B4, :116-117)
+  * keyword prefix filter                           (B5, :113-115)
+  * top-k window with deterministic tiebreak        (B10, size 10/11)
+  * hits.total counting                             (B11, :127-130)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..analyzer import analyze_text
+from ..bm25 import ROUND_DECIMALS, bm25_weight_expr
+from ..stats import CorpusStats, corpus_stats, term_freqs
+
+
+class ExactBM25:
+    """In-memory exact engine over a documents DataFrame.
+
+    Parameters
+    ----------
+    docs : corpus DataFrame
+    id_col / text_col : document key and analyzed-text column
+    attr_cols : keyword (exact-match / prefix) columns, the ``.keyword``
+        analog of the reference's dynamic mapping
+    postings : optionally a precomputed (doc_id, term, tf, dl) DataFrame
+        (e.g. read back from the built index) — skips re-tokenization
+    stats : optionally precomputed CorpusStats
+    """
+
+    def __init__(
+        self,
+        docs: DataFrame,
+        id_col: str = "doc_id",
+        text_col: str = "content",
+        attr_cols: tuple[str, ...] = (),
+        postings: DataFrame | None = None,
+        stats: CorpusStats | None = None,
+        cache: bool = False,
+    ) -> None:
+        self.docs = docs
+        self.id_col = id_col
+        self.attrs = docs.select(F.col(id_col).alias("doc_id"), *attr_cols)
+        self.postings = postings if postings is not None else term_freqs(docs, id_col, text_col)
+        if cache:
+            self.postings = self.postings.cache()
+        self.stats = stats if stats is not None else corpus_stats(self.postings)
+
+    # ------------------------------------------------------------------ #
+
+    def _doc_filter(self, filters: dict[str, str] | None, prefix: tuple[str, str] | None) -> DataFrame | None:
+        """Constant-score filter clauses → a doc_id set (semi-join side)."""
+        if not filters and not prefix:
+            return None
+        cond = F.lit(True)
+        for col, val in (filters or {}).items():
+            cond = cond & (F.col(col) == F.lit(val))
+        if prefix is not None:
+            col, pfx = prefix
+            cond = cond & F.col(col).startswith(pfx)
+        return self.attrs.where(cond).select("doc_id")
+
+    def match_scores(
+        self,
+        text: str,
+        require_all: bool = False,
+        filters: dict[str, str] | None = None,
+        prefix: tuple[str, str] | None = None,
+        must_not_text: str | None = None,
+    ) -> DataFrame:
+        """(doc_id, score) for every matching doc (unranked, unrounded)."""
+        terms = sorted(set(analyze_text(text)))
+        if not terms:
+            raise ValueError("query analyzes to zero terms")
+        p = self.postings.where(F.col("term").isin(terms))
+        # df computed over the full corpus for the query terms only — tiny,
+        # broadcast; idf does not depend on the filter clauses (ES semantics).
+        dfreq = p.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+        scored = (
+            p.join(F.broadcast(dfreq), "term")
+            .withColumn(
+                "w",
+                bm25_weight_expr(
+                    F.col("tf").cast("double"),
+                    F.col("df").cast("double"),
+                    F.col("dl").cast("double"),
+                    self.stats.n_docs,
+                    self.stats.avgdl,
+                ),
+            )
+            .groupBy("doc_id")
+            .agg(F.sum("w").alias("score"), F.count(F.lit(1)).alias("n_matched"))
+        )
+        if require_all:
+            scored = scored.where(F.col("n_matched") == F.lit(len(terms)))
+        scored = scored.drop("n_matched")
+        doc_set = self._doc_filter(filters, prefix)
+        if doc_set is not None:
+            scored = scored.join(doc_set, "doc_id", "left_semi")
+        if must_not_text:
+            not_terms = sorted(set(analyze_text(must_not_text)))
+            excluded = (
+                self.postings.where(F.col("term").isin(not_terms))
+                .select("doc_id")
+                .distinct()
+            )
+            scored = scored.join(excluded, "doc_id", "left_anti")
+        return scored
+
+    def search(self, text: str, k: int = 10, **kwargs) -> DataFrame:
+        """Top-k (doc_id, score) — score DESC, doc_id ASC (B10 tiebreak).
+
+        Rounded to ROUND_DECIMALS before ranking so float summation order
+        can never flip a rank between engine paths / parallelism levels.
+        """
+        scored = self.match_scores(text, **kwargs).withColumn(
+            "score", F.round("score", ROUND_DECIMALS)
+        )
+        return scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+
+    def hits_total(self, text: str, **kwargs) -> int:
+        """ES hits.total analog (B11) — exact count of the match set."""
+        return self.match_scores(text, **kwargs).count()
+
+    def filter_only(
+        self,
+        filters: dict[str, str] | None = None,
+        prefix: tuple[str, str] | None = None,
+        limit: int | None = None,
+    ) -> DataFrame:
+        """Pure constant-score filter query (keyword / prefix only) — the
+        shape of the reference's dedup check (B8) when no match clause is
+        present. Returns doc_ids."""
+        doc_set = self._doc_filter(filters, prefix)
+        if doc_set is None:
+            doc_set = self.attrs.select("doc_id")
+        if limit is not None:
+            doc_set = doc_set.limit(limit)
+        return doc_set
+
+    def exists(self, filters=None, prefix=None, window: int = 11) -> bool:
+        """The reference's check_if_address_present: bool must of prefix +
+        keyword filters, size=11, existence = hits.total > 0 (reference:
+        src/utils/elasticsearch_utils.py:110-136)."""
+        return self.filter_only(filters, prefix, limit=window).count() > 0

@@ -1,0 +1,51 @@
+"""SparkSession factory with scale-aware defaults.
+
+Local mode is single-JVM; the same configs are what we would submit with
+``spark-submit --py-files`` on a real cluster (AQE on, Arrow on, shuffle
+partitions sized to cores, UTC so results compare bit-for-bit with the
+DuckDB oracle).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app_name: str = "librecatastro_spark",
+    cores: int | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or fetch) a SparkSession.
+
+    ``cores`` defaults to $SPARK_GRAFT_CPUS or all local cores. On a real
+    cluster the master/size comes from spark-submit and these fall away.
+    """
+    if cores is None:
+        env = os.environ.get("SPARK_GRAFT_CPUS")
+        cores = int(env) if env else (os.cpu_count() or 4)
+    if shuffle_partitions is None:
+        shuffle_partitions = max(cores, 4)
+
+    builder = (
+        SparkSession.builder.master(f"local[{cores}]")
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.files.maxPartitionBytes", "134217728")
+    )
+    if extra_conf:
+        for k, v in extra_conf.items():
+            builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
