@@ -21,10 +21,29 @@ from pyspark.sql import functions as F
 from librecatastro_spark.analyzer import analyze_text, duckdb_tokens_sql, tokenize_expr
 from librecatastro_spark.bm25 import ROUND_DECIMALS, bm25_sql
 from librecatastro_spark.engine import ExactBM25
+from librecatastro_spark.engine.wand import CompressedIndex
+from librecatastro_spark.index.builder import build_index
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _index(spark: SparkSession, sf_dir: str) -> CompressedIndex:
+    """Build (once, resumable no-op afterwards) and open the compressed
+    index for sf_dir. Keyed by source mtime so stale indexes rebuild."""
+    import hashlib
+
+    src = f"{sf_dir}/documents.parquet"
+    mtime = int(os.path.getmtime(src)) if os.path.exists(src) else 0
+    key = hashlib.sha256(f"{sf_dir}:{mtime}".encode()).hexdigest()[:16]
+    out = os.path.join("/tmp", f"lc_index_{key}")
+    build_index(
+        spark, _docs(spark, sf_dir), out, id_col="doc_id", text_col="text",
+        attr_cols=("lang", "source"), n_shards=8, block_size=128,
+        salt_threshold=5_000, n_salts=8, resume=True,
+    )
+    return CompressedIndex(spark, out)
 
 
 def _engine(spark: SparkSession, sf_dir: str) -> ExactBM25:
@@ -172,6 +191,31 @@ def _q_token_count(spark, sf):
     )
 
 
+# --- compressed-index / block-max WAND path (B14) — same oracles as the
+# --- exact path: the driver's hash compare IS the rank-identity gate.
+
+def _q_wand_match(spark, sf):
+    return _index(spark, sf).search("spark join merge", k=10)
+
+
+def _q_wand_bool_must(spark, sf):
+    return _index(spark, sf).search("table window batch", k=10, require_all=True)
+
+
+def _q_wand_must_not(spark, sf):
+    return _index(spark, sf).search("spark", k=10, must_not_text="window")
+
+
+def _q_wand_filtered(spark, sf):
+    return _index(spark, sf).search(
+        "merge sort", k=10, filters={"source": "src3"}
+    )
+
+
+def _q_wand_prefix(spark, sf):
+    return _index(spark, sf).search("query scan", k=10, prefix=("source", "src1"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "bm25_match_topk": _q_match,
@@ -184,6 +228,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "term_stats_top20": _q_term_stats,
         "doc_stats": _q_doc_stats,
         "token_count": _q_token_count,
+        "wand_match_topk": _q_wand_match,
+        "wand_bool_must": _q_wand_bool_must,
+        "wand_must_not": _q_wand_must_not,
+        "wand_keyword_filter": _q_wand_filtered,
+        "wand_prefix_filter": _q_wand_prefix,
     }
 
 
@@ -217,4 +266,9 @@ SELECT count(*)::BIGINT AS n_docs, round(avg(dl), {ROUND_DECIMALS}) AS avgdl FRO
         "token_count": f"""
 SELECT doc_id, len({duckdb_tokens_sql('text')})::INT AS n_tokens FROM documents
 """,
+        "wand_match_topk": _bm25_oracle("spark join merge", k=10),
+        "wand_bool_must": _bm25_oracle("table window batch", k=10, require_all=True),
+        "wand_must_not": _bm25_oracle("spark", k=10, must_not_text="window"),
+        "wand_keyword_filter": _bm25_oracle("merge sort", k=10, filters={"source": "src3"}),
+        "wand_prefix_filter": _bm25_oracle("query scan", k=10, prefix=("source", "src1")),
     }

@@ -1,0 +1,99 @@
+"""Benchmark: index build throughput + BM25 query latency at $SPARK_GRAFT_SF_DIR.
+
+Prints exactly ONE JSON line:
+  {"metric": ..., "value": <total sec>, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": ...,
+   "build_sec": ..., "build_gb_per_hr": ..., "query_p95_ms": ...,
+   "cores": ...}
+
+Env knobs: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
+SPARK_GRAFT_CPUS (default 32), BENCH_RUNS (timed runs per query, default 5),
+BENCH_WORK_DIR (index output dir, default a temp dir).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import statistics
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from librecatastro_spark.engine.wand import CompressedIndex
+from librecatastro_spark.index.builder import build_index
+from librecatastro_spark.session import get_spark
+
+QUERIES = {
+    "q_match_hot": dict(text="table query value", k=10),
+    "q_match_mixed": dict(text="spark customer window merge", k=10),
+    "q_bool_must": dict(text="batch stream line", k=10, require_all=True),
+    "q_must_not": dict(text="table", k=10, must_not_text="window"),
+    "q_prefix_filter": dict(text="query scan", k=10, prefix=("source", "src1")),
+    "q_topk_100": dict(text="sort merge join", k=100),
+}
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cores = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    runs = int(os.environ.get("BENCH_RUNS", "5"))
+    work = os.environ.get("BENCH_WORK_DIR") or tempfile.mkdtemp(prefix="lcidx_")
+    cleanup = "BENCH_WORK_DIR" not in os.environ
+
+    spark = get_spark("bench", cores=cores, shuffle_partitions=cores)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    input_bytes = docs.selectExpr(
+        "sum(octet_length(text) + octet_length(lang) + octet_length(source) + 16) as b"
+    ).collect()[0]["b"]
+
+    t0 = time.time()
+    idx_dir = os.path.join(work, "index")
+    build_index(
+        spark, docs, idx_dir, id_col="doc_id", text_col="text",
+        attr_cols=("lang", "source"), n_shards=max(4, cores // 4),
+        block_size=128, salt_threshold=20_000, n_salts=8,
+        shards_per_job=max(4, cores // 4), resume=False,
+    )
+    build_sec = time.time() - t0
+
+    index = CompressedIndex(spark, idx_dir)
+    per_query: dict[str, float] = {}
+    lat_ms: list[float] = []
+    for name, q in QUERIES.items():
+        q = dict(q)
+        k = q.pop("k")
+        text = q.pop("text")
+        index.search(text, k=k, **q).collect()  # warm (plan + page cache)
+        times = []
+        for _ in range(runs):
+            t = time.time()
+            index.search(text, k=k, **q).collect()
+            times.append(time.time() - t)
+        per_query[name] = round(statistics.mean(times), 4)
+        lat_ms.extend(x * 1000 for x in times)
+    lat_ms.sort()
+    p95 = lat_ms[max(0, int(len(lat_ms) * 0.95) - 1)] if lat_ms else 0.0
+
+    total = build_sec + sum(per_query.values())
+    out = {
+        "metric": "index-build + BM25 golden-query suite (compressed WAND path)",
+        "value": round(total, 3),
+        "unit": "sec",
+        "queries": {"build_index": round(build_sec, 3), **per_query},
+        "sf": sf_dir.rstrip("/").split("sf")[-1],
+        "build_sec": round(build_sec, 3),
+        "build_gb_per_hr": round((input_bytes / 1e9) / (build_sec / 3600.0), 3),
+        "query_p95_ms": round(p95, 1),
+        "cores": cores,
+    }
+    print(json.dumps(out))
+    if cleanup:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -91,7 +91,7 @@ def generate_corpus(
     """Deterministic corpus at the input_hint schema. Pure function of
     (n_docs, seed) — independent of `partitions`."""
     base = spark.range(0, n_docs, numPartitions=partitions)
-    seed64 = np.uint64(seed * 0x5851F42D4C957F2D)
+    seed64 = np.uint64((seed * 0x5851F42D4C957F2D) & 0xFFFFFFFFFFFFFFFF)
     lo, span = min_tokens, max_tokens - min_tokens + 1
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

@@ -1,0 +1,98 @@
+"""docID-delta + varbyte posting-block codec — numpy-vectorized.
+
+The Spark-native analog of the Lucene postings format inside the
+reference's 5 ES shards (reference: src/utils/elasticsearch_utils.py:28-30).
+MSB-first varbyte: 7 payload bits per byte, high bit set on every byte
+except the last of a value. Doc ids are sorted and delta-encoded
+(first value absolute) before varbyte.
+
+Everything operates on whole numpy arrays — no per-value Python in either
+direction (input_hint: vectorized only). Encode loops are over the ≤10
+byte-positions of a uint64, not over values.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+_U64 = np.uint64
+
+
+def _byte_lengths(v: np.ndarray) -> np.ndarray:
+    """Varbyte length (1..10) per value, vectorized."""
+    nb = np.ones(len(v), dtype=np.int64)
+    for k in range(1, 10):
+        nb += (v >= (_U64(1) << _U64(7 * k))).astype(np.int64)
+    return nb
+
+
+def encode_varbyte(values: np.ndarray) -> bytes:
+    """Encode a uint64 array to MSB-first varbyte."""
+    v = np.ascontiguousarray(values, dtype=_U64)
+    if len(v) == 0:
+        return b""
+    nb = _byte_lengths(v)
+    ends = np.cumsum(nb)
+    starts = ends - nb
+    out = np.zeros(int(ends[-1]), dtype=np.uint8)
+    max_nb = int(nb.max())
+    for j in range(max_nb):
+        mask = nb > j
+        # byte j of a value occupying nb bytes holds bits (nb-1-j)*7 ..
+        shift = ((nb[mask] - 1 - j) * 7).astype(np.uint64)
+        out[starts[mask] + j] = ((v[mask] >> shift) & _U64(0x7F)).astype(np.uint8)
+        cont = mask & (nb - 1 > j)
+        out[starts[cont] + j] |= 0x80
+    return out.tobytes()
+
+
+def decode_varbyte(buf: bytes) -> np.ndarray:
+    """Decode MSB-first varbyte back to a uint64 array."""
+    b = np.frombuffer(buf, dtype=np.uint8)
+    if len(b) == 0:
+        return np.empty(0, dtype=_U64)
+    is_last = (b & 0x80) == 0
+    ends = np.flatnonzero(is_last)
+    starts = np.empty_like(ends)
+    starts[0] = 0
+    starts[1:] = ends[:-1] + 1
+    lengths = ends - starts + 1
+    vals = np.zeros(len(ends), dtype=_U64)
+    payload = (b & 0x7F).astype(_U64)
+    max_len = int(lengths.max())
+    for j in range(max_len):
+        mask = lengths > j
+        vals[mask] = (vals[mask] << _U64(7)) | payload[starts[mask] + j]
+    return vals
+
+
+def delta_encode(sorted_ids: np.ndarray) -> np.ndarray:
+    """Strictly-increasing int64/uint64 ids → (first, gaps...) as uint64."""
+    a = np.ascontiguousarray(sorted_ids, dtype=np.int64)
+    if len(a) == 0:
+        return np.empty(0, dtype=_U64)
+    out = np.empty(len(a), dtype=np.int64)
+    out[0] = a[0]
+    np.subtract(a[1:], a[:-1], out=out[1:])
+    if len(a) > 1 and out[1:].min() <= 0:
+        raise ValueError("doc ids must be strictly increasing within a block")
+    return out.astype(_U64)
+
+
+def delta_decode(deltas: np.ndarray) -> np.ndarray:
+    return np.cumsum(deltas.astype(np.int64)).astype(np.int64)
+
+
+def encode_block(doc_ids: np.ndarray, tfs: np.ndarray) -> tuple[bytes, bytes]:
+    """One posting block: sorted doc_ids delta+varbyte, tfs varbyte."""
+    return (
+        encode_varbyte(delta_encode(doc_ids)),
+        encode_varbyte(np.ascontiguousarray(tfs, dtype=_U64)),
+    )
+
+
+def decode_block(docs_enc: bytes, tfs_enc: bytes) -> tuple[np.ndarray, np.ndarray]:
+    return (
+        delta_decode(decode_varbyte(docs_enc)),
+        decode_varbyte(tfs_enc).astype(np.int64),
+    )

@@ -1,0 +1,112 @@
+"""Text-analysis operators for large-scale training-data pipelines:
+language ID (stopword-ratio heuristic), quality scoring, token counting,
+document fingerprinting. All pure Catalyst expressions (JVM-side, codegen)
+with DuckDB SQL twins for the correctness oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+from ..analyzer import duckdb_tokens_sql, tokenize_expr
+from ..bm25 import ROUND_DECIMALS
+
+# Frozen English function-word list for the n-gram/stopword heuristic.
+STOPWORDS_EN = [
+    "the", "a", "an", "of", "to", "and", "in", "is", "it", "for", "on",
+    "with", "as", "at", "by", "from", "or", "be", "are", "this", "that",
+]
+
+LANGID_THRESHOLD = 0.04
+
+
+def _stop_array() -> Column:
+    return F.array(*[F.lit(w) for w in STOPWORDS_EN])
+
+
+def token_count_expr(text_col: str | Column) -> Column:
+    return F.size(tokenize_expr(text_col))
+
+
+def stopword_ratio_expr(text_col: str | Column) -> Column:
+    toks = tokenize_expr(text_col)
+    stops = F.size(F.filter(toks, lambda x: F.array_contains(_stop_array(), x)))
+    return F.when(F.size(toks) > 0, stops / F.size(toks)).otherwise(F.lit(0.0))
+
+
+def lang_id_expr(text_col: str | Column) -> Column:
+    """'en' if the stopword ratio clears the threshold, else 'unk'."""
+    return F.when(
+        stopword_ratio_expr(text_col) >= F.lit(LANGID_THRESHOLD), F.lit("en")
+    ).otherwise(F.lit("unk"))
+
+
+def uniq_ratio_expr(text_col: str | Column) -> Column:
+    toks = tokenize_expr(text_col)
+    return F.when(
+        F.size(toks) > 0, F.size(F.array_distinct(toks)) / F.size(toks)
+    ).otherwise(F.lit(0.0))
+
+
+def punct_ratio_expr(text_col: str | Column) -> Column:
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
+    nonword = F.length(c) - F.length(F.regexp_replace(c, r"[^a-zA-Z0-9_ ]", ""))
+    return F.when(F.length(c) > 0, nonword / F.length(c)).otherwise(F.lit(0.0))
+
+
+def quality_score_expr(text_col: str | Column) -> Column:
+    """Deterministic [0,1] quality heuristic: length band + lexical
+    diversity + low punctuation noise (the usual pretraining filters)."""
+    n = token_count_expr(text_col)
+    len_ok = F.when((n >= 20) & (n <= 5000), F.lit(1.0)).otherwise(
+        F.when(n > 0, F.lit(0.5)).otherwise(F.lit(0.0))
+    )
+    score = (
+        F.lit(0.4) * len_ok
+        + F.lit(0.4) * uniq_ratio_expr(text_col)
+        + F.lit(0.2) * (F.lit(1.0) - F.least(F.lit(1.0), punct_ratio_expr(text_col) * 4))
+    )
+    return F.round(score, ROUND_DECIMALS)
+
+
+def fingerprint_expr(text_col: str | Column) -> Column:
+    """Normalized-content fingerprint: md5 of the analyzed token stream —
+    whitespace/punctuation-insensitive exact-dup key."""
+    return F.md5(F.concat_ws(" ", tokenize_expr(text_col)))
+
+
+# ------------------------------------------------------------ SQL twins --
+
+def stopword_ratio_sql(col: str) -> str:
+    toks = duckdb_tokens_sql(col)
+    stops = ", ".join(f"'{w}'" for w in STOPWORDS_EN)
+    return (
+        f"(CASE WHEN len({toks}) > 0 THEN "
+        f"len(list_filter({toks}, x -> list_contains([{stops}], x)))::DOUBLE / len({toks}) "
+        f"ELSE 0.0 END)"
+    )
+
+
+def lang_id_sql(col: str) -> str:
+    return f"(CASE WHEN {stopword_ratio_sql(col)} >= {LANGID_THRESHOLD} THEN 'en' ELSE 'unk' END)"
+
+
+def quality_score_sql(col: str) -> str:
+    toks = duckdb_tokens_sql(col)
+    n = f"len({toks})"
+    len_ok = f"(CASE WHEN {n} >= 20 AND {n} <= 5000 THEN 1.0 WHEN {n} > 0 THEN 0.5 ELSE 0.0 END)"
+    uniq = f"(CASE WHEN {n} > 0 THEN len(list_distinct({toks}))::DOUBLE / {n} ELSE 0.0 END)"
+    punct = (
+        f"(CASE WHEN length({col}) > 0 THEN "
+        f"(length({col}) - length(regexp_replace({col}, '[^a-zA-Z0-9_ ]', '', 'g')))::DOUBLE / length({col}) "
+        f"ELSE 0.0 END)"
+    )
+    return (
+        f"round(0.4 * {len_ok} + 0.4 * {uniq} + 0.2 * (1.0 - least(1.0, {punct} * 4)), "
+        f"{ROUND_DECIMALS})"
+    )
+
+
+def fingerprint_sql(col: str) -> str:
+    return f"md5(array_to_string({duckdb_tokens_sql(col)}, ' '))"

@@ -1,0 +1,150 @@
+"""Index build: roundtrip vs staged truth, resume idempotence, sha invariant,
+parallelism-independence of the built blocks."""
+
+from __future__ import annotations
+
+import glob
+import os
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from librecatastro_spark.corpus import assign_doc_ids, generate_corpus
+from librecatastro_spark.index.builder import (
+    build_index,
+    load_attrs,
+    load_postings,
+    load_staged_postings,
+    manifest_records,
+    read_meta,
+    verify_content_sha,
+)
+from librecatastro_spark.index.codec import decode_block
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    docs = generate_corpus(spark, 300, min_tokens=20, max_tokens=120, partitions=4)
+    return assign_doc_ids(docs).cache()
+
+
+@pytest.fixture(scope="module")
+def built(spark, corpus, tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("idx"))
+    meta = build_index(
+        spark, corpus, out,
+        attr_cols=("repo", "path", "lang", "content_sha256"),
+        n_shards=4, block_size=16, salt_threshold=150, n_salts=4,
+        shards_per_job=2,
+    )
+    return out, meta
+
+
+def test_meta_and_manifest(built):
+    out, meta = built
+    assert meta.n_docs == 300
+    recs = manifest_records(out)
+    assert "stage" in recs
+    assert {"shards_0_1", "shards_2_3"} <= set(recs)
+    assert read_meta(out).avgdl == pytest.approx(meta.avgdl)
+
+
+def test_blocks_roundtrip_to_staged_truth(spark, built):
+    """Decoding every block reproduces exactly the staged (term, doc_id, tf)."""
+    out, meta = built
+    blocks = load_postings(spark, out).collect()
+    got = set()
+    for b in blocks:
+        ids, tfs = decode_block(bytes(b["docs_enc"]), bytes(b["tfs_enc"]))
+        assert len(ids) == b["n_docs"] <= meta.block_size
+        assert ids[0] == b["first_doc_id"] and ids[-1] == b["last_doc_id"]
+        assert np.all(np.diff(ids) > 0)
+        for i, t in zip(ids.tolist(), tfs.tolist()):
+            got.add((b["term"], i, t))
+    truth = {
+        (r["term"], r["doc_id"], r["tf"])
+        for r in load_staged_postings(spark, out).collect()
+    }
+    assert got == truth
+
+
+def test_salting_applied_to_hot_terms(spark, built):
+    out, meta = built
+    blocks = load_postings(spark, out)
+    hot = blocks.groupBy("term").agg(F.countDistinct("salt").alias("s"))
+    assert hot.where(F.col("s") > 1).count() > 0  # zipfian head got salted
+    # per-salt doc ranges are disjoint within (shard, term)
+    rows = (
+        blocks.groupBy("shard", "term", "salt")
+        .agg(F.min("first_doc_id").alias("lo"), F.max("last_doc_id").alias("hi"))
+        .collect()
+    )
+    by_key: dict = {}
+    for r in rows:
+        by_key.setdefault((r["shard"], r["term"]), []).append((r["salt"], r["lo"], r["hi"]))
+    for spans in by_key.values():
+        spans.sort()
+        for (_, _, hi1), (_, lo2, _) in zip(spans, spans[1:]):
+            assert hi1 < lo2
+
+
+def test_content_sha_invariant(spark, corpus, built):
+    out, _ = built
+    assert verify_content_sha(corpus, spark, out) is True
+    # negative: corrupting one row must be detected
+    bad = corpus.withColumn(
+        "content_sha256",
+        F.when(F.col("doc_id") == 7, F.lit("deadbeef")).otherwise(F.col("content_sha256")),
+    )
+    assert verify_content_sha(bad, spark, out) is False
+
+
+def test_resume_skips_done_and_finishes_missing(spark, corpus, built, tmp_path):
+    out, meta = built
+    # simulate a crash after shard group 0: delete group 1's manifest + data
+    os.remove(os.path.join(out, "_manifest", "shards_2_3.json"))
+    import shutil
+
+    shutil.rmtree(os.path.join(out, "postings", "shard=3"))
+    before = {f: os.path.getmtime(f) for f in glob.glob(os.path.join(out, "postings", "shard=0", "*.parquet"))}
+    build_index(
+        spark, corpus, out,
+        attr_cols=("repo", "path", "lang", "content_sha256"),
+        n_shards=4, block_size=16, salt_threshold=150, n_salts=4,
+        shards_per_job=2,
+    )
+    after = {f: os.path.getmtime(f) for f in glob.glob(os.path.join(out, "postings", "shard=0", "*.parquet"))}
+    assert before == after  # completed unit untouched
+    assert "shards_2_3" in manifest_records(out)
+    # and the rebuilt shard is complete again
+    assert load_postings(spark, out).where(F.col("shard") == 3).count() > 0
+
+
+def test_build_is_parallelism_independent(spark, corpus, built, tmp_path):
+    """Same corpus at different partitioning → identical block bytes."""
+    out1, _ = built
+    out2 = str(tmp_path / "idx2")
+    build_index(
+        spark, corpus.repartition(13), out2,
+        attr_cols=("repo", "path", "lang", "content_sha256"),
+        n_shards=4, block_size=16, salt_threshold=150, n_salts=4,
+        shards_per_job=4,
+    )
+
+    def block_set(out):
+        return {
+            (r["shard"], r["term"], r["salt"], r["block_seq"],
+             bytes(r["docs_enc"]), bytes(r["tfs_enc"]), round(r["block_max_w"], 9))
+            for r in load_postings(spark, out).collect()
+        }
+
+    assert block_set(out1) == block_set(out2)
+
+
+def test_attrs_table_complete(spark, corpus, built):
+    out, meta = built
+    attrs = load_attrs(spark, out)
+    assert attrs.count() == 300
+    assert attrs.select(F.countDistinct("doc_id")).collect()[0][0] == 300
+    assert set(attrs.columns) >= {"doc_id", "dl", "repo", "path", "lang", "content_sha256", "shard"}
