@@ -216,6 +216,213 @@ def _q_wand_prefix(spark, sf):
     return _index(spark, sf).search("query scan", k=10, prefix=("source", "src1"))
 
 
+# --------------------------------------------------------------------- #
+# training-data pipeline ops (dedup / similarity / text analysis)
+# --------------------------------------------------------------------- #
+
+def _q_lang_id(spark, sf):
+    from librecatastro_spark.ops.text import lang_id_expr
+
+    return _docs(spark, sf).select("doc_id", lang_id_expr("text").alias("lang_pred"))
+
+
+def _q_quality(spark, sf):
+    from librecatastro_spark.ops.text import quality_score_expr
+
+    return _docs(spark, sf).select("doc_id", quality_score_expr("text").alias("quality"))
+
+
+def _q_exact_dedup(spark, sf):
+    from librecatastro_spark.ops.dedup import exact_duplicates
+
+    return exact_duplicates(_docs(spark, sf))
+
+
+def _q_jaccard(spark, sf):
+    from librecatastro_spark.ops.dedup import jaccard_pairs
+
+    return jaccard_pairs(_docs(spark, sf), threshold=0.5)
+
+
+def _q_minhash_lsh(spark, sf):
+    from librecatastro_spark.ops.dedup import minhash_lsh_pairs
+
+    return minhash_lsh_pairs(
+        _docs(spark, sf), threshold=0.5, n_hashes=16, bands=16
+    )
+
+
+def _q_minhash_sig(spark, sf):
+    from librecatastro_spark.ops.dedup import minhash_signature
+
+    return minhash_signature(_docs(spark, sf), n_hashes=8)
+
+
+def _q_simhash16(spark, sf):
+    from librecatastro_spark.ops.dedup import simhash16_expr
+
+    return _docs(spark, sf).select("doc_id", simhash16_expr("text").alias("simhash16"))
+
+
+def _emb(spark, sf):
+    return spark.read.parquet(f"{sf}/embeddings.parquet")
+
+
+def _q_cosine_topk(spark, sf):
+    from librecatastro_spark.ops.similarity import cosine_topk
+
+    e = _emb(spark, sf)
+    q = [float(x) for x in e.where(F.col("vec_id") == 0).collect()[0]["embedding"]]
+    return cosine_topk(e, q, k=10)
+
+
+def _q_emb_near_dup(spark, sf):
+    from librecatastro_spark.ops.similarity import brute_force_pairs
+
+    return brute_force_pairs(_emb(spark, sf), threshold=0.4)
+
+
+# --------------------------------------------------------------------- #
+# relational operator parity (A-series) on the TPC-H-ish tables
+# --------------------------------------------------------------------- #
+
+def _t(spark, sf, name):
+    return spark.read.parquet(f"{sf}/{name}.parquet")
+
+
+def _q_anti_join(spark, sf):
+    # A16 dedup/resume anti-join: work items not in the done-manifest
+    # (customers with no 'P' order — non-empty at every sf)
+    cust, orders = _t(spark, sf, "customer"), _t(spark, sf, "orders")
+    done = orders.where(F.col("o_orderstatus") == "P").select(
+        F.col("o_custkey").alias("c_custkey")
+    )
+    return cust.join(done, "c_custkey", "left_anti").select("c_custkey")
+
+
+def _q_latest_event(spark, sf):
+    # A17 upsert/last-write-wins: dedup-window write keyed by (user, type)
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf, "events")
+    w = Window.partitionBy("user_id", "event_type").orderBy(
+        F.desc("ts"), F.desc("event_id")
+    )
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("user_id", "event_type", "event_id", "value")
+    )
+
+
+def _q_topk_orders(spark, sf):
+    # A21/B10 early-exit top-k with deterministic tiebreak
+    return (
+        _t(spark, sf, "orders")
+        .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .select("o_orderkey", "o_totalprice")
+        .limit(10)
+    )
+
+
+def _q_nested_exists(spark, sf):
+    # B13 nested-doc semantics: predicate must hold within ONE array element
+    orders = _t(spark, sf, "orders")
+    nested = orders.groupBy("o_custkey").agg(
+        F.collect_list(F.struct("o_orderstatus", "o_totalprice")).alias("os")
+    )
+    return (
+        nested.where(
+            F.exists(
+                "os",
+                lambda x: (x["o_orderstatus"] == "F") & (x["o_totalprice"] > 200000),
+            )
+        )
+        .select(F.col("o_custkey").alias("custkey"))
+    )
+
+
+def _q_q1_pricing(spark, sf):
+    li = _t(spark, sf, "lineitem")
+    return (
+        li.where(F.col("l_shipdate") <= F.lit("1998-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("sum_disc_price"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+def _q_revenue_per_nation(spark, sf):
+    cust = _t(spark, sf, "customer")
+    orders = _t(spark, sf, "orders")
+    nation = _t(spark, sf, "nation")
+    return (
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy("n_name")
+        .agg(F.round(F.sum("o_totalprice"), 2).alias("revenue"))
+    )
+
+
+def _synth_points(spark, sf):
+    return _t(spark, sf, "customer").select(
+        "c_custkey",
+        ((F.col("c_custkey") % 3600) / 10.0 - 180.0).alias("lon"),
+        (((F.col("c_custkey") * 7) % 1800) / 10.0 - 90.0).alias("lat"),
+    )
+
+
+def _q_geo_cell_agg(spark, sf):
+    # B12 geohash-grid bucket aggregation analog
+    from librecatastro_spark.ops.geo import cell_agg
+
+    return cell_agg(_synth_points(spark, sf), scale=0.1)
+
+
+_SQUARE = [(-50.05, -20.05), (50.05, -20.05), (50.05, 20.05), (-50.05, 20.05)]
+
+
+def _q_polygon_filter(spark, sf):
+    # A23 coarse-to-fine geo filter (bbox prune + exact vectorized test)
+    from librecatastro_spark.ops.geo import points_in_polygon
+
+    return points_in_polygon(_synth_points(spark, sf), _SQUARE).select("c_custkey")
+
+
+def _q_address_extract(spark, sf):
+    # A14 regex field-extraction suite over reference-format address strings
+    from librecatastro_spark.ops.address import (
+        extract_city,
+        extract_cp,
+        extract_province,
+    )
+
+    cust = _t(spark, sf, "customer")
+    nation = _t(spark, sf, "nation")
+    addr = F.concat(
+        F.lit("CL "), F.col("c_mktsegment"), F.lit(" "),
+        (F.col("c_custkey") % 100).cast("string"), F.lit(" "),
+        F.lpad(((F.col("c_custkey") * 37) % 100000).cast("string"), 5, "0"),
+        F.lit(" CITY"), (F.col("c_custkey") % 50).cast("string"),
+        F.lit(" ("), F.col("n_name"), F.lit(")"),
+    )
+    df = cust.join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey).select(
+        "c_custkey", addr.alias("full_address")
+    )
+    return df.select(
+        "c_custkey",
+        extract_cp("full_address").alias("cp"),
+        extract_province("full_address").alias("province"),
+        extract_city("full_address").alias("city"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "bm25_match_topk": _q_match,
@@ -233,6 +440,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "wand_must_not": _q_wand_must_not,
         "wand_keyword_filter": _q_wand_filtered,
         "wand_prefix_filter": _q_wand_prefix,
+        "lang_id": _q_lang_id,
+        "quality_score": _q_quality,
+        "dedup_exact": _q_exact_dedup,
+        "dedup_ngram_jaccard": _q_jaccard,
+        "dedup_minhash_lsh": _q_minhash_lsh,
+        "minhash_signatures": _q_minhash_sig,
+        "simhash16": _q_simhash16,
+        "embedding_cosine_topk": _q_cosine_topk,
+        "embedding_near_dup": _q_emb_near_dup,
+        "anti_join_resume": _q_anti_join,
+        "upsert_last_write_wins": _q_latest_event,
+        "topk_orders": _q_topk_orders,
+        "nested_exists": _q_nested_exists,
+        "q1_pricing_summary": _q_q1_pricing,
+        "revenue_per_nation": _q_revenue_per_nation,
+        "geo_cell_agg": _q_geo_cell_agg,
+        "polygon_filter": _q_polygon_filter,
+        "address_extract": _q_address_extract,
     }
 
 
@@ -271,4 +496,104 @@ SELECT doc_id, len({duckdb_tokens_sql('text')})::INT AS n_tokens FROM documents
         "wand_must_not": _bm25_oracle("spark", k=10, must_not_text="window"),
         "wand_keyword_filter": _bm25_oracle("merge sort", k=10, filters={"source": "src3"}),
         "wand_prefix_filter": _bm25_oracle("query scan", k=10, prefix=("source", "src1")),
+        **_ops_oracles(),
+    }
+
+
+def _ops_oracles() -> dict[str, str]:
+    from librecatastro_spark.ops.dedup import (
+        exact_duplicates_sql,
+        jaccard_pairs_sql,
+        minhash_signature_sql,
+        simhash16_sql,
+    )
+    from librecatastro_spark.ops.text import lang_id_sql, quality_score_sql
+
+    cos = (
+        "round(list_sum(list_transform(list_zip(e.embedding::DOUBLE[], {b}), p -> p[1] * p[2]))"
+        " / (sqrt(list_sum(list_transform(e.embedding::DOUBLE[], x -> x * x)))"
+        " * sqrt(list_sum(list_transform({b}, x -> x * x)))), 4)"
+    )
+    return {
+        "lang_id": f"SELECT doc_id, {lang_id_sql('text')} AS lang_pred FROM documents",
+        "quality_score": f"SELECT doc_id, {quality_score_sql('text')} AS quality FROM documents",
+        "dedup_exact": exact_duplicates_sql(),
+        "dedup_ngram_jaccard": jaccard_pairs_sql(threshold=0.5),
+        # LSH with 16 single-hash bands + exact-jaccard verification is
+        # recall-complete at j>=0.5 on this corpus → same oracle as exact.
+        "dedup_minhash_lsh": jaccard_pairs_sql(threshold=0.5),
+        "minhash_signatures": minhash_signature_sql(n_hashes=8),
+        "simhash16": f"SELECT doc_id, {simhash16_sql('text')} AS simhash16 FROM documents",
+        "embedding_cosine_topk": f"""
+WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0)
+SELECT e.vec_id AS vec_id, {cos.format(b='q.qv')} AS cosine
+FROM embeddings e, q
+ORDER BY cosine DESC, vec_id ASC LIMIT 10
+""",
+        "embedding_near_dup": f"""
+SELECT e.vec_id AS vec_a, b.vec_id AS vec_b, {cos.format(b='b.embedding::DOUBLE[]')} AS cosine
+FROM embeddings e JOIN embeddings b ON e.vec_id < b.vec_id
+WHERE {cos.format(b='b.embedding::DOUBLE[]')} >= 0.4
+""",
+        "anti_join_resume": """
+SELECT c_custkey FROM customer
+WHERE NOT EXISTS (
+  SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_orderstatus = 'P')
+""",
+        "upsert_last_write_wins": """
+SELECT user_id, event_type, event_id, value FROM events
+QUALIFY row_number() OVER (
+  PARTITION BY user_id, event_type ORDER BY ts DESC, event_id DESC) = 1
+""",
+        "topk_orders": """
+SELECT o_orderkey, o_totalprice FROM orders
+ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10
+""",
+        "nested_exists": """
+SELECT DISTINCT o_custkey AS custkey FROM orders
+WHERE o_orderstatus = 'F' AND o_totalprice > 200000
+""",
+        "q1_pricing_summary": """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 2) AS sum_qty,
+       round(sum(l_extendedprice), 2) AS sum_base_price,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+       count(*)::BIGINT AS count_order
+FROM lineitem WHERE l_shipdate <= '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+""",
+        "revenue_per_nation": """
+SELECT n_name, round(sum(o_totalprice), 2) AS revenue
+FROM orders JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+GROUP BY n_name
+""",
+        "geo_cell_agg": """
+SELECT floor(((c_custkey % 3600) / 10.0 - 180.0) * 0.1)::BIGINT AS cell_lon,
+       floor((((c_custkey * 7) % 1800) / 10.0 - 90.0) * 0.1)::BIGINT AS cell_lat,
+       count(*)::BIGINT AS n
+FROM customer GROUP BY 1, 2
+""",
+        "polygon_filter": """
+SELECT c_custkey FROM (
+  SELECT c_custkey,
+         (c_custkey % 3600) / 10.0 - 180.0 AS lon,
+         ((c_custkey * 7) % 1800) / 10.0 - 90.0 AS lat
+  FROM customer
+) WHERE lon > -50.05 AND lon < 50.05 AND lat > -20.05 AND lat < 20.05
+""",
+        "address_extract": """
+WITH t AS (
+  SELECT c_custkey,
+         'CL ' || c_mktsegment || ' ' || (c_custkey % 100)::VARCHAR || ' '
+         || lpad(((c_custkey * 37) % 100000)::VARCHAR, 5, '0')
+         || ' CITY' || (c_custkey % 50)::VARCHAR || ' (' || n_name || ')' AS full_address
+  FROM customer JOIN nation ON c_nationkey = n_nationkey
+)
+SELECT c_custkey,
+       nullif(regexp_extract(full_address, '([0-9]{5})', 1), '') AS cp,
+       nullif(regexp_extract(full_address, '\\(([^)]+)\\)', 1), '') AS province,
+       nullif(trim(regexp_extract(full_address, '([0-9]{5})([^(]*)', 2)), '') AS city
+FROM t
+""",
     }

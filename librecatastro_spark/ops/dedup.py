@@ -1,0 +1,356 @@
+"""Deduplication operators for training-data pipelines.
+
+All hash functions are engine-portable by construction: the base token /
+shingle hash is ``int(md5(s)[:8], 16)`` (md5 is identical in Spark and
+DuckDB, and 8 hex chars < 2^32 keeps all permutation arithmetic inside
+int64 in both engines), so every operator here has an exact SQL twin.
+
+Operators:
+  * exact duplicates        — hash-groupBy on the normalized fingerprint
+  * n-gram (shingle) Jaccard — exact all-pairs via shingle-key self-join
+  * MinHash signatures + LSH banding — the scale path: candidate
+    generation is a bucket self-join on band keys (no all-pairs), verified
+    with exact shingle Jaccard
+  * SimHash — 16-bit expression variant (SQL twin) and a fast 64-bit
+    Arrow-vectorized variant for production, with banded Hamming join
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import LongType
+
+from ..analyzer import duckdb_tokens_sql, tokenize_expr
+from ..bm25 import ROUND_DECIMALS
+from .text import fingerprint_expr, fingerprint_sql
+
+# ---------------------------------------------------------------- exact --
+
+def exact_duplicates(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """(fingerprint, n_docs, keep_id): one row per distinct normalized
+    content; keep_id = min doc_id (last-write-wins analog of the
+    reference's upsert-by-id, reference:
+    src/librecatastro/domain/cadaster_entry/cadaster_entry.py:53)."""
+    return (
+        docs.select(F.col(id_col).alias("doc_id"), fingerprint_expr(text_col).alias("fingerprint"))
+        .groupBy("fingerprint")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.min("doc_id").alias("keep_id"))
+    )
+
+
+def exact_duplicates_sql(id_col: str = "doc_id", text_col: str = "text") -> str:
+    return f"""
+SELECT {fingerprint_sql(text_col)} AS fingerprint,
+       count(*)::BIGINT AS n_docs, min({id_col}) AS keep_id
+FROM documents GROUP BY 1
+"""
+
+
+# -------------------------------------------------------------- shingles --
+
+def shingles_expr(text_col: str | Column, n: int = 3) -> Column:
+    """Array of n-token shingles ('a b c' strings); empty if < n tokens."""
+    toks = tokenize_expr(text_col)
+    # NB: Spark sequence(1, 0) is DESCENDING [1, 0], not empty — guard short docs.
+    idx = F.sequence(F.lit(1), F.size(toks) - (n - 1))
+    return F.when(
+        F.size(toks) >= n,
+        F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i, n))),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def shingles_sql(col: str, n: int = 3) -> str:
+    toks = duckdb_tokens_sql(col)
+    parts = " || ' ' || ".join(f"toks[i + {j}]" for j in range(n))
+    return (
+        f"(SELECT coalesce([{parts} for i in range(1, greatest(len(toks) - {n - 2}, 1))], []) "
+        f"FROM (SELECT {toks} AS toks))"
+    )
+
+
+def jaccard_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.4,
+) -> DataFrame:
+    """Exact shingle-set Jaccard over all pairs sharing ≥1 shingle.
+
+    Scale note: the self-join key is the shingle, so cost is
+    Σ_shingle df² — fine for verification corpora; at 100 TB use
+    minhash_lsh_pairs (candidates only) instead.
+    """
+    sh = (
+        docs.select(F.col(id_col).alias("doc_id"), F.explode(shingles_expr(text_col, n)).alias("sh"))
+        .distinct()
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("sz").alias("sz_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("sz").alias("sz_b"))
+    return (
+        inter.join(sa, "doc_a").join(sb, "doc_b")
+        .withColumn(
+            "jaccard",
+            F.round(F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter")), ROUND_DECIMALS),
+        )
+        .where(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+def jaccard_pairs_sql(id_col="doc_id", text_col="text", n=3, threshold=0.4) -> str:
+    return f"""
+WITH sh AS (
+  SELECT DISTINCT {id_col} AS doc_id, unnest({shingles_sql(text_col, n)}) AS sh
+  FROM documents
+),
+sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b,
+       round(i::DOUBLE / (sa.sz + sb.sz - i), {ROUND_DECIMALS}) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.doc_id = doc_a
+JOIN sizes sb ON sb.doc_id = doc_b
+WHERE round(i::DOUBLE / (sa.sz + sb.sz - i), {ROUND_DECIMALS}) >= {threshold}
+"""
+
+
+# --------------------------------------------------------------- minhash --
+
+_MH_PRIME = 4294967311  # smallest prime > 2^32
+
+
+def _mh_params(n_hashes: int, seed: int = 7) -> list[tuple[int, int]]:
+    """Deterministic (a, b) permutation params, a odd, < 2^31."""
+    out = []
+    x = seed
+    for _ in range(n_hashes):
+        x = (x * 6364136223846793005 + 1442695040888963407) % (1 << 63)
+        a = (x % ((1 << 31) - 1)) | 1
+        x = (x * 6364136223846793005 + 1442695040888963407) % (1 << 63)
+        b = x % _MH_PRIME
+        out.append((a, b))
+    return out
+
+
+def _base_hash_expr(s: Column) -> Column:
+    return F.conv(F.substring(F.md5(s), 1, 8), 16, 10).cast("long")
+
+
+def minhash_signature(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_hashes: int = 16,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """(doc_id, mh0..mh{n-1}): min over shingles of (a·h + b) mod p.
+    Pure Catalyst (array_min over transform) — no shuffle at all."""
+    sh = shingles_expr(text_col, shingle_n)
+
+    def perm(a: int, b: int):
+        return lambda s: (F.lit(a) * _base_hash_expr(s) + F.lit(b)) % F.lit(_MH_PRIME)
+
+    cols = [F.col(id_col).alias("doc_id")]
+    for i, (a, b) in enumerate(_mh_params(n_hashes)):
+        expr = F.array_min(F.transform(sh, perm(a, b)))
+        cols.append(F.coalesce(expr, F.lit(_MH_PRIME)).alias(f"mh{i}"))
+    return docs.select(*cols)
+
+
+def minhash_signature_sql(id_col="doc_id", text_col="text", n_hashes=16, shingle_n=3) -> str:
+    sh = shingles_sql(text_col, shingle_n)
+    base = "(('0x' || substr(md5(s), 1, 8))::BIGINT)"
+    cols = ["doc_id"]
+    for i, (a, b) in enumerate(_mh_params(n_hashes)):
+        cols.append(
+            f"coalesce(list_min(list_transform(sh, s -> ({a} * {base} + {b}) % {_MH_PRIME})), {_MH_PRIME}) AS mh{i}"
+        )
+    return (
+        f"WITH shg AS (SELECT {id_col} AS doc_id, {sh} AS sh FROM documents)\n"
+        "SELECT " + ", ".join(cols) + " FROM shg"
+    )
+
+
+def minhash_lsh_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_hashes: int = 16,
+    bands: int = 4,
+    shingle_n: int = 3,
+    threshold: float = 0.4,
+) -> DataFrame:
+    """Scale-path near-dup: LSH band bucketing → candidate pairs →
+    exact-Jaccard verification. Output ⊆ jaccard_pairs (recall governed by
+    bands/rows; tested on planted near-dups)."""
+    rows = n_hashes // bands
+    sig = minhash_signature(docs, id_col, text_col, n_hashes, shingle_n)
+    band_cols = [
+        F.struct(
+            F.lit(bi).alias("band"),
+            F.md5(F.concat_ws(",", *[F.col(f"mh{bi * rows + r}") for r in range(rows)])).alias("key"),
+        )
+        for bi in range(bands)
+    ]
+    bucketed = sig.select("doc_id", F.explode(F.array(*band_cols)).alias("bk")).select(
+        "doc_id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key")
+    )
+    a, b = bucketed.alias("a"), bucketed.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    # verify candidates with exact shingle jaccard (semi-joined, not all-pairs)
+    sh = (
+        docs.select(F.col(id_col).alias("doc_id"), F.explode(shingles_expr(text_col, shingle_n)).alias("sh"))
+        .distinct()
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+    sha = sh.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh"))
+    shb = sh.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh"))
+    inter = (
+        cand.join(sha, "doc_a").join(shb, ["doc_b", "sh"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("sz").alias("sz_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("sz").alias("sz_b"))
+    return (
+        inter.join(sa, "doc_a").join(sb, "doc_b")
+        .withColumn(
+            "jaccard",
+            F.round(F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter")), ROUND_DECIMALS),
+        )
+        .where(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+# --------------------------------------------------------------- simhash --
+
+def simhash16_expr(text_col: str | Column, n_bits: int = 16) -> Column:
+    """Expression-only 16-bit SimHash (per-token md5-derived bits, ±1 vote
+    per occurrence) — SQL-twinned for the oracle."""
+    toks = tokenize_expr(text_col)
+
+    def voter(i: int):
+        return lambda s, x: s + F.when(
+            F.shiftright(_base_hash_expr(x), i) % 2 == 1, F.lit(1)
+        ).otherwise(F.lit(-1))
+
+    acc = F.lit(0)
+    for i in range(n_bits):
+        vote = F.aggregate(toks, F.lit(0), voter(i))
+        acc = acc + F.when(vote > 0, F.lit(1 << i)).otherwise(F.lit(0))
+    return acc.cast("long")
+
+
+def simhash16_sql(col: str, n_bits: int = 16) -> str:
+    toks = duckdb_tokens_sql(col)
+    base = "(('0x' || substr(md5(x), 1, 8))::BIGINT)"
+    parts = []
+    for i in range(n_bits):
+        vote = (
+            f"list_sum(list_transform({toks}, x -> "
+            f"CASE WHEN ({base} >> {i}) % 2 = 1 THEN 1 ELSE -1 END))"
+        )
+        parts.append(f"(CASE WHEN {vote} > 0 THEN {1 << i} ELSE 0 END)")
+    return "(" + " + ".join(parts) + ")::BIGINT"
+
+
+@F.pandas_udf(LongType())
+def simhash64_udf(texts: pd.Series) -> pd.Series:
+    """Production 64-bit SimHash — Arrow-vectorized; md5 computed once per
+    UNIQUE token per batch, bit votes in numpy."""
+    from ..analyzer import _PY_SPLIT
+
+    out = np.zeros(len(texts), dtype=np.int64)
+    token_lists = texts.fillna("").str.lower().str.split(_PY_SPLIT)
+    vocab: dict[str, int] = {}
+    hashes: list[int] = []
+    idx_lists = []
+    for toks in token_lists:
+        idxs = []
+        for t in toks:
+            if not t:
+                continue
+            h = vocab.get(t)
+            if h is None:
+                h = len(hashes)
+                vocab[t] = h
+                hashes.append(int.from_bytes(hashlib.md5(t.encode()).digest()[:8], "big"))
+            idxs.append(h)
+        idx_lists.append(np.asarray(idxs, dtype=np.int64))
+    hv = np.asarray(hashes, dtype=np.uint64)
+    bits = ((hv[:, None] >> np.arange(64, dtype=np.uint64)) & np.uint64(1)).astype(np.int8)
+    votes_pm = bits * 2 - 1  # ±1 per bit per vocab entry
+    for row, idxs in enumerate(idx_lists):
+        if len(idxs) == 0:
+            continue
+        v = votes_pm[idxs].sum(axis=0)
+        out[row] = int(((v > 0).astype(np.uint64) << np.arange(64, dtype=np.uint64)).sum().astype(np.int64))
+    return pd.Series(out)
+
+
+def simhash_near_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_hamming: int = 3,
+    bands: int = 4,
+) -> DataFrame:
+    """Banded Hamming join on 64-bit SimHash: split into `bands` chunks;
+    pairs within ≤ max_hamming differ in < bands chunks, so they collide
+    on ≥1 exact chunk (pigeonhole, exact recall for max_hamming < bands)."""
+    sh = docs.select(F.col(id_col).alias("doc_id"), simhash64_udf(F.col(text_col)).alias("sh"))
+    width = 64 // bands
+    mask = (1 << width) - 1
+    chunks = F.array(
+        *[
+            F.struct(F.lit(bi).alias("band"), ((F.shiftrightunsigned("sh", bi * width)) % F.lit(mask + 1)).alias("key"))
+            for bi in range(bands)
+        ]
+    )
+    bucketed = sh.select("doc_id", "sh", F.explode(chunks).alias("c")).select(
+        "doc_id", "sh", F.col("c.band").alias("band"), F.col("c.key").alias("key")
+    )
+    a, b = bucketed.alias("a"), bucketed.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.bit_count(F.col("a.sh").bitwiseXOR(F.col("b.sh"))).alias("hamming"),
+        )
+        .distinct()
+        .where(F.col("hamming") <= max_hamming)
+    )

@@ -1,0 +1,132 @@
+"""Geo operators — parity with the reference's geo capabilities:
+
+* grid-cell aggregation   — the Kibana geohash-heatmap analog (B12;
+  reference mapping src/utils/elasticsearch_utils.py:35-37, README.md:29-31)
+* coarse-to-fine polygon filter — bbox prune then exact point-in-polygon
+  (A23; reference: src/librecatastro/domain/geometry/geo_polygon.py:36-54)
+* lattice generation over a bbox — the grid-scan source (A22; reference:
+  src/librecatastro/scrapping/searchers/coordinates_searcher.py:53-96)
+* geohash encode — base32 geohash as a vectorized pandas_udf
+
+The exact polygon test is a numpy-vectorized ray cast inside a pandas_udf
+(shapely is not in this image; the algorithm is the textbook even-odd
+rule). The bbox prune is a plain Catalyst predicate so Parquet min/max
+row-group skipping applies before any Python runs.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import BooleanType, StringType
+
+
+def cell_agg(
+    df: DataFrame, lon_col: str = "lon", lat_col: str = "lat", scale: float = 10.0
+) -> DataFrame:
+    """Count per fixed-size grid cell: groupBy(floor(lon*s), floor(lat*s)).
+    The geohash-grid bucket aggregation analog, expressible in any engine."""
+    return (
+        df.groupBy(
+            F.floor(F.col(lon_col) * scale).alias("cell_lon"),
+            F.floor(F.col(lat_col) * scale).alias("cell_lat"),
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def bbox_filter(df: DataFrame, bbox: tuple[float, float, float, float],
+                lon_col: str = "lon", lat_col: str = "lat") -> DataFrame:
+    """Coarse prune: (min_lon, min_lat, max_lon, max_lat) — pure Catalyst,
+    pushed to the Parquet scan."""
+    x0, y0, x1, y1 = bbox
+    return df.where(
+        (F.col(lon_col) >= x0) & (F.col(lon_col) < x1)
+        & (F.col(lat_col) >= y0) & (F.col(lat_col) < y1)
+    )
+
+
+def polygon_bbox(polygon: list[tuple[float, float]]) -> tuple[float, float, float, float]:
+    xs = [p[0] for p in polygon]
+    ys = [p[1] for p in polygon]
+    return (min(xs), min(ys), max(xs), max(ys))
+
+
+def point_in_polygon_udf(polygon: list[tuple[float, float]]):
+    """Vectorized even-odd ray cast against a fixed polygon (closed
+    implicitly). Matches geo_polygon.py:36-44 semantics (exact test after
+    the bbox prune)."""
+    poly = np.asarray(polygon, dtype=np.float64)
+
+    @F.pandas_udf(BooleanType())
+    def contains(lon: pd.Series, lat: pd.Series) -> pd.Series:
+        x = lon.to_numpy(dtype=np.float64)
+        y = lat.to_numpy(dtype=np.float64)
+        inside = np.zeros(len(x), dtype=bool)
+        px, py = poly[:, 0], poly[:, 1]
+        n = len(poly)
+        for i in range(n):
+            j = (i - 1) % n
+            cond = ((py[i] > y) != (py[j] > y)) & (
+                x < (px[j] - px[i]) * (y - py[i]) / (py[j] - py[i]) + px[i]
+            )
+            inside ^= cond
+        return pd.Series(inside)
+
+    return contains
+
+
+def points_in_polygon(
+    df: DataFrame, polygon: list[tuple[float, float]],
+    lon_col: str = "lon", lat_col: str = "lat",
+) -> DataFrame:
+    """Coarse-to-fine: bbox Catalyst prune, then exact vectorized test —
+    the A23 pattern (cheap filter first, exact predicate on survivors)."""
+    pruned = bbox_filter(df, polygon_bbox(polygon), lon_col, lat_col)
+    contains = point_in_polygon_udf(polygon)
+    return pruned.where(contains(F.col(lon_col), F.col(lat_col)))
+
+
+def lattice(spark: SparkSession, bbox: tuple[float, float, float, float],
+            scale: int = 10) -> DataFrame:
+    """Integer lattice over a bbox at `scale` points per degree — the
+    grid-scan source (A22), built from spark.range cross-join (synthetic
+    distributed source, no driver-side materialization)."""
+    x0, y0, x1, y1 = bbox
+    lon = spark.range(int(np.floor(x0 * scale)), int(np.ceil(x1 * scale))).select(
+        (F.col("id") / scale).alias("lon")
+    )
+    lat = spark.range(int(np.floor(y0 * scale)), int(np.ceil(y1 * scale))).select(
+        (F.col("id") / scale).alias("lat")
+    )
+    return lon.crossJoin(lat)
+
+
+_GEOHASH32 = np.frombuffer(b"0123456789bcdefghjkmnpqrstuvwxyz", dtype="S1")
+
+
+@F.pandas_udf(StringType())
+def geohash_udf(lon: pd.Series, lat: pd.Series) -> pd.Series:
+    """Standard 8-char geohash, numpy bit-interleave (no per-row Python)."""
+    x = lon.to_numpy(dtype=np.float64)
+    y = lat.to_numpy(dtype=np.float64)
+    precision = 8
+    nbits = precision * 5
+    lon_bits = (nbits + 1) // 2
+    lat_bits = nbits // 2
+    qx = np.minimum(((x + 180.0) / 360.0 * (1 << lon_bits)).astype(np.uint64), (1 << lon_bits) - 1)
+    qy = np.minimum(((y + 90.0) / 180.0 * (1 << lat_bits)).astype(np.uint64), (1 << lat_bits) - 1)
+    interleaved = np.zeros(len(x), dtype=np.uint64)
+    for b in range(lon_bits):
+        interleaved |= ((qx >> np.uint64(b)) & np.uint64(1)) << np.uint64(2 * b + 1)
+    for b in range(lat_bits):
+        interleaved |= ((qy >> np.uint64(b)) & np.uint64(1)) << np.uint64(2 * b)
+    # top 5-bit groups → base32 chars
+    chars = np.empty((precision, len(x)), dtype="S1")
+    for c in range(precision):
+        shift = np.uint64(nbits - 5 * (c + 1))
+        chars[c] = _GEOHASH32[((interleaved >> shift) & np.uint64(31)).astype(np.int64)]
+    joined = chars.T.view(f"S{precision}").ravel()
+    return pd.Series(joined.astype(str))

@@ -1,0 +1,121 @@
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from librecatastro_spark.ops.address import parse_address
+from librecatastro_spark.ops.geo import (
+    cell_agg,
+    geohash_udf,
+    lattice,
+    points_in_polygon,
+    polygon_bbox,
+)
+from librecatastro_spark.ops.similarity import (
+    ann_lsh_topk,
+    brute_force_pairs,
+    cosine_topk,
+    embedding_near_dup_pairs,
+)
+
+# a concave polygon (arrow shape) — exercises real ray casting, not bbox
+POLY = [(0.0, 0.0), (4.0, 0.0), (4.0, 4.0), (2.0, 2.0), (0.0, 4.0)]
+
+
+def test_point_in_polygon_goldens(spark):
+    # golden true/false membership (coordinates_searcher_tests.py:34-40 analog)
+    pts = [(1.0, 1.0, True), (2.0, 1.9, True), (2.0, 3.5, False),
+           (3.5, 3.9, False), (0.5, 3.0, True), (5.0, 1.0, False),
+           (-1.0, -1.0, False)]
+    df = spark.createDataFrame([(x, y) for x, y, _ in pts], "lon double, lat double")
+    got = {(r["lon"], r["lat"]) for r in points_in_polygon(df, POLY).collect()}
+    expected = {(x, y) for x, y, inside in pts if inside}
+    assert got == expected
+
+
+def test_bbox(spark):
+    assert polygon_bbox(POLY) == (0.0, 0.0, 4.0, 4.0)
+
+
+def test_lattice_grid_scan(spark):
+    df = lattice(spark, (0.0, 0.0, 1.0, 1.0), scale=5)
+    assert df.count() == 25
+    inside = points_in_polygon(df, [(0, 0), (1, 0), (1, 1), (0, 1)]).count()
+    assert inside == 25
+
+
+def test_cell_agg(spark):
+    df = spark.createDataFrame(
+        [(0.01, 0.01), (0.05, 0.09), (0.11, 0.01), (-0.01, 0.0)],
+        "lon double, lat double",
+    )
+    got = {(r["cell_lon"], r["cell_lat"]): r["n"] for r in cell_agg(df, scale=10).collect()}
+    assert got == {(0, 0): 2, (1, 0): 1, (-1, 0): 1}
+
+
+def test_geohash_known_values(spark):
+    # geopy-verifiable goldens: geohash of (lon=-5.6, lat=42.6) etc.
+    df = spark.createDataFrame(
+        [(-0.1278, 51.5074), (2.3522, 48.8566), (0.0, 0.0)],
+        "lon double, lat double",
+    )
+    got = [r[0] for r in df.select(geohash_udf(F.col("lon"), F.col("lat"))).collect()]
+    assert got[0].startswith("gcpv")   # London
+    assert got[1].startswith("u09t")   # Paris
+    assert got[2].startswith("s000")   # null island
+    assert all(len(g) == 8 for g in got)
+
+
+@pytest.fixture(scope="module")
+def vectors(spark):
+    rng = np.random.RandomState(3)
+    base = rng.standard_normal((30, 8)).astype(np.float64)
+    base[7] = base[0] + 0.001 * rng.standard_normal(8)  # planted near-dup of 0
+    rows = [(i, [float(x) for x in base[i]]) for i in range(30)]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<double>").cache()
+
+
+def test_cosine_topk_exact(spark, vectors):
+    q = [float(x) for x in vectors.where(F.col("vec_id") == 0).collect()[0]["embedding"]]
+    got = [(r["vec_id"], r["cosine"]) for r in cosine_topk(vectors, q, k=3).collect()]
+    assert got[0] == (0, 1.0)
+    assert got[1][0] == 7 and got[1][1] > 0.999
+
+
+def test_ann_lsh_recall(spark, vectors):
+    q = [float(x) for x in vectors.where(F.col("vec_id") == 0).collect()[0]["embedding"]]
+    exact = [r["vec_id"] for r in cosine_topk(vectors, q, k=5).collect()]
+    approx = [r["vec_id"] for r in ann_lsh_topk(vectors, q, k=5, n_planes=6).collect()]
+    # multiprobe LSH must recover the near-identical neighbors
+    assert exact[0] in approx and exact[1] in approx
+
+
+def test_embedding_near_dup_pairs(spark, vectors):
+    exact = {(r["vec_a"], r["vec_b"]) for r in brute_force_pairs(vectors, 0.99).collect()}
+    lsh = {(r["vec_a"], r["vec_b"]) for r in
+           embedding_near_dup_pairs(vectors, 0.99, n_planes=6).collect()}
+    assert (0, 7) in exact
+    assert lsh == exact  # near-identical vectors share every LSH bucket
+
+
+def test_address_extraction_reference_shapes(spark):
+    rows = [
+        (0, "CL TESTTEST 17 03005 AJALVIR (MURCIA)"),
+        (1, "CL NOCP 5 SOMEWHERE (MADRID)"),
+        (2, "AV GRAN VIA 12 Es:1 Pl:02 Pt:A 28013 MADRID (MADRID)"),
+        (3, "Polígono 12 Parcela 345 EL CAMPO (CÁCERES)"),
+    ]
+    df = spark.createDataFrame(rows, "id long, full_address string")
+    got = {r["id"]: r["addr"] for r in df.select("id", parse_address("full_address").alias("addr")).collect()}
+    a0 = got[0]
+    assert a0["cp"] == "03005" and a0["province"] == "MURCIA"
+    assert a0["city"] == "AJALVIR" and a0["street"] == "CL TESTTEST 17"
+    a1 = got[1]
+    assert a1["cp"] is None and a1["province"] == "MADRID"  # no-CP case
+    a2 = got[2]
+    assert (a2["doorway"], a2["floor"], a2["door"]) == ("1", "02", "A")
+    assert a2["cp"] == "28013"
+    a3 = got[3]
+    assert (a3["site"], a3["lot"]) == ("12", "345")
+    assert a3["province"] == "CÁCERES"

@@ -1,0 +1,119 @@
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from librecatastro_spark.ops.dedup import (
+    exact_duplicates,
+    jaccard_pairs,
+    minhash_lsh_pairs,
+    minhash_signature,
+    shingles_expr,
+    simhash16_expr,
+    simhash64_udf,
+    simhash_near_pairs,
+)
+from librecatastro_spark.ops.text import (
+    fingerprint_expr,
+    lang_id_expr,
+    quality_score_expr,
+    token_count_expr,
+)
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    base = "the quick brown fox jumps over the lazy dog and runs away fast today"
+    near = "the quick brown fox jumps over the lazy dog and runs away fast tonight"
+    rows = [
+        (0, base),
+        (1, base),                                  # exact dup of 0
+        (2, "Exact  DUP, of zero!? " + base[4:]),   # same tokens, diff punct? no — different
+        (3, near),                                  # near dup of 0
+        (4, "def foo return bar import baz class qux lambda spam yield eggs while"),
+        (5, "completely different content about spark partitions shuffles and joins here"),
+        (6, "short doc"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string").cache()
+
+
+def test_token_count_and_fingerprint(spark, docs):
+    r = {x["doc_id"]: x for x in docs.select(
+        "doc_id", token_count_expr("text").alias("n"),
+        fingerprint_expr("text").alias("fp")).collect()}
+    assert r[0]["n"] == 14
+    assert r[6]["n"] == 2
+    assert r[0]["fp"] == r[1]["fp"]
+    assert r[0]["fp"] != r[3]["fp"]
+
+
+def test_exact_duplicates(docs):
+    dups = {r["fingerprint"]: r for r in exact_duplicates(docs).collect()}
+    counts = sorted(r["n_docs"] for r in dups.values())
+    assert counts == [1, 1, 1, 1, 1, 2]
+    dup_group = [r for r in dups.values() if r["n_docs"] == 2][0]
+    assert dup_group["keep_id"] == 0
+
+
+def test_shingles_short_doc_empty(spark):
+    df = spark.createDataFrame([("a b",), ("a b c",), ("",)], "text string")
+    got = [r[0] for r in df.select(shingles_expr("text", 3)).collect()]
+    assert got == [[], ["a b c"], []]
+
+
+def test_jaccard_pairs_finds_near_dup(docs):
+    pairs = {(r["doc_a"], r["doc_b"]): r["jaccard"] for r in
+             jaccard_pairs(docs, threshold=0.4).collect()}
+    assert pairs[(0, 1)] == 1.0
+    assert (0, 3) in pairs and 0.5 < pairs[(0, 3)] < 1.0
+    assert (0, 5) not in pairs
+
+
+def test_minhash_lsh_matches_exact_on_near_dups(docs):
+    exact = {(r["doc_a"], r["doc_b"]) for r in jaccard_pairs(docs, threshold=0.6).collect()}
+    lsh = {(r["doc_a"], r["doc_b"]) for r in
+           minhash_lsh_pairs(docs, threshold=0.6, n_hashes=16, bands=8).collect()}
+    assert lsh <= exact  # verification guarantees precision
+    assert exact == lsh  # with 8 bands × 2 rows recall at j≥0.6 is ~certain
+
+
+def test_minhash_signature_identical_for_identical_docs(docs):
+    sig = {r["doc_id"]: tuple(r)[1:] for r in minhash_signature(docs).collect()}
+    assert sig[0] == sig[1]
+    assert sig[0] != sig[5]
+    # near-dup signatures agree on most components
+    agree = sum(a == b for a, b in zip(sig[0], sig[3]))
+    assert agree >= 8
+
+
+def test_simhash_variants(docs):
+    rows = {r["doc_id"]: r for r in docs.select(
+        "doc_id", simhash16_expr("text").alias("s16"),
+        simhash64_udf(F.col("text")).alias("s64")).collect()}
+    assert rows[0]["s16"] == rows[1]["s16"]
+    assert rows[0]["s64"] == rows[1]["s64"]
+    assert 0 <= rows[0]["s16"] < (1 << 16)
+    ham = bin(rows[0]["s64"] ^ rows[3]["s64"]).count("1")
+    assert ham <= 12  # near dup → small hamming distance
+    ham_far = bin(rows[0]["s64"] ^ rows[5]["s64"]).count("1")
+    assert ham_far > ham
+
+
+def test_simhash_near_pairs(docs):
+    got = {(r["doc_a"], r["doc_b"]) for r in
+           simhash_near_pairs(docs, max_hamming=12, bands=16).collect()}
+    assert (0, 1) in got
+
+
+def test_lang_id_and_quality(spark):
+    df = spark.createDataFrame(
+        [(0, "the cat is on the mat and it is a fine day for the cats of the town"),
+         (1, "def foo(x): return x " * 5)],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in df.select(
+        "doc_id", lang_id_expr("text").alias("lang"),
+        quality_score_expr("text").alias("q")).collect()}
+    assert rows[0]["lang"] == "en"
+    assert rows[1]["lang"] == "unk"
+    assert 0.0 <= rows[1]["q"] <= 1.0
