@@ -13,6 +13,7 @@ BENCH_WORK_DIR (index output dir, default a temp dir).
 
 from __future__ import annotations
 
+import hashlib
 import json
 import os
 import shutil
@@ -63,11 +64,13 @@ def main() -> None:
     index = CompressedIndex(spark, idx_dir)
     per_query: dict[str, float] = {}
     lat_ms: list[float] = []
+    result_fp = hashlib.sha256()
     for name, q in QUERIES.items():
         q = dict(q)
         k = q.pop("k")
         text = q.pop("text")
-        index.search(text, k=k, **q).collect()  # warm (plan + page cache)
+        rows = index.search(text, k=k, **q).collect()  # warm (plan + page cache)
+        result_fp.update(repr([(r["doc_id"], r["score"]) for r in rows]).encode())
         times = []
         for _ in range(runs):
             t = time.time()
@@ -89,6 +92,8 @@ def main() -> None:
         "build_gb_per_hr": round((input_bytes / 1e9) / (build_sec / 3600.0), 3),
         "query_p95_ms": round(p95, 1),
         "cores": cores,
+        # determinism fingerprint: identical across parallelism levels
+        "results_sha": result_fp.hexdigest()[:16],
     }
     print(json.dumps(out))
     if cleanup:

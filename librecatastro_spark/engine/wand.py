@@ -126,6 +126,13 @@ def _shard_topk_fn(
                 return e.astype(np.int64), e, e.astype(np.int64)
             return np.concatenate(ids_l), np.concatenate(w_l), np.concatenate(t_l)
 
+        # rescale stored bounds to current idf (grows with appends; see
+        # builder.py idf_build note) — keeps them valid upper bounds
+        qb = qb.assign(
+            bound=qb["block_max_w"].to_numpy()
+            * qb["term"].map(idfs).to_numpy()
+            / np.maximum(qb["idf_build"].to_numpy(), 1e-12)
+        )
         if require_all:
             ids, w, th = score_block_rows(qb)
             dfagg = pd.DataFrame({"doc_id": ids, "w": w, "t": th})
@@ -136,7 +143,7 @@ def _shard_topk_fn(
             out = pd.DataFrame({"doc_id": cand_ids[keep], "score": agg["score"].to_numpy()[keep]})
         else:
             # ---- pass 1: θ from the rarest term, then block prune --------
-            u_per_term = qb.groupby("term")["block_max_w"].max()
+            u_per_term = qb.groupby("term")["bound"].max()
             theta = -math.inf
             rare = u_per_term.index[np.argmax([idfs[t] for t in u_per_term.index])]
             r_ids, r_w, _ = score_block_rows(qb[qb["term"] == rare])
@@ -147,7 +154,7 @@ def _shard_topk_fn(
                     theta = float(np.partition(r_w, -k)[-k])
             sum_u = float(u_per_term.sum())
             others = sum_u - qb["term"].map(u_per_term).to_numpy()
-            survive = (qb["block_max_w"].to_numpy() + others) >= theta
+            survive = (qb["bound"].to_numpy() + others) >= theta
             kept, pruned = qb[survive], qb[~survive]
             ids, w, _ = score_block_rows(kept)
             m = ok_mask(ids)

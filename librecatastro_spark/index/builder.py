@@ -54,7 +54,7 @@ from .codec import encode_block
 BLOCK_SCHEMA = (
     "shard int, term string, salt int, block_seq int, n_docs int, "
     "first_doc_id long, last_doc_id long, docs_enc binary, tfs_enc binary, "
-    "block_max_w double"
+    "block_max_w double, idf_build double"
 )
 
 
@@ -130,6 +130,10 @@ def _block_builder(block_size: int, n_docs: float, avgdl: float):
                     shard, term, salt, seq, hi - lo,
                     int(doc_ids[lo]), int(doc_ids[hi - 1]),
                     docs_enc, tfs_enc, float(w[lo:hi].max()),
+                    # idf at build time: incremental appends grow N (idf up),
+                    # so the query-time scorer rescales the bound by
+                    # idf_now / idf_build to keep pruning safe (wand.py).
+                    idf,
                 )
             )
         return pd.DataFrame(
@@ -137,7 +141,7 @@ def _block_builder(block_size: int, n_docs: float, avgdl: float):
             columns=[
                 "shard", "term", "salt", "block_seq", "n_docs",
                 "first_doc_id", "last_doc_id", "docs_enc", "tfs_enc",
-                "block_max_w",
+                "block_max_w", "idf_build",
             ],
         )
 

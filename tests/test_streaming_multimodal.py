@@ -1,0 +1,97 @@
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from librecatastro_spark.corpus import assign_doc_ids, generate_corpus
+from librecatastro_spark.engine import ExactBM25
+from librecatastro_spark.engine.wand import CompressedIndex
+from librecatastro_spark.index.builder import build_index
+from librecatastro_spark.ops.multimodal import (
+    decode_image_stub,
+    extract_features,
+    resize_meta,
+    sample_frames,
+    synthetic_media,
+)
+from librecatastro_spark.streaming.incremental import append_batch, stream_into_index
+
+ATTRS = ("repo", "path", "lang")
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    docs = generate_corpus(spark, 260, min_tokens=20, max_tokens=100, partitions=4)
+    return assign_doc_ids(docs).cache()
+
+
+def rows(df):
+    return [(r["doc_id"], r["score"]) for r in df.collect()]
+
+
+def test_incremental_append_matches_full_rebuild(spark, corpus, tmp_path):
+    out = str(tmp_path / "incr_idx")
+    first = corpus.where(F.col("doc_id") < 200)
+    rest = corpus.where(F.col("doc_id") >= 200)
+    build_index(spark, first, out, attr_cols=ATTRS, n_shards=4, block_size=16,
+                salt_threshold=100, n_salts=4)
+    added = append_batch(spark, out, rest, id_col="doc_id", text_col="content")
+    assert added == 60
+    # idempotence: replay is a no-op (A16 skip-if-present)
+    assert append_batch(spark, out, rest, id_col="doc_id", text_col="content") == 0
+
+    exact = ExactBM25(corpus, attr_cols=ATTRS)
+    idx = CompressedIndex(spark, out)
+    for q in ["def return import", "spark session", "id0003", "partition shuffle"]:
+        assert rows(idx.search(q, k=10)) == rows(exact.search(q, k=10)), q
+    assert idx.meta.n_docs == 260
+
+
+def test_stream_into_index(spark, corpus, tmp_path):
+    out = str(tmp_path / "s_idx")
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(src, exist_ok=True)
+    first = corpus.where(F.col("doc_id") < 200)
+    build_index(spark, first, out, attr_cols=ATTRS, n_shards=4, block_size=16,
+                salt_threshold=100, n_salts=4)
+    schema = ("repo string, path string, lang string, content string, "
+              "commit string, content_sha256 string, doc_id long")
+    corpus.where(F.col("doc_id") >= 200).select(
+        "repo", "path", "lang", "content", "commit", "content_sha256", "doc_id"
+    ).write.mode("overwrite").parquet(src)
+    q = stream_into_index(spark, out, src, schema, id_col="doc_id",
+                          text_col="content", checkpoint_dir=ckpt)
+    q.awaitTermination(120)
+    idx = CompressedIndex(spark, out)
+    assert idx.meta.n_docs == 260
+    exact = ExactBM25(corpus, attr_cols=ATTRS)
+    assert rows(idx.search("def return", k=10)) == rows(exact.search("def return", k=10))
+
+
+def test_multimodal_plumbing(spark):
+    media = synthetic_media(spark, 30)
+    feats = extract_features(media).collect()
+    assert len(feats) == 30
+    by_id = {r["media_id"]: r["feature"] for r in feats}
+    assert all(len(v) == 16 for v in by_id.values())
+    # deterministic: same payload bytes → same features
+    feats2 = {r["media_id"]: r["feature"] for r in extract_features(media).collect()}
+    assert by_id == feats2
+
+    sized = {r["media_id"]: r["target"] for r in resize_meta(media, 128).collect()}
+    for r in media.collect():
+        t = sized[r["media_id"]]
+        assert max(t["width"], t["height"]) <= 128
+        assert t["width"] <= r["meta"]["width"] and t["height"] <= r["meta"]["height"]
+
+    frames = sample_frames(media, every_ms=1000)
+    got = frames.groupBy("media_id").count().collect()
+    assert len(got) == 10  # one third are videos
+    for r in got:
+        assert r["count"] >= 5  # ≥5s duration → ≥5 sampled frames
+
+    with pytest.raises(NotImplementedError):
+        decode_image_stub(b"notreal")

@@ -1,0 +1,91 @@
+"""Two-parallelism-level scaling evidence (north_rule: efficiency ≥ 0.8
+between N and 4N executors; evidenced here as local[8] vs local[32] on the
+same input, per BASELINE.md protocol).
+
+Runs bench.py at both levels in fresh subprocesses (one JVM each), checks
+the determinism fingerprint matches, computes
+    eff = (throughput@32 / throughput@8) / 4
+and writes the table into BENCH.md (+ raw JSON to BENCH_SCALING.json).
+
+Usage: python tools/scaling.py [sf_dir]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def run(cores: int, sf_dir: str, runs: int) -> dict:
+    env = dict(os.environ)
+    env.update(
+        SPARK_GRAFT_CPUS=str(cores),
+        SPARK_GRAFT_SF_DIR=sf_dir,
+        BENCH_RUNS=str(runs),
+    )
+    out = subprocess.run(
+        [sys.executable, os.path.join(REPO, "bench.py")],
+        env=env, capture_output=True, text=True, timeout=3600,
+    )
+    line = [l for l in out.stdout.strip().splitlines() if l.startswith("{")][-1]
+    return json.loads(line)
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    runs = int(os.environ.get("BENCH_RUNS", "10"))
+    r8 = run(8, sf_dir, runs)
+    r32 = run(32, sf_dir, runs)
+    eff = (r32["build_gb_per_hr"] / r8["build_gb_per_hr"]) / 4.0
+    det = r8["results_sha"] == r32["results_sha"]
+    q8 = sum(v for k, v in r8["queries"].items() if k != "build_index")
+    q32 = sum(v for k, v in r32["queries"].items() if k != "build_index")
+    out = {
+        "sf_dir": sf_dir,
+        "local8": r8,
+        "local32": r32,
+        "build_scaling_efficiency": round(eff, 3),
+        "query_suite_speedup": round(q8 / q32, 3) if q32 else None,
+        "deterministic_across_levels": det,
+    }
+    with open(os.path.join(REPO, "BENCH_SCALING.json"), "w") as fh:
+        json.dump(out, fh, indent=2)
+
+    md = f"""# BENCH — scaling evidence ({sf_dir})
+
+Protocol (BASELINE.md): identical index-build + golden-query job at
+`local[8]` and `local[32]` on the same input; no real cluster exists in
+this sandbox, so N vs 4N executors is evidenced by N vs 4N local cores.
+
+| metric | local[8] | local[32] |
+|---|---|---|
+| index build (s) | {r8['build_sec']} | {r32['build_sec']} |
+| build throughput (GB/hr) | {r8['build_gb_per_hr']} | {r32['build_gb_per_hr']} |
+| query p95 (ms) | {r8['query_p95_ms']} | {r32['query_p95_ms']} |
+| query suite total (s) | {round(q8, 3)} | {round(q32, 3)} |
+| results fingerprint | `{r8['results_sha']}` | `{r32['results_sha']}` |
+
+**Build scaling efficiency (throughput@32 / throughput@8) / 4 =
+{round(eff, 3)}** (target ≥ 0.8).
+
+**Determinism across parallelism levels:** {'IDENTICAL results' if det else 'MISMATCH (bug!)'} —
+both levels return byte-identical (doc_id, score) lists over the full
+query suite, per the north_rule requirement that cluster size cannot
+change results.
+
+Raw per-query numbers: `BENCH_SCALING.json`.
+"""
+    with open(os.path.join(REPO, "BENCH.md"), "w") as fh:
+        fh.write(md)
+    print(json.dumps(out["local8"]))
+    print(json.dumps(out["local32"]))
+    print(f"efficiency={eff:.3f} deterministic={det}")
+    return 0 if det else 1
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
