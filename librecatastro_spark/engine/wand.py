@@ -3,8 +3,19 @@
 Per-shard scorer + global merge — exactly the reference's ES architecture:
 5 shards each return local top-k, the coordinator re-ranks (reference:
 src/utils/elasticsearch_utils.py:28-30 config; inherent to every
-es.search). Here: cogrouped ``applyInPandas`` per shard (blocks × doc
-attrs) → local top-k → Catalyst ``TakeOrderedAndProject`` global merge.
+es.search). Here: per-shard ``applyInPandas`` → local top-k → Catalyst
+``TakeOrderedAndProject`` global merge.
+
+Scale design:
+  * Document lengths travel INSIDE the posting blocks (``dls_enc`` —
+    the Lucene-norms analog), so an unfiltered query shuffles only the
+    query terms' blocks: cost O(postings of Q terms), independent of
+    corpus size. No doc-table join, ever.
+  * Keyword/prefix filter queries cogroup the shard's (column-pruned)
+    attrs partition — only the filter columns are read (Parquet column
+    pruning), and only for filtered queries.
+  * Block bounds are rescaled by idf_now / idf_build so pruning stays
+    safe after incremental appends grow N (see builder.py).
 
 The classic block-max WAND pointer walk is per-document Python — banned
 (input_hint). We use a **vectorized two-pass block-max prune** with the
@@ -12,23 +23,18 @@ same skipping benefit and provable exactness:
 
 1. θ := k-th best *partial* score from fully scoring the rarest query term
    (a valid lower bound on the final k-th score).
-2. Prune any block b of term t with ``block_max_w(b) + Σ_{t'≠t} U_{t'} < θ``
-   where U_t is term t's global max block weight. For a doc d whose blocks
-   are ALL pruned, taking t* = argmax block_max over d's terms gives
-   score(d) ≤ block_max(b_{t*}) + Σ_{t'≠t*} U_{t'} < θ — so d can never
-   enter the top-k. Every potential top-k doc therefore appears in ≥1
-   surviving block.
-3. TAAT-score surviving blocks (vectorized decode + groupby-sum), take the
-   candidate set, then add back the contributions hiding in pruned blocks
-   whose [first_doc_id, last_doc_id] range intersects a candidate
-   (targeted decode) — candidates' scores are now exact; final top-k.
+2. Prune any block b of term t with ``bound(b) + Σ_{t'≠t} U_{t'} < θ``
+   where U_t is term t's max block bound. For a doc d whose blocks are ALL
+   pruned, taking t* = argmax bound over d's terms gives
+   score(d) ≤ bound(b_{t*}) + Σ_{t'≠t*} U_{t'} < θ — d can never enter the
+   top-k. Every potential top-k doc therefore survives in ≥1 block.
+3. TAAT-score surviving blocks (vectorized decode + groupby-sum), then add
+   back contributions hiding in pruned blocks whose doc-id range intersects
+   a candidate (targeted decode) — candidate scores are exact; final top-k.
 
-Boolean composition (B7): keyword/prefix filters and must_not exclusions
-are applied to the candidate mask before θ and before top-k (constant-score
-clauses, ES `bool.must` filter semantics). `require_all` (AND of analyzed
-terms, scores summed) disables block pruning and filters on
-matched-term-count — must queries have small match sets, skipping buys
-little there.
+Boolean composition (B7): must_not exclusions and constant-score filters
+are applied before θ and before top-k. ``require_all`` (AND, scores
+summed) disables pruning and filters on matched-term count.
 """
 
 from __future__ import annotations
@@ -48,13 +54,15 @@ from ..index.builder import (
     load_term_stats,
     read_meta,
 )
-from ..index.codec import decode_block, decode_varbyte, delta_decode
+from ..index.codec import decode_varbyte, delta_decode
 
 _RESULT_SCHEMA = "doc_id long, score double"
 
 
-def _score_arrays(tfs: np.ndarray, dls: np.ndarray, idf: float, avgdl: float) -> np.ndarray:
-    return idf * tfs * (K1 + 1.0) / (tfs + K1 * (1.0 - B + B * dls / avgdl))
+def _empty() -> pd.DataFrame:
+    return pd.DataFrame(
+        {"doc_id": pd.Series(dtype="int64"), "score": pd.Series(dtype="float64")}
+    )
 
 
 def _shard_topk_fn(
@@ -67,28 +75,29 @@ def _shard_topk_fn(
     must_not_terms: list[str],
     require_all: bool,
 ):
-    """Build the cogrouped per-shard scorer. Everything inside is numpy /
-    pandas batch ops — no per-row Python."""
-    U = None  # computed per shard from block metadata
+    """Per-shard scorer factory. ``fn(blocks)`` for the blocks-only fast
+    path; ``fn(blocks, attrs)`` when filter clauses need doc attributes.
+    All numpy/pandas batch ops — no per-row Python."""
 
-    def fn(blocks: pd.DataFrame, attrs: pd.DataFrame) -> pd.DataFrame:
-        if len(blocks) == 0 or len(attrs) == 0:
-            return pd.DataFrame({"doc_id": pd.Series(dtype="int64"),
-                                 "score": pd.Series(dtype="float64")})
-        dl_map = pd.Series(
-            attrs["dl"].to_numpy(dtype=np.float64),
-            index=attrs["doc_id"].to_numpy(dtype=np.int64),
-        )
-        # --- constant-score filter clauses → allowed doc set (B4/B5) ---
+    def decode3(r) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+        ids = delta_decode(decode_varbyte(r.docs_enc))
+        tfs = decode_varbyte(r.tfs_enc).astype(np.float64)
+        dls = decode_varbyte(r.dls_enc).astype(np.float64)
+        return ids, tfs, dls
+
+    def fn(blocks: pd.DataFrame, attrs: pd.DataFrame | None = None) -> pd.DataFrame:
+        if len(blocks) == 0:
+            return _empty()
         allowed = None
         if filters or prefix:
+            if attrs is None or len(attrs) == 0:
+                return _empty()
             m = pd.Series(True, index=attrs.index)
             for col, val in (filters or {}).items():
                 m &= attrs[col] == val
             if prefix is not None:
                 m &= attrs[prefix[0]].str.startswith(prefix[1])
             allowed = np.sort(attrs.loc[m, "doc_id"].to_numpy(dtype=np.int64))
-        # --- must_not exclusion set (decode doc ids only) (B7) ---
         excluded = None
         if must_not_terms:
             nb = blocks[blocks["term"].isin(must_not_terms)]
@@ -97,27 +106,22 @@ def _shard_topk_fn(
                 excluded = np.unique(np.concatenate(parts))
         qb = blocks[blocks["term"].isin(terms)]
         if len(qb) == 0:
-            return pd.DataFrame({"doc_id": pd.Series(dtype="int64"),
-                                 "score": pd.Series(dtype="float64")})
+            return _empty()
 
         def ok_mask(ids: np.ndarray) -> np.ndarray:
             m = np.ones(len(ids), dtype=bool)
             if allowed is not None:
-                m &= np.isin(ids, allowed, assume_unique=False)
+                m &= np.isin(ids, allowed)
             if excluded is not None:
                 m &= ~np.isin(ids, excluded)
             return m
 
-        def score_block_rows(rows: pd.DataFrame) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+        def score_block_rows(rows: pd.DataFrame):
             ids_l, w_l, t_l = [], [], []
             for r in rows.itertuples(index=False):
-                ids, tfs = decode_block(r.docs_enc, r.tfs_enc)
-                w = _score_arrays(
-                    tfs.astype(np.float64),
-                    dl_map.reindex(ids).to_numpy(dtype=np.float64),
-                    idfs[r.term],
-                    avgdl,
-                )
+                ids, tfs, dls = decode3(r)
+                idf = idfs[r.term]
+                w = idf * tfs * (K1 + 1.0) / (tfs + K1 * (1.0 - B + B * dls / avgdl))
                 ids_l.append(ids)
                 w_l.append(w)
                 t_l.append(np.full(len(ids), hash(r.term), dtype=np.int64))
@@ -126,8 +130,7 @@ def _shard_topk_fn(
                 return e.astype(np.int64), e, e.astype(np.int64)
             return np.concatenate(ids_l), np.concatenate(w_l), np.concatenate(t_l)
 
-        # rescale stored bounds to current idf (grows with appends; see
-        # builder.py idf_build note) — keeps them valid upper bounds
+        # rescale stored bounds to current idf (appends grow N; builder.py)
         qb = qb.assign(
             bound=qb["block_max_w"].to_numpy()
             * qb["term"].map(idfs).to_numpy()
@@ -140,7 +143,9 @@ def _shard_topk_fn(
             agg = agg[agg["n"] == len(set(terms))]
             cand_ids = agg.index.to_numpy(dtype=np.int64)
             keep = ok_mask(cand_ids)
-            out = pd.DataFrame({"doc_id": cand_ids[keep], "score": agg["score"].to_numpy()[keep]})
+            out = pd.DataFrame(
+                {"doc_id": cand_ids[keep], "score": agg["score"].to_numpy()[keep]}
+            )
         else:
             # ---- pass 1: θ from the rarest term, then block prune --------
             u_per_term = qb.groupby("term")["bound"].max()
@@ -160,12 +165,12 @@ def _shard_topk_fn(
             m = ok_mask(ids)
             scores = pd.Series(w[m]).groupby(pd.Series(ids[m])).sum()
             if len(pruned) and len(scores):
-                cand = scores.index.to_numpy(dtype=np.int64)
+                cand = np.sort(scores.index.to_numpy(dtype=np.int64))
                 lo = pruned["first_doc_id"].to_numpy(dtype=np.int64)
                 hi = pruned["last_doc_id"].to_numpy(dtype=np.int64)
                 # a pruned block matters only if its id range holds a candidate
-                pos_lo = np.searchsorted(np.sort(cand), lo, side="left")
-                pos_hi = np.searchsorted(np.sort(cand), hi, side="right")
+                pos_lo = np.searchsorted(cand, lo, side="left")
+                pos_hi = np.searchsorted(cand, hi, side="right")
                 need = pos_hi > pos_lo
                 if need.any():
                     p_ids, p_w, _ = score_block_rows(pruned[need])
@@ -216,26 +221,32 @@ class CompressedIndex:
         idfs = self._idfs(terms)
         terms = [t for t in terms if t in idfs]  # drop zero-df terms
         must_not_terms = sorted(set(analyze_text(must_not_text or "")))
-        empty = self.spark.createDataFrame([], _RESULT_SCHEMA)
         if not terms:
-            return empty
+            return self.spark.createDataFrame([], _RESULT_SCHEMA)
         wanted = terms + must_not_terms
         blocks = self.postings.where(F.col("term").isin(wanted))
-        attr_cols = ["shard", "doc_id", "dl"]
-        for c in (filters or {}):
-            attr_cols.append(c)
-        if prefix is not None:
-            attr_cols.append(prefix[0])
-        attrs = self.attrs.select(*dict.fromkeys(attr_cols))
         fn = _shard_topk_fn(
             terms, idfs, self.meta.avgdl, k, filters, prefix,
             must_not_terms, require_all,
         )
-        partial = (
-            blocks.groupBy("shard")
-            .cogroup(attrs.groupBy("shard"))
-            .applyInPandas(lambda bl, at: fn(bl, at), schema=_RESULT_SCHEMA)
-        )
+        if filters or prefix:
+            # filter clauses need doc attributes: cogroup the shard's
+            # column-pruned attrs partition with its blocks
+            attr_cols = ["shard", "doc_id"]
+            attr_cols += list(filters or {})
+            if prefix is not None:
+                attr_cols.append(prefix[0])
+            attrs = self.attrs.select(*dict.fromkeys(attr_cols))
+            partial = (
+                blocks.groupBy("shard")
+                .cogroup(attrs.groupBy("shard"))
+                .applyInPandas(lambda bl, at: fn(bl, at), schema=_RESULT_SCHEMA)
+            )
+        else:
+            # blocks-only fast path: shuffle is O(query-term postings)
+            partial = blocks.groupBy("shard").applyInPandas(
+                lambda key, bl: fn(bl), schema=_RESULT_SCHEMA
+            )
         return (
             partial.withColumn("score", F.round("score", ROUND_DECIMALS))
             .orderBy(F.desc("score"), F.asc("doc_id"))

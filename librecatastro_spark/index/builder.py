@@ -49,12 +49,12 @@ from pyspark.sql import functions as F
 
 from ..bm25 import B, K1
 from ..stats import corpus_stats, term_freqs
-from .codec import encode_block
+from .codec import encode_block, encode_varbyte
 
 BLOCK_SCHEMA = (
     "shard int, term string, salt int, block_seq int, n_docs int, "
     "first_doc_id long, last_doc_id long, docs_enc binary, tfs_enc binary, "
-    "block_max_w double, idf_build double"
+    "dls_enc binary, block_max_w double, idf_build double"
 )
 
 
@@ -114,7 +114,8 @@ def _block_builder(block_size: int, n_docs: float, avgdl: float):
         pdf = pdf.sort_values("doc_id")
         doc_ids = pdf["doc_id"].to_numpy(dtype=np.int64)
         tfs = pdf["tf"].to_numpy(dtype=np.int64)
-        dls = pdf["dl"].to_numpy(dtype=np.float64)
+        dls_i = pdf["dl"].to_numpy(dtype=np.int64)
+        dls = dls_i.astype(np.float64)
         df_t = float(pdf["df"].iloc[0])
         idf = math.log1p((n_docs - df_t + 0.5) / (df_t + 0.5))
         w = idf * tfs * (K1 + 1.0) / (tfs + K1 * (1.0 - B + B * dls / avgdl))
@@ -125,11 +126,14 @@ def _block_builder(block_size: int, n_docs: float, avgdl: float):
         for seq, lo in enumerate(range(0, len(doc_ids), block_size)):
             hi = min(lo + block_size, len(doc_ids))
             docs_enc, tfs_enc = encode_block(doc_ids[lo:hi], tfs[lo:hi])
+            # dl travels inside the block (Lucene norms analog) so scoring
+            # needs NO doc-table join/shuffle at query time
+            dls_enc = encode_varbyte(dls_i[lo:hi].astype(np.uint64))
             rows.append(
                 (
                     shard, term, salt, seq, hi - lo,
                     int(doc_ids[lo]), int(doc_ids[hi - 1]),
-                    docs_enc, tfs_enc, float(w[lo:hi].max()),
+                    docs_enc, tfs_enc, dls_enc, float(w[lo:hi].max()),
                     # idf at build time: incremental appends grow N (idf up),
                     # so the query-time scorer rescales the bound by
                     # idf_now / idf_build to keep pruning safe (wand.py).
@@ -141,7 +145,7 @@ def _block_builder(block_size: int, n_docs: float, avgdl: float):
             columns=[
                 "shard", "term", "salt", "block_seq", "n_docs",
                 "first_doc_id", "last_doc_id", "docs_enc", "tfs_enc",
-                "block_max_w", "idf_build",
+                "dls_enc", "block_max_w", "idf_build",
             ],
         )
 
@@ -183,13 +187,15 @@ def build_index(
             os.path.join(out_dir, "_stage", "postings")
         )
         staged_r = spark.read.parquet(os.path.join(out_dir, "_stage", "postings"))
-        # keyword/attr table (the .keyword analog) + per-row sha invariant
+        # keyword/attr table (the .keyword analog) + per-row sha invariant;
+        # dl recomputed as size(tokens) pre-explode — zero shuffle
+        from ..analyzer import tokenize_expr
+
         attrs = docs.select(
             F.col(id_col).alias("doc_id"),
+            F.size(tokenize_expr(text_col)).alias("dl"),
             *[F.col(c) for c in attr_cols],
-        )
-        dl = staged_r.groupBy("shard", "doc_id").agg(F.first("dl").alias("dl"))
-        attrs = dl.join(attrs, "doc_id")
+        ).withColumn("shard", shard_expr)
         attrs.write.mode("overwrite").partitionBy("shard").parquet(
             os.path.join(out_dir, "attrs")
         )
@@ -240,14 +246,20 @@ def build_index(
             _block_builder(meta.block_size, float(meta.n_docs), meta.avgdl),
             schema=BLOCK_SCHEMA,
         )
-        n_written = 0
-        for s in shards:
-            out = blocks.where(F.col("shard") == s).sortWithinPartitions(
-                "term", "salt", "block_seq"
+        # one job per group: dynamic partition overwrite replaces only the
+        # shard dirs this group produced (idempotent re-run of the unit)
+        prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "STATIC")
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "DYNAMIC")
+        try:
+            (
+                blocks.repartition(len(shards), "shard")
+                .sortWithinPartitions("term", "salt", "block_seq")
+                .write.mode("overwrite")
+                .partitionBy("shard")
+                .parquet(os.path.join(out_dir, "postings"))
             )
-            out.write.mode("overwrite").parquet(
-                os.path.join(out_dir, "postings", f"shard={s}")
-            )
+        finally:
+            spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
         _write_manifest(out_dir, unit, shards=shards, secs=time.time() - t0)
     return meta
 

@@ -17,7 +17,7 @@ from __future__ import annotations
 
 from dataclasses import dataclass
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from .analyzer import tokenize_expr
@@ -40,14 +40,21 @@ def tokens(docs: DataFrame, id_col: str = "doc_id", text_col: str = "content") -
 def term_freqs(docs: DataFrame, id_col: str = "doc_id", text_col: str = "content") -> DataFrame:
     """Postings with per-document length denormalized in: (doc_id, term, tf, dl).
 
-    dl is attached via a window over the (doc_id)-partitioned aggregate
-    output rather than a separate join, so it rides the same shuffle.
+    dl = size(token array) is computed BEFORE the explode (free, no
+    shuffle), so the whole pass costs exactly ONE exchange — the
+    groupBy(doc_id, term). This is the only full-corpus shuffle of the
+    index build.
     """
-    tf = tokens(docs, id_col, text_col).groupBy("doc_id", "term").agg(
-        F.count(F.lit(1)).alias("tf")
+    ex = docs.select(
+        F.col(id_col).alias("doc_id"), tokenize_expr(text_col).alias("_toks")
+    ).select(
+        "doc_id",
+        F.size("_toks").alias("dl"),
+        F.explode("_toks").alias("term"),
     )
-    w = Window.partitionBy("doc_id")
-    return tf.withColumn("dl", F.sum("tf").over(w))
+    return ex.groupBy("doc_id", "term").agg(
+        F.count(F.lit(1)).alias("tf"), F.first("dl").alias("dl")
+    )
 
 
 def doc_lengths(postings: DataFrame) -> DataFrame:
