@@ -36,12 +36,15 @@ def _index(spark: SparkSession, sf_dir: str) -> CompressedIndex:
 
     src = f"{sf_dir}/documents.parquet"
     mtime = int(os.path.getmtime(src)) if os.path.exists(src) else 0
-    key = hashlib.sha256(f"{sf_dir}:{mtime}".encode()).hexdigest()[:16]
+    key = hashlib.sha256(f"{sf_dir}:{mtime}:v2".encode()).hexdigest()[:16]
     out = os.path.join("/tmp", f"lc_index_{key}")
+    docs = _docs(spark, sf_dir).withColumn(
+        "content_sha256", F.sha2(F.col("text"), 256)
+    )
     build_index(
-        spark, _docs(spark, sf_dir), out, id_col="doc_id", text_col="text",
-        attr_cols=("lang", "source"), n_shards=8, block_size=128,
-        salt_threshold=5_000, n_salts=8, resume=True,
+        spark, docs, out, id_col="doc_id", text_col="text",
+        attr_cols=("lang", "source", "content_sha256"), n_shards=8,
+        block_size=128, salt_threshold=5_000, n_salts=8, resume=True,
     )
     return CompressedIndex(spark, out)
 
@@ -79,13 +82,21 @@ def _bm25_oracle(
     filters: dict[str, str] | None = None,
     prefix: tuple[str, str] | None = None,
     must_not_text: str | None = None,
+    should_text: str | None = None,
+    offset: int = 0,
 ) -> str:
     terms = sorted(set(analyze_text(text)))
-    in_list = _sql_terms(text)
+    should_terms = [
+        t for t in sorted(set(analyze_text(should_text or ""))) if t not in terms
+    ]
+    must_list = _sql_terms(text)
+    all_list = ", ".join(f"'{t}'" for t in terms + should_terms)
     w = bm25_sql("tf.tf", "dfq.df", "dl.dl", "g.n", "g.avgdl")
     conds = []
     if require_all:
         conds.append(f"n_matched = {len(terms)}")
+    elif should_terms:
+        conds.append("n_matched >= 1")
     doc_conds = []
     for col, val in (filters or {}).items():
         doc_conds.append(f"{col} = '{val}'")
@@ -101,19 +112,21 @@ def _bm25_oracle(
             + _sql_terms(must_not_text) + "))"
         )
     where = ("WHERE " + " AND ".join(conds)) if conds else ""
+    off = f" OFFSET {offset}" if offset else ""
     return f"""
 WITH {_TOKS_CTE},
-dfq AS (SELECT term, count(*)::DOUBLE AS df FROM tf WHERE term IN ({in_list}) GROUP BY 1),
+dfq AS (SELECT term, count(*)::DOUBLE AS df FROM tf WHERE term IN ({all_list}) GROUP BY 1),
 scored AS (
-  SELECT tf.doc_id, sum({w}) AS raw, count(*) AS n_matched
+  SELECT tf.doc_id, sum({w}) AS raw,
+         count(*) FILTER (WHERE tf.term IN ({must_list})) AS n_matched
   FROM tf JOIN dfq USING (term) JOIN dl USING (doc_id) CROSS JOIN g
-  WHERE tf.term IN ({in_list})
+  WHERE tf.term IN ({all_list})
   GROUP BY tf.doc_id
 )
 SELECT doc_id, round(raw, {ROUND_DECIMALS}) AS score FROM scored
 {where}
 ORDER BY round(raw, {ROUND_DECIMALS}) DESC, doc_id ASC
-LIMIT {k}
+LIMIT {k}{off}
 """
 
 
@@ -191,6 +204,84 @@ def _q_token_count(spark, sf):
     )
 
 
+def _q_should_boost(spark, sf):
+    # B7 bool.should with must present: optional terms boost scores only
+    return _engine(spark, sf).search("join merge", k=10, should_text="window stream")
+
+
+def _q_offset_page(spark, sf):
+    # B10 pagination window: from=10, size=10 (second page of the ranking)
+    return _engine(spark, sf).search("table query", k=10, offset=10)
+
+
+def _q_term_prefix(spark, sf):
+    # B5 term-dictionary prefix expansion (docs containing any term 's…')
+    return _engine(spark, sf).term_prefix_search("s", k=10)
+
+
+def _q_content_sha(spark, sf):
+    # input_hint per-row invariant: content sha256 (corpus side)
+    return _docs(spark, sf).select(
+        "doc_id", F.sha2(F.col("text"), 256).alias("sha")
+    )
+
+
+def _q_sha_invariant(spark, sf):
+    # north_rule: per-row content_sha256 equality corpus↔index, end-to-end —
+    # recompute over the corpus, full-outer join the index attrs, count
+    # mismatches (must be 0)
+    idx = _index(spark, sf)
+    attrs = idx.attrs.select("doc_id", F.col("content_sha256").alias("sha_index"))
+    docs = _docs(spark, sf).select(
+        "doc_id", F.sha2(F.col("text"), 256).alias("sha_corpus")
+    )
+    j = docs.join(attrs, "doc_id", "full_outer")
+    return j.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(
+            F.when(
+                F.col("sha_corpus").isNull()
+                | F.col("sha_index").isNull()
+                | (F.col("sha_corpus") != F.col("sha_index")),
+                F.lit(1),
+            ).otherwise(F.lit(0))
+        ).alias("n_mismatch"),
+    )
+
+
+def _q_scalar_encode(spark, sf):
+    # A7 base64 + A28 recursive JSON encode, as built-in Catalyst scalars
+    d = _docs(spark, sf)
+    return d.select(
+        "doc_id",
+        F.base64(F.substring(F.col("text"), 1, 48).cast("binary")).alias("b64"),
+        F.to_json(F.struct(F.col("lang"), F.col("source"))).alias("js"),
+    )
+
+
+def _q_sample_search(spark, sf):
+    # A24 random-sampling search, made deterministic: hash-ordered "uniform"
+    # sample of the keyspace until k matches (md5 plays rand(seed))
+    o = _t(spark, sf, "orders")
+    return (
+        o.orderBy(F.md5(F.col("o_orderkey").cast("string")), F.asc("o_orderkey"))
+        .select("o_orderkey")
+        .limit(10)
+    )
+
+
+_DIAMOND = [(0.05, -20.05), (30.05, 0.05), (0.05, 20.05), (-29.95, 0.05)]
+
+
+def _q_grid_lattice(spark, sf):
+    # A22 grid-scan generator: spark.range lattice over the polygon bbox,
+    # then A23 coarse-to-fine exact filter — returns surviving lattice points
+    from librecatastro_spark.ops.geo import lattice, points_in_polygon, polygon_bbox
+
+    grid = lattice(spark, polygon_bbox(_DIAMOND), scale=1)
+    return points_in_polygon(grid, _DIAMOND).select("lon", "lat")
+
+
 # --- compressed-index / block-max WAND path (B14) — same oracles as the
 # --- exact path: the driver's hash compare IS the rank-identity gate.
 
@@ -214,6 +305,19 @@ def _q_wand_filtered(spark, sf):
 
 def _q_wand_prefix(spark, sf):
     return _index(spark, sf).search("query scan", k=10, prefix=("source", "src1"))
+
+
+def _q_wand_should(spark, sf):
+    return _index(spark, sf).search("join merge", k=10, should_text="window stream")
+
+
+def _q_wand_offset(spark, sf):
+    return _index(spark, sf).search("table query", k=10, offset=10)
+
+
+def _q_wand_term_prefix(spark, sf):
+    # B5 as a term-dictionary RANGE scan with Parquet min/max pruning
+    return _index(spark, sf).term_prefix_search("s", k=10)
 
 
 # --------------------------------------------------------------------- #
@@ -280,6 +384,69 @@ def _q_emb_near_dup(spark, sf):
     from librecatastro_spark.ops.similarity import brute_force_pairs
 
     return brute_force_pairs(_emb(spark, sf), threshold=0.4)
+
+
+def _q_ann_lsh(spark, sf):
+    # ANN scale path: LSH bucket + Hamming-1 multiprobe (rows-only check;
+    # recall vs the brute-force baseline is gated in tests/)
+    from librecatastro_spark.ops.similarity import ann_lsh_topk
+
+    e = _emb(spark, sf)
+    q = [float(x) for x in e.where(F.col("vec_id") == 0).collect()[0]["embedding"]]
+    return ann_lsh_topk(e, q, k=10, n_planes=6)
+
+
+def _q_multimodal_features(spark, sf):
+    # multimodal plumbing: binary payload → fixed-dim feature vector over
+    # mapInPandas (deterministic fake encoder; rows-only check)
+    from librecatastro_spark.ops.multimodal import extract_features, synthetic_media
+
+    return extract_features(synthetic_media(spark, 64))
+
+
+def _q_frame_sample(spark, sf):
+    # video frame-sampling plan: sequence+explode fan-out, media table
+    # derived deterministically from documents (duration := n_chars)
+    from librecatastro_spark.ops.multimodal import sample_frames
+
+    media = _docs(spark, sf).select(
+        F.col("doc_id").cast("string").alias("media_id"),
+        F.lit("video").alias("kind"),
+        F.lit(None).cast("binary").alias("payload"),
+        F.struct(
+            F.lit(None).cast("int").alias("width"),
+            F.lit(None).cast("int").alias("height"),
+            F.lit("fake").alias("codec"),
+            F.col("n_chars").cast("int").alias("duration_ms"),
+        ).alias("meta"),
+    )
+    out = sample_frames(media, every_ms=1000)
+    return out.select("media_id", F.col("frame_ts_ms").cast("long").alias("frame_ts_ms"))
+
+
+def _q_incremental_search(spark, sf):
+    # A16/A30/B15 end-to-end: build the index from the FIRST HALF of the
+    # corpus, fold the second half in via the incremental append path, then
+    # query — the oracle is the plain full-corpus BM25 SQL, so the check
+    # proves incremental maintenance converges to the batch-built result.
+    import hashlib
+
+    from librecatastro_spark.streaming.incremental import append_batch
+
+    src = f"{sf}/documents.parquet"
+    mtime = int(os.path.getmtime(src)) if os.path.exists(src) else 0
+    key = hashlib.sha256(f"{sf}:{mtime}:incr_v1".encode()).hexdigest()[:16]
+    out = os.path.join("/tmp", f"lc_incr_{key}")
+    docs = _docs(spark, sf)
+    n = docs.count()
+    build_index(
+        spark, docs.where(F.col("doc_id") < n // 2), out, id_col="doc_id",
+        text_col="text", attr_cols=("lang", "source"), n_shards=4,
+        block_size=128, salt_threshold=5_000, n_salts=4, resume=True,
+    )
+    append_batch(spark, out, docs.where(F.col("doc_id") >= n // 2),
+                 id_col="doc_id", text_col="text")
+    return CompressedIndex(spark, out).search("spark join merge", k=10)
 
 
 # --------------------------------------------------------------------- #
@@ -430,6 +597,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_must_not": _q_must_not,
         "bm25_keyword_filter": _q_keyword,
         "bm25_prefix_filter": _q_prefix,
+        "bm25_should_boost": _q_should_boost,
+        "bm25_offset_page2": _q_offset_page,
+        "term_prefix_match": _q_term_prefix,
+        "content_sha256": _q_content_sha,
+        "sha_invariant_corpus_index": _q_sha_invariant,
+        "scalar_encode_b64_json": _q_scalar_encode,
+        "sample_search_det": _q_sample_search,
+        "grid_lattice_polygon": _q_grid_lattice,
         "flagship_dedup_exists": _q_dedup_exists,
         "hits_total_match": _q_hits_total,
         "term_stats_top20": _q_term_stats,
@@ -440,6 +615,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "wand_must_not": _q_wand_must_not,
         "wand_keyword_filter": _q_wand_filtered,
         "wand_prefix_filter": _q_wand_prefix,
+        "wand_should_boost": _q_wand_should,
+        "wand_offset_page2": _q_wand_offset,
+        "wand_term_prefix": _q_wand_term_prefix,
         "lang_id": _q_lang_id,
         "quality_score": _q_quality,
         "dedup_exact": _q_exact_dedup,
@@ -449,6 +627,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash16": _q_simhash16,
         "embedding_cosine_topk": _q_cosine_topk,
         "embedding_near_dup": _q_emb_near_dup,
+        "ann_lsh_topk": _q_ann_lsh,
+        "multimodal_features": _q_multimodal_features,
+        "multimodal_frame_sample": _q_frame_sample,
+        "incremental_append_search": _q_incremental_search,
         "anti_join_resume": _q_anti_join,
         "upsert_last_write_wins": _q_latest_event,
         "topk_orders": _q_topk_orders,
@@ -468,6 +650,40 @@ def oracle_sql() -> dict[str, str]:
         "bm25_must_not": _bm25_oracle("spark", k=10, must_not_text="window"),
         "bm25_keyword_filter": _bm25_oracle("merge sort", k=10, filters={"source": "src3"}),
         "bm25_prefix_filter": _bm25_oracle("query scan", k=10, prefix=("source", "src1")),
+        "bm25_should_boost": _bm25_oracle(
+            "join merge", k=10, should_text="window stream"
+        ),
+        "bm25_offset_page2": _bm25_oracle("table query", k=10, offset=10),
+        "term_prefix_match": f"""
+WITH {_TOKS_CTE}
+SELECT doc_id, 1.0::DOUBLE AS score FROM (
+  SELECT DISTINCT doc_id FROM toks WHERE term LIKE 's%'
+) ORDER BY doc_id ASC LIMIT 10
+""",
+        "content_sha256": "SELECT doc_id, sha256(text) AS sha FROM documents",
+        "sha_invariant_corpus_index": """
+SELECT count(*)::BIGINT AS n_docs, 0::BIGINT AS n_mismatch FROM documents
+""",
+        "scalar_encode_b64_json": """
+SELECT doc_id, to_base64(encode(substring(text, 1, 48))) AS b64,
+       to_json(struct_pack(lang := lang, source := source)) AS js
+FROM documents
+""",
+        "sample_search_det": """
+SELECT o_orderkey FROM orders
+ORDER BY md5(o_orderkey::VARCHAR), o_orderkey ASC LIMIT 10
+""",
+        "grid_lattice_polygon": """
+WITH pts AS (
+  SELECT x / 1.0 AS lon, y / 1.0 AS lat
+  FROM generate_series(-30, 30) AS t1(x), generate_series(-21, 20) AS t2(y)
+)
+SELECT lon, lat FROM pts
+WHERE (30.0 * (lat + 20.05) - 20.1 * (lon - 0.05)) > 0
+  AND (-30.0 * (lat - 0.05) - 20.0 * (lon - 30.05)) > 0
+  AND (-30.0 * (lat - 20.05) + 20.0 * (lon - 0.05)) > 0
+  AND (30.0 * (lat - 0.05) + 20.1 * (lon + 29.95)) > 0
+""",
         "flagship_dedup_exists": """
 SELECT count(*) AS total_hits, count(*) > 0 AS found FROM (
   SELECT doc_id FROM documents
@@ -496,6 +712,16 @@ SELECT doc_id, len({duckdb_tokens_sql('text')})::INT AS n_tokens FROM documents
         "wand_must_not": _bm25_oracle("spark", k=10, must_not_text="window"),
         "wand_keyword_filter": _bm25_oracle("merge sort", k=10, filters={"source": "src3"}),
         "wand_prefix_filter": _bm25_oracle("query scan", k=10, prefix=("source", "src1")),
+        "wand_should_boost": _bm25_oracle(
+            "join merge", k=10, should_text="window stream"
+        ),
+        "wand_offset_page2": _bm25_oracle("table query", k=10, offset=10),
+        "wand_term_prefix": f"""
+WITH {_TOKS_CTE}
+SELECT doc_id, 1.0::DOUBLE AS score FROM (
+  SELECT DISTINCT doc_id FROM toks WHERE term LIKE 's%'
+) ORDER BY doc_id ASC LIMIT 10
+""",
         **_ops_oracles(),
     }
 
@@ -535,6 +761,12 @@ SELECT e.vec_id AS vec_a, b.vec_id AS vec_b, {cos.format(b='b.embedding::DOUBLE[
 FROM embeddings e JOIN embeddings b ON e.vec_id < b.vec_id
 WHERE {cos.format(b='b.embedding::DOUBLE[]')} >= 0.4
 """,
+        "multimodal_frame_sample": """
+SELECT doc_id::VARCHAR AS media_id,
+       unnest(generate_series(0, greatest(n_chars - 1, 0), 1000))::BIGINT AS frame_ts_ms
+FROM documents
+""",
+        "incremental_append_search": _bm25_oracle("spark join merge", k=10),
         "anti_join_resume": """
 SELECT c_custkey FROM customer
 WHERE NOT EXISTS (

@@ -1,0 +1,152 @@
+"""Engine CLI — the spark-submit entry point (capability A31).
+
+The reference dispatches crawl / health / list modes from a single main
+(reference: libreCatastro.py:19-72); the Spark engine's equivalents are
+index build, search, corpus health, and the corpus↔index sha invariant:
+
+    spark-submit --py-files librecatastro_spark.zip -m librecatastro_spark \
+        build  --input /data/documents.parquet --out /data/index
+    python -m librecatastro_spark search --index /data/index \
+        --text "spark join merge" --k 10 --filter lang=en
+    python -m librecatastro_spark health --input /data/documents.parquet
+    python -m librecatastro_spark verify --input /data/documents.parquet \
+        --index /data/index
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def _parse_filters(pairs: list[str]) -> dict[str, str]:
+    out = {}
+    for p in pairs:
+        col, _, val = p.partition("=")
+        if not _:
+            raise SystemExit(f"--filter expects col=val, got {p!r}")
+        out[col] = val
+    return out
+
+
+def main(argv: list[str] | None = None) -> int:
+    ap = argparse.ArgumentParser(prog="librecatastro_spark")
+    ap.add_argument("--cores", type=int, default=None,
+                    help="local[N] cores (default: existing session / all)")
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    b = sub.add_parser("build", help="build (or resume) the inverted index")
+    b.add_argument("--input", required=True)
+    b.add_argument("--out", required=True)
+    b.add_argument("--id-col", default="doc_id")
+    b.add_argument("--text-col", default="text")
+    b.add_argument("--attr-cols", default="lang,source")
+    b.add_argument("--shards", type=int, default=8)
+    b.add_argument("--block-size", type=int, default=128)
+    b.add_argument("--salt-threshold", type=int, default=100_000)
+    b.add_argument("--no-resume", action="store_true")
+
+    s = sub.add_parser("search", help="top-k BM25 query against an index")
+    s.add_argument("--index", required=True)
+    s.add_argument("--text", required=True)
+    s.add_argument("--k", type=int, default=10)
+    s.add_argument("--offset", type=int, default=0)
+    s.add_argument("--require-all", action="store_true")
+    s.add_argument("--must-not", default=None)
+    s.add_argument("--should", default=None)
+    s.add_argument("--filter", action="append", default=[],
+                   help="keyword equality col=val (repeatable)")
+    s.add_argument("--prefix", default=None, help="keyword prefix col=val")
+
+    h = sub.add_parser("health", help="corpus sanity counts (A31 --health analog)")
+    h.add_argument("--input", required=True)
+    h.add_argument("--text-col", default="text")
+
+    v = sub.add_parser("verify", help="corpus↔index content-sha invariant")
+    v.add_argument("--input", required=True)
+    v.add_argument("--index", required=True)
+    v.add_argument("--id-col", default="doc_id")
+    v.add_argument("--text-col", default="text")
+
+    args = ap.parse_args(argv)
+
+    from pyspark.sql import functions as F
+
+    from .session import get_spark
+
+    spark = get_spark("librecatastro_spark", cores=args.cores)
+
+    if args.cmd == "build":
+        from .index.builder import build_index
+
+        docs = spark.read.parquet(args.input)
+        meta = build_index(
+            spark, docs, args.out, id_col=args.id_col, text_col=args.text_col,
+            attr_cols=tuple(c for c in args.attr_cols.split(",") if c),
+            n_shards=args.shards, block_size=args.block_size,
+            salt_threshold=args.salt_threshold, resume=not args.no_resume,
+        )
+        print(json.dumps({"n_docs": meta.n_docs, "avgdl": meta.avgdl,
+                          "n_shards": meta.n_shards, "out": args.out}))
+        return 0
+
+    if args.cmd == "search":
+        from .engine.wand import CompressedIndex
+
+        idx = CompressedIndex(spark, args.index)
+        prefix = None
+        if args.prefix:
+            col, _, val = args.prefix.partition("=")
+            prefix = (col, val)
+        rows = idx.search(
+            args.text, k=args.k, offset=args.offset,
+            require_all=args.require_all,
+            filters=_parse_filters(args.filter) or None, prefix=prefix,
+            must_not_text=args.must_not, should_text=args.should,
+        ).collect()
+        for r in rows:
+            print(json.dumps({"doc_id": r["doc_id"], "score": r["score"]}))
+        return 0
+
+    if args.cmd == "health":
+        from .analyzer import tokenize_expr
+
+        docs = spark.read.parquet(args.input)
+        row = docs.agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.countDistinct("lang").alias("n_langs"),
+            F.avg(F.size(tokenize_expr(args.text_col))).alias("avg_tokens"),
+        ).collect()[0]
+        print(json.dumps({k: (float(v) if k == "avg_tokens" else int(v))
+                          for k, v in row.asDict().items()}))
+        return 0
+
+    if args.cmd == "verify":
+        from .index.builder import load_attrs
+
+        docs = spark.read.parquet(args.input).select(
+            F.col(args.id_col).alias("doc_id"),
+            F.sha2(F.col(args.text_col), 256).alias("sha_corpus"),
+        )
+        attrs = load_attrs(spark, args.index)
+        if "content_sha256" not in attrs.columns:
+            print(json.dumps({"ok": False, "error": "index lacks content_sha256"}))
+            return 1
+        joined = docs.join(
+            attrs.select("doc_id", F.col("content_sha256").alias("sha_index")),
+            "doc_id", "full_outer",
+        )
+        bad = joined.where(
+            F.col("sha_corpus").isNull() | F.col("sha_index").isNull()
+            | (F.col("sha_corpus") != F.col("sha_index"))
+        ).count()
+        n = docs.count()
+        print(json.dumps({"ok": bad == 0, "n_docs": n, "n_mismatch": bad}))
+        return 0 if bad == 0 else 1
+
+    return 2
+
+
+if __name__ == "__main__":
+    sys.exit(main())

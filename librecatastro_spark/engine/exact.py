@@ -79,12 +79,25 @@ class ExactBM25:
         filters: dict[str, str] | None = None,
         prefix: tuple[str, str] | None = None,
         must_not_text: str | None = None,
+        should_text: str | None = None,
     ) -> DataFrame:
-        """(doc_id, score) for every matching doc (unranked, unrounded)."""
+        """(doc_id, score) for every matching doc (unranked, unrounded).
+
+        ``should_text`` reproduces ES bool.should with a must clause present
+        (reference query shape: src/utils/elasticsearch_utils.py:110-123 —
+        should is part of the DSL shape there): should terms never constrain
+        the match set, they only add their BM25 weight to docs already
+        matched by the must clause. A term in both clauses counts once (as
+        must).
+        """
         terms = sorted(set(analyze_text(text)))
         if not terms:
             raise ValueError("query analyzes to zero terms")
-        p = self.postings.where(F.col("term").isin(terms))
+        should_terms = [
+            t for t in sorted(set(analyze_text(should_text or ""))) if t not in terms
+        ]
+        all_terms = terms + should_terms
+        p = self.postings.where(F.col("term").isin(all_terms))
         # df computed over the full corpus for the query terms only — tiny,
         # broadcast; idf does not depend on the filter clauses (ES semantics).
         dfreq = p.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
@@ -101,10 +114,17 @@ class ExactBM25:
                 ),
             )
             .groupBy("doc_id")
-            .agg(F.sum("w").alias("score"), F.count(F.lit(1)).alias("n_matched"))
+            .agg(
+                F.sum("w").alias("score"),
+                F.sum(
+                    F.when(F.col("term").isin(terms), F.lit(1)).otherwise(F.lit(0))
+                ).alias("n_matched"),
+            )
         )
         if require_all:
             scored = scored.where(F.col("n_matched") == F.lit(len(terms)))
+        elif should_terms:
+            scored = scored.where(F.col("n_matched") >= F.lit(1))
         scored = scored.drop("n_matched")
         doc_set = self._doc_filter(filters, prefix)
         if doc_set is not None:
@@ -119,8 +139,12 @@ class ExactBM25:
             scored = scored.join(excluded, "doc_id", "left_anti")
         return scored
 
-    def search(self, text: str, k: int = 10, **kwargs) -> DataFrame:
+    def search(self, text: str, k: int = 10, offset: int = 0, **kwargs) -> DataFrame:
         """Top-k (doc_id, score) — score DESC, doc_id ASC (B10 tiebreak).
+
+        ``offset`` is the ES ``from`` pagination window (reference uses
+        from:0 size:10/11 — src/utils/elasticsearch_utils.py:120-121); rows
+        [offset, offset+k) of the global ranking are returned.
 
         Rounded to ROUND_DECIMALS before ranking so float summation order
         can never flip a rank between engine paths / parallelism levels.
@@ -128,7 +152,27 @@ class ExactBM25:
         scored = self.match_scores(text, **kwargs).withColumn(
             "score", F.round("score", ROUND_DECIMALS)
         )
-        return scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+        ranked = scored.orderBy(F.desc("score"), F.asc("doc_id"))
+        if offset:
+            ranked = ranked.offset(offset)
+        return ranked.limit(k)
+
+    def term_prefix_search(self, prefix: str, k: int = 10) -> DataFrame:
+        """B5 index-side prefix query: docs containing ≥1 term that starts
+        with ``prefix`` — a term-dictionary range scan in ES/Lucene
+        (reference invocation shape: src/utils/elasticsearch_utils.py:113-115).
+        Constant-score (1.0) like ES prefix queries; deterministic doc_id
+        order."""
+        matched = (
+            self.postings.where(F.col("term").startswith(prefix))
+            .select("doc_id")
+            .distinct()
+        )
+        return (
+            matched.select("doc_id", F.lit(1.0).alias("score"))
+            .orderBy(F.asc("doc_id"))
+            .limit(k)
+        )
 
     def hits_total(self, text: str, **kwargs) -> int:
         """ES hits.total analog (B11) — exact count of the match set."""

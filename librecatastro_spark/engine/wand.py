@@ -74,6 +74,7 @@ def _shard_topk_fn(
     prefix: tuple[str, str] | None,
     must_not_terms: list[str],
     require_all: bool,
+    should_terms: list[str] | None = None,
 ):
     """Per-shard scorer factory. ``fn(blocks)`` for the blocks-only fast
     path; ``fn(blocks, attrs)`` when filter clauses need doc attributes.
@@ -104,7 +105,8 @@ def _shard_topk_fn(
             parts = [delta_decode(decode_varbyte(enc)) for enc in nb["docs_enc"]]
             if parts:
                 excluded = np.unique(np.concatenate(parts))
-        qb = blocks[blocks["term"].isin(terms)]
+        score_terms = terms + [t for t in (should_terms or []) if t not in terms]
+        qb = blocks[blocks["term"].isin(score_terms)]
         if len(qb) == 0:
             return _empty()
 
@@ -136,11 +138,17 @@ def _shard_topk_fn(
             * qb["term"].map(idfs).to_numpy()
             / np.maximum(qb["idf_build"].to_numpy(), 1e-12)
         )
-        if require_all:
+        if require_all or should_terms:
+            # full TAAT scoring (no pruning): needed when matched-must-term
+            # counting constrains the result (AND semantics / should boosts)
             ids, w, th = score_block_rows(qb)
+            must_hashes = {hash(t) for t in terms}
             dfagg = pd.DataFrame({"doc_id": ids, "w": w, "t": th})
-            agg = dfagg.groupby("doc_id").agg(score=("w", "sum"), n=("t", "nunique"))
-            agg = agg[agg["n"] == len(set(terms))]
+            # one posting row per (doc, term) ⇒ sum of the must indicator ==
+            # number of distinct must terms matched
+            dfagg["m"] = dfagg["t"].isin(must_hashes)
+            agg = dfagg.groupby("doc_id").agg(score=("w", "sum"), n=("m", "sum"))
+            agg = agg[agg["n"] == len(set(terms))] if require_all else agg[agg["n"] >= 1]
             cand_ids = agg.index.to_numpy(dtype=np.int64)
             keep = ok_mask(cand_ids)
             out = pd.DataFrame(
@@ -210,24 +218,31 @@ class CompressedIndex:
         self,
         text: str,
         k: int = 10,
+        offset: int = 0,
         require_all: bool = False,
         filters: dict[str, str] | None = None,
         prefix: tuple[str, str] | None = None,
         must_not_text: str | None = None,
+        should_text: str | None = None,
     ) -> DataFrame:
         terms = sorted(set(analyze_text(text)))
         if not terms:
             raise ValueError("query analyzes to zero terms")
-        idfs = self._idfs(terms)
+        should_terms = [
+            t for t in sorted(set(analyze_text(should_text or ""))) if t not in terms
+        ]
+        idfs = self._idfs(terms + should_terms)
         terms = [t for t in terms if t in idfs]  # drop zero-df terms
+        should_terms = [t for t in should_terms if t in idfs]
         must_not_terms = sorted(set(analyze_text(must_not_text or "")))
         if not terms:
             return self.spark.createDataFrame([], _RESULT_SCHEMA)
-        wanted = terms + must_not_terms
+        wanted = terms + should_terms + must_not_terms
         blocks = self.postings.where(F.col("term").isin(wanted))
+        local_k = k + offset  # each shard must surface the whole window
         fn = _shard_topk_fn(
-            terms, idfs, self.meta.avgdl, k, filters, prefix,
-            must_not_terms, require_all,
+            terms, idfs, self.meta.avgdl, local_k, filters, prefix,
+            must_not_terms, require_all, should_terms,
         )
         if filters or prefix:
             # filter clauses need doc attributes: cogroup the shard's
@@ -247,8 +262,36 @@ class CompressedIndex:
             partial = blocks.groupBy("shard").applyInPandas(
                 lambda key, bl: fn(bl), schema=_RESULT_SCHEMA
             )
-        return (
-            partial.withColumn("score", F.round("score", ROUND_DECIMALS))
-            .orderBy(F.desc("score"), F.asc("doc_id"))
-            .limit(k)
+        ranked = partial.withColumn(
+            "score", F.round("score", ROUND_DECIMALS)
+        ).orderBy(F.desc("score"), F.asc("doc_id"))
+        if offset:
+            ranked = ranked.offset(offset)
+        return ranked.limit(k)
+
+    def term_prefix_search(self, prefix: str, k: int = 10) -> DataFrame:
+        """B5 prefix query as a term-dictionary RANGE scan: the predicate
+        ``term >= p AND term < p + U+10FFFF`` reaches the Parquet scan as
+        min/max row-group pruning (postings are written sorted by term, so
+        non-matching row groups are skipped — the Lucene term-dictionary
+        seek analog). Constant-score 1.0, deterministic doc_id order."""
+        hi = prefix + "\U0010ffff"
+        blocks = self.postings.where(
+            (F.col("term") >= prefix) & (F.col("term") < hi)
         )
+
+        def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+            parts = [delta_decode(decode_varbyte(e)) for e in pdf["docs_enc"]]
+            ids = (
+                np.unique(np.concatenate(parts))
+                if parts
+                else np.empty(0, dtype=np.int64)
+            )
+            return pd.DataFrame(
+                {"doc_id": ids[:k].astype(np.int64), "score": 1.0}
+            )
+
+        partial = blocks.groupBy("shard").applyInPandas(
+            lambda key, b: fn(b), schema=_RESULT_SCHEMA
+        )
+        return partial.orderBy(F.asc("doc_id")).limit(k)

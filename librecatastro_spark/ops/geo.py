@@ -69,7 +69,10 @@ def point_in_polygon_udf(polygon: list[tuple[float, float]]):
         n = len(poly)
         for i in range(n):
             j = (i - 1) % n
-            cond = ((py[i] > y) != (py[j] > y)) & (
+            straddles = (py[i] > y) != (py[j] > y)
+            if py[j] == py[i]:
+                continue  # horizontal edge never straddles a ray
+            cond = straddles & (
                 x < (px[j] - px[i]) * (y - py[i]) / (py[j] - py[i]) + px[i]
             )
             inside ^= cond

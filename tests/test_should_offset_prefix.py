@@ -1,0 +1,141 @@
+"""New query-surface semantics: bool.should score boosting (B7), pagination
+offset (B10), term-dictionary prefix match (B5), and the CLI dispatch (A31).
+"""
+
+from __future__ import annotations
+
+import json
+import subprocess
+import sys
+
+import pytest
+from pyspark.sql import functions as F
+
+from librecatastro_spark.corpus import assign_doc_ids, generate_corpus
+from librecatastro_spark.engine import ExactBM25
+from librecatastro_spark.engine.wand import CompressedIndex
+from librecatastro_spark.index.builder import build_index
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    docs = generate_corpus(spark, 300, min_tokens=20, max_tokens=120, partitions=4)
+    return assign_doc_ids(docs).cache()
+
+
+@pytest.fixture(scope="module")
+def exact(corpus):
+    return ExactBM25(corpus, attr_cols=("repo", "path", "lang"), cache=True)
+
+
+@pytest.fixture(scope="module")
+def wand(spark, corpus, tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("sop_idx"))
+    build_index(
+        spark, corpus, out, attr_cols=("repo", "path", "lang"),
+        n_shards=4, block_size=16, salt_threshold=100, n_salts=4,
+    )
+    return CompressedIndex(spark, out)
+
+
+def rows(df):
+    return [(r["doc_id"], r["score"]) for r in df.collect()]
+
+
+# ------------------------------------------------------------- should ----
+
+def test_should_never_expands_match_set(exact):
+    base = {r[0] for r in rows(exact.search("id0001", k=10**6))}
+    boosted = {r[0] for r in rows(exact.search("id0001", k=10**6, should_text="def return"))}
+    assert boosted == base
+
+
+def test_should_only_increases_scores(exact):
+    base = dict(rows(exact.search("def class", k=10**6)))
+    boosted = dict(rows(exact.search("def class", k=10**6, should_text="lambda")))
+    assert set(boosted) == set(base)
+    assert all(boosted[d] >= base[d] for d in base)
+    assert any(boosted[d] > base[d] for d in base)  # lambda does occur
+
+
+def test_should_term_overlapping_must_counts_once(exact):
+    a = rows(exact.search("def class", k=20))
+    b = rows(exact.search("def class", k=20, should_text="def"))
+    assert a == b
+
+
+# ------------------------------------------------------------- offset ----
+
+def test_offset_windows_tile_the_ranking(exact):
+    full = rows(exact.search("def return import", k=30))
+    p1 = rows(exact.search("def return import", k=10))
+    p2 = rows(exact.search("def return import", k=10, offset=10))
+    p3 = rows(exact.search("def return import", k=10, offset=20))
+    assert p1 + p2 + p3 == full
+
+
+def test_offset_past_end_is_empty(exact):
+    assert rows(exact.search("id0001", k=10, offset=10_000)) == []
+
+
+def test_wand_offset_matches_exact(exact, wand):
+    for off in (0, 5, 17):
+        assert rows(wand.search("def return", k=8, offset=off)) == rows(
+            exact.search("def return", k=8, offset=off)
+        )
+
+
+# ------------------------------------------------------- term prefix ----
+
+def test_term_prefix_identity_exact_vs_wand(exact, wand):
+    for p in ("de", "re", "id00", "zz_nope"):
+        assert rows(wand.term_prefix_search(p, k=25)) == rows(
+            exact.term_prefix_search(p, k=25)
+        )
+
+
+def test_term_prefix_semantics_against_postings(exact):
+    got = {r[0] for r in rows(exact.term_prefix_search("imp", k=10**6))}
+    want = {
+        r["doc_id"]
+        for r in exact.postings.where(F.col("term").startswith("imp"))
+        .select("doc_id")
+        .distinct()
+        .collect()
+    }
+    assert got == want and len(want) > 0
+
+
+def test_term_prefix_constant_score_and_order(exact):
+    out = rows(exact.term_prefix_search("de", k=15))
+    assert all(s == 1.0 for _, s in out)
+    assert [d for d, _ in out] == sorted(d for d, _ in out)
+
+
+# ----------------------------------------------------------------- CLI ----
+
+def test_cli_health_and_build_and_search(tmp_path, corpus):
+    src = str(tmp_path / "docs.parquet")
+    corpus.withColumn("content_sha256", F.sha2(F.col("content"), 256)).write.parquet(src)
+    idx = str(tmp_path / "idx")
+
+    def run(*args):
+        r = subprocess.run(
+            [sys.executable, "-m", "librecatastro_spark", "--cores", "2", *args],
+            capture_output=True, text=True, timeout=600,
+        )
+        assert r.returncode == 0, r.stderr[-2000:]
+        return [json.loads(l) for l in r.stdout.strip().splitlines() if l.startswith("{")]
+
+    h = run("health", "--input", src, "--text-col", "content")[0]
+    assert h["n_docs"] == 300
+
+    b = run("build", "--input", src, "--out", idx, "--text-col", "content",
+            "--attr-cols", "lang,content_sha256", "--shards", "4")[0]
+    assert b["n_docs"] == 300
+
+    s = run("search", "--index", idx, "--text", "def return", "--k", "5")
+    assert len(s) == 5 and all("doc_id" in r for r in s)
+
+    v = run("verify", "--input", src, "--index", idx, "--text-col", "content")[0]
+    assert v["ok"] is True and v["n_mismatch"] == 0

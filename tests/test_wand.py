@@ -48,6 +48,14 @@ GOLDEN_QUERIES = [
     dict(text="def", filters={"lang": "py"}),
     dict(text="return", prefix=("path", "src/mod1")),
     dict(text="posting block merge", k=3),
+    # B7 should clause: optional terms boost but never constrain
+    dict(text="def class", should_text="lambda yield"),
+    dict(text="id0001", should_text="def return"),
+    dict(text="spark session", require_all=True, should_text="builder"),
+    # B10 pagination offset
+    dict(text="def return import", offset=10),
+    dict(text="partition shuffle", k=5, offset=7),
+    dict(text="def", filters={"lang": "py"}, offset=5),
 ]
 
 
