@@ -396,6 +396,31 @@ def _q_ann_lsh(spark, sf):
     return ann_lsh_topk(e, q, k=10, n_planes=6)
 
 
+def _q_ivf(spark, sf):
+    # ANN scale path #2: IVF coarse quantization — assign to nearest of 8
+    # deterministic centroids, probe the 2 cells nearest the query, exact
+    # cosine inside (→ partition pruning when the table is laid out by cell)
+    from librecatastro_spark.ops.similarity import ivf_topk
+
+    e = _emb(spark, sf)
+    q = [float(x) for x in e.where(F.col("vec_id") == 0).collect()[0]["embedding"]]
+    return ivf_topk(e, q, k=10, n_cells=8, n_probe=2)
+
+
+def _q_fingerprint(spark, sf):
+    from librecatastro_spark.ops.text import fingerprint_expr
+
+    return _docs(spark, sf).select(
+        "doc_id", fingerprint_expr("text").alias("fingerprint")
+    )
+
+
+def _q_simhash_near(spark, sf):
+    from librecatastro_spark.ops.dedup import simhash_near_pairs
+
+    return simhash_near_pairs(_docs(spark, sf), max_hamming=7, bands=8)
+
+
 def _q_multimodal_features(spark, sf):
     # multimodal plumbing: binary payload → fixed-dim feature vector over
     # mapInPandas (deterministic fake encoder; rows-only check)
@@ -628,6 +653,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_cosine_topk": _q_cosine_topk,
         "embedding_near_dup": _q_emb_near_dup,
         "ann_lsh_topk": _q_ann_lsh,
+        "ann_ivf_topk": _q_ivf,
+        "doc_fingerprint": _q_fingerprint,
+        "simhash_near_dup": _q_simhash_near,
         "multimodal_features": _q_multimodal_features,
         "multimodal_frame_sample": _q_frame_sample,
         "incremental_append_search": _q_incremental_search,
@@ -732,8 +760,14 @@ def _ops_oracles() -> dict[str, str]:
         jaccard_pairs_sql,
         minhash_signature_sql,
         simhash16_sql,
+        simhash_near_pairs_sql,
     )
-    from librecatastro_spark.ops.text import lang_id_sql, quality_score_sql
+    from librecatastro_spark.ops.similarity import ivf_topk_sql
+    from librecatastro_spark.ops.text import (
+        fingerprint_sql,
+        lang_id_sql,
+        quality_score_sql,
+    )
 
     cos = (
         "round(list_sum(list_transform(list_zip(e.embedding::DOUBLE[], {b}), p -> p[1] * p[2]))"
@@ -750,6 +784,11 @@ def _ops_oracles() -> dict[str, str]:
         "dedup_minhash_lsh": jaccard_pairs_sql(threshold=0.5),
         "minhash_signatures": minhash_signature_sql(n_hashes=8),
         "simhash16": f"SELECT doc_id, {simhash16_sql('text')} AS simhash16 FROM documents",
+        "simhash_near_dup": simhash_near_pairs_sql(max_hamming=7),
+        "doc_fingerprint": (
+            f"SELECT doc_id, {fingerprint_sql('text')} AS fingerprint FROM documents"
+        ),
+        "ann_ivf_topk": ivf_topk_sql(query_id=0, k=10, n_cells=8, n_probe=2),
         "embedding_cosine_topk": f"""
 WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0)
 SELECT e.vec_id AS vec_id, {cos.format(b='q.qv')} AS cosine

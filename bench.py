@@ -1,14 +1,24 @@
-"""Benchmark: index build throughput + BM25 query latency at $SPARK_GRAFT_SF_DIR.
+"""Benchmark: index-build throughput + BM25 query latency.
+
+Per BASELINE.md protocol, build throughput (GB/hr) is measured on a
+deterministic synthetic source-code corpus at the input_hint schema
+(repo, path, commit, lang, content, content_sha256) — generated seeded
+and parallelism-independent, sized by BENCH_GEN_DOCS — because the
+driver's sf parquet tables are far too small (~MBs) to measure anything
+but fixed overhead. Corpus generation and parquet materialization are NOT
+timed; the timed region is exactly: read corpus parquet → build index →
+index durable on disk.
 
 Prints exactly ONE JSON line:
   {"metric": ..., "value": <total sec>, "unit": "sec",
    "queries": {name: sec, ...}, "sf": ...,
    "build_sec": ..., "build_gb_per_hr": ..., "query_p95_ms": ...,
-   "cores": ...}
+   "corpus_docs": ..., "corpus_gb": ..., "cores": ..., "results_sha": ...}
 
-Env knobs: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
-SPARK_GRAFT_CPUS (default 32), BENCH_RUNS (timed runs per query, default 5),
-BENCH_WORK_DIR (index output dir, default a temp dir).
+Env knobs: SPARK_GRAFT_SF_DIR (reported as "sf" tag, default
+/root/testdata/sf0.1), SPARK_GRAFT_CPUS (default 32), BENCH_GEN_DOCS
+(corpus size, default 60000), BENCH_RUNS (timed runs per query, default
+5), BENCH_WORK_DIR (work dir, default a temp dir).
 """
 
 from __future__ import annotations
@@ -24,40 +34,58 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+from librecatastro_spark.corpus import assign_doc_ids, generate_corpus
 from librecatastro_spark.engine.wand import CompressedIndex
 from librecatastro_spark.index.builder import build_index
 from librecatastro_spark.session import get_spark
 
+# Query texts use the generated corpus vocabulary (corpus.py): zipfian
+# code keywords (hot) + rare idNNNN identifiers (selective).
 QUERIES = {
-    "q_match_hot": dict(text="table query value", k=10),
-    "q_match_mixed": dict(text="spark customer window merge", k=10),
-    "q_bool_must": dict(text="batch stream line", k=10, require_all=True),
-    "q_must_not": dict(text="table", k=10, must_not_text="window"),
-    "q_prefix_filter": dict(text="query scan", k=10, prefix=("source", "src1")),
+    "q_match_hot": dict(text="def return import", k=10),
+    "q_match_mixed": dict(text="spark partition id0042", k=10),
+    "q_match_rare": dict(text="id0007 id1234 id1999", k=10),
+    "q_bool_must": dict(text="select filter group", k=10, require_all=True),
+    "q_must_not": dict(text="query", k=10, must_not_text="shuffle"),
+    "q_keyword_filter": dict(text="index merge", k=10, filters={"lang": "py"}),
+    "q_prefix_filter": dict(text="index merge", k=10, prefix=("path", "src/mod4/")),
     "q_topk_100": dict(text="sort merge join", k=100),
 }
+
+# fixed index layout — the "cluster size" knob is cores, never the layout
+N_SHARDS = 16
 
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cores = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     runs = int(os.environ.get("BENCH_RUNS", "5"))
+    n_docs = int(os.environ.get("BENCH_GEN_DOCS", "60000"))
     work = os.environ.get("BENCH_WORK_DIR") or tempfile.mkdtemp(prefix="lcidx_")
     cleanup = "BENCH_WORK_DIR" not in os.environ
 
     spark = get_spark("bench", cores=cores, shuffle_partitions=cores)
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+    # ---- corpus (untimed): deterministic synthetic @ input_hint schema ----
+    corpus_dir = os.path.join(work, "corpus")
+    if not os.path.isdir(corpus_dir):
+        docs = assign_doc_ids(generate_corpus(spark, n_docs, partitions=cores * 2))
+        docs.write.mode("overwrite").parquet(corpus_dir)
+    docs = spark.read.parquet(corpus_dir)
     input_bytes = docs.selectExpr(
-        "sum(octet_length(text) + octet_length(lang) + octet_length(source) + 16) as b"
+        "sum(octet_length(content) + octet_length(repo) + octet_length(path)"
+        " + octet_length(commit) + octet_length(lang)"
+        " + octet_length(content_sha256) + 8) as b"
     ).collect()[0]["b"]
 
+    # ---- timed region: read parquet -> durable index --------------------
     t0 = time.time()
     idx_dir = os.path.join(work, "index")
     build_index(
-        spark, docs, idx_dir, id_col="doc_id", text_col="text",
-        attr_cols=("lang", "source"), n_shards=max(4, cores // 4),
-        block_size=128, salt_threshold=20_000, n_salts=8,
-        shards_per_job=max(4, cores // 4), resume=False,
+        spark, docs, idx_dir, id_col="doc_id", text_col="content",
+        attr_cols=("lang", "repo", "path", "content_sha256"),
+        n_shards=N_SHARDS, block_size=128, salt_threshold=20_000, n_salts=8,
+        shards_per_job=N_SHARDS, resume=False,
     )
     build_sec = time.time() - t0
 
@@ -91,6 +119,8 @@ def main() -> None:
         "build_sec": round(build_sec, 3),
         "build_gb_per_hr": round((input_bytes / 1e9) / (build_sec / 3600.0), 3),
         "query_p95_ms": round(p95, 1),
+        "corpus_docs": n_docs,
+        "corpus_gb": round(input_bytes / 1e9, 3),
         "cores": cores,
         # determinism fingerprint: identical across parallelism levels
         "results_sha": result_fp.hexdigest()[:16],

@@ -48,7 +48,6 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..bm25 import B, K1
-from ..stats import corpus_stats, term_freqs
 from .codec import encode_block, encode_varbyte
 
 BLOCK_SCHEMA = (
@@ -67,6 +66,7 @@ class IndexMeta:
     salt_threshold: int
     n_salts: int
     attr_cols: list[str]
+    n_buckets: int = 128
     version: int = 1
 
 
@@ -107,39 +107,67 @@ def read_meta(out_dir: str) -> IndexMeta:
 
 # --------------------------------------------------------------- builder --
 
-def _block_builder(block_size: int, n_docs: float, avgdl: float):
-    """Grouped-map fn: one (shard, term, salt) group → encoded blocks."""
+def _bucket_builder(block_size: int, n_docs: float, avgdl: float):
+    """Grouped-map fn over one (shard, tbucket) group — a hash bucket of
+    MANY (term, salt) posting runs. Bucket-coarsened grouping (~hundreds of
+    groups, not one per term) amortizes the per-group Arrow/pandas exchange
+    overhead ~50×; run boundaries are found vectorized and each run is
+    chunked into delta+varbyte blocks. Hot (salted) terms hash to distinct
+    buckets per salt, so no bucket exceeds ~|shard postings|/n_buckets plus
+    one salt share — the OOM bound the salting exists for."""
 
     def fn(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values("doc_id")
+        pdf = pdf.sort_values(["term", "salt", "doc_id"], kind="mergesort")
+        terms = pdf["term"].to_numpy()
+        salts = pdf["salt"].to_numpy(dtype=np.int64)
         doc_ids = pdf["doc_id"].to_numpy(dtype=np.int64)
-        tfs = pdf["tf"].to_numpy(dtype=np.int64)
-        dls_i = pdf["dl"].to_numpy(dtype=np.int64)
-        dls = dls_i.astype(np.float64)
-        df_t = float(pdf["df"].iloc[0])
-        idf = math.log1p((n_docs - df_t + 0.5) / (df_t + 0.5))
-        w = idf * tfs * (K1 + 1.0) / (tfs + K1 * (1.0 - B + B * dls / avgdl))
-        rows = []
-        shard = int(pdf["shard"].iloc[0])
-        term = pdf["term"].iloc[0]
-        salt = int(pdf["salt"].iloc[0])
-        for seq, lo in enumerate(range(0, len(doc_ids), block_size)):
-            hi = min(lo + block_size, len(doc_ids))
-            docs_enc, tfs_enc = encode_block(doc_ids[lo:hi], tfs[lo:hi])
-            # dl travels inside the block (Lucene norms analog) so scoring
-            # needs NO doc-table join/shuffle at query time
-            dls_enc = encode_varbyte(dls_i[lo:hi].astype(np.uint64))
-            rows.append(
-                (
-                    shard, term, salt, seq, hi - lo,
-                    int(doc_ids[lo]), int(doc_ids[hi - 1]),
-                    docs_enc, tfs_enc, dls_enc, float(w[lo:hi].max()),
-                    # idf at build time: incremental appends grow N (idf up),
-                    # so the query-time scorer rescales the bound by
-                    # idf_now / idf_build to keep pruning safe (wand.py).
-                    idf,
-                )
+        tfs_all = pdf["tf"].to_numpy(dtype=np.int64)
+        dls_all = pdf["dl"].to_numpy(dtype=np.int64)
+        dfs_all = pdf["df"].to_numpy(dtype=np.float64)
+        shard = int(pdf["shard"].iloc[0]) if len(pdf) else 0
+        n = len(pdf)
+        if n == 0:
+            return pd.DataFrame(
+                columns=[
+                    "shard", "term", "salt", "block_seq", "n_docs",
+                    "first_doc_id", "last_doc_id", "docs_enc", "tfs_enc",
+                    "dls_enc", "block_max_w", "idf_build",
+                ]
             )
+        change = np.empty(n, dtype=bool)
+        change[0] = True
+        change[1:] = (terms[1:] != terms[:-1]) | (salts[1:] != salts[:-1])
+        starts = np.flatnonzero(change)
+        ends = np.concatenate([starts[1:], [n]])
+        # all BM25 weights in one vectorized pass (idf varies per run)
+        idfs = np.log1p((n_docs - dfs_all + 0.5) / (dfs_all + 0.5))
+        dls_f = dls_all.astype(np.float64)
+        tfs_f = tfs_all.astype(np.float64)
+        w_all = idfs * tfs_f * (K1 + 1.0) / (
+            tfs_f + K1 * (1.0 - B + B * dls_f / avgdl)
+        )
+        rows = []
+        for s, e in zip(starts, ends):
+            term = terms[s]
+            salt = int(salts[s])
+            idf = float(idfs[s])
+            for seq, lo in enumerate(range(s, e, block_size)):
+                hi = min(lo + block_size, e)
+                docs_enc, tfs_enc = encode_block(doc_ids[lo:hi], tfs_all[lo:hi])
+                # dl travels inside the block (Lucene norms analog) so
+                # scoring needs NO doc-table join/shuffle at query time
+                dls_enc = encode_varbyte(dls_all[lo:hi].astype(np.uint64))
+                rows.append(
+                    (
+                        shard, term, salt, seq, hi - lo,
+                        int(doc_ids[lo]), int(doc_ids[hi - 1]),
+                        docs_enc, tfs_enc, dls_enc, float(w_all[lo:hi].max()),
+                        # idf at build time: incremental appends grow N (idf
+                        # up), so the query-time scorer rescales the bound by
+                        # idf_now / idf_build to keep pruning safe (wand.py).
+                        idf,
+                    )
+                )
         return pd.DataFrame(
             rows,
             columns=[
@@ -164,6 +192,7 @@ def build_index(
     salt_threshold: int = 100_000,
     n_salts: int = 16,
     shards_per_job: int = 4,
+    n_buckets: int = 128,
     resume: bool = True,
 ) -> IndexMeta:
     """Build (or resume building) the index at out_dir. Idempotent: a
@@ -176,46 +205,67 @@ def build_index(
     # ---- stage 1: corpus pass -> staged postings + attrs + term stats ----
     if "stage" not in done:
         t0 = time.time()
-        postings = term_freqs(docs, id_col, text_col)
-        stats = corpus_stats(postings)
+        from ..analyzer import token_count_udf
+        from ..stats import term_freqs_arrow
+
+        # N first (cheap count; parquet sources answer from footers), so the
+        # doc-id range shard split is known before any heavy pass
+        n_docs_total = docs.count()
+        # the Python tokenizer costs ~10 s/128 MB-task: a small corpus packed
+        # into few scan partitions (maxPartitionBytes) would serialize the
+        # whole stage-1 pass. Widen only when under-partitioned — at real
+        # scale the scan already yields thousands of partitions and this is
+        # a no-op (no shuffle inserted).
+        target_parts = spark.sparkContext.defaultParallelism * 2
+        if docs.rdd.getNumPartitions() < target_parts:
+            docs = docs.repartition(target_parts)
         shard_expr = F.least(
             F.lit(n_shards - 1),
-            F.floor(F.col("doc_id") * n_shards / F.lit(stats.n_docs)).cast("int"),
+            F.floor(F.col("doc_id") * n_shards / F.lit(n_docs_total)).cast("int"),
         )
-        staged = postings.withColumn("shard", shard_expr)
-        staged.write.mode("overwrite").partitionBy("shard").parquet(
-            os.path.join(out_dir, "_stage", "postings")
-        )
-        staged_r = spark.read.parquet(os.path.join(out_dir, "_stage", "postings"))
         # keyword/attr table (the .keyword analog) + per-row sha invariant;
-        # dl recomputed as size(tokens) pre-explode — zero shuffle
-        from ..analyzer import tokenize_expr
-
+        # dl via the Arrow tokenizer (one light pass, no shuffle)
         attrs = docs.select(
             F.col(id_col).alias("doc_id"),
-            F.size(tokenize_expr(text_col)).alias("dl"),
+            token_count_udf(F.col(text_col)).alias("dl"),
             *[F.col(c) for c in attr_cols],
         ).withColumn("shard", shard_expr)
         attrs.write.mode("overwrite").partitionBy("shard").parquet(
             os.path.join(out_dir, "attrs")
         )
+        avgdl = float(
+            spark.read.parquet(os.path.join(out_dir, "attrs"))
+            .agg(F.avg("dl")).collect()[0][0]
+            or 0.0
+        )
+        # the ONE heavy pass: fused Arrow tokenize + per-doc tf aggregation
+        # (map-side, shuffle-free — see term_freqs_arrow). Its output IS the
+        # durable stage checkpoint everything downstream re-reads.
+        staged = term_freqs_arrow(docs, id_col, text_col).withColumn(
+            "shard", shard_expr
+        )
+        staged.write.mode("overwrite").partitionBy("shard").parquet(
+            os.path.join(out_dir, "_stage", "postings")
+        )
+        staged_r = spark.read.parquet(os.path.join(out_dir, "_stage", "postings"))
         staged_r.groupBy("term").agg(
             F.count(F.lit(1)).alias("df"), F.sum("tf").alias("cf")
         ).write.mode("overwrite").parquet(os.path.join(out_dir, "term_stats"))
         meta = IndexMeta(
-            n_docs=stats.n_docs,
-            avgdl=stats.avgdl,
+            n_docs=n_docs_total,
+            avgdl=avgdl,
             n_shards=n_shards,
             block_size=block_size,
             salt_threshold=salt_threshold,
             n_salts=n_salts,
             attr_cols=attr_cols,
+            n_buckets=n_buckets,
         )
         with open(os.path.join(out_dir, "meta.json"), "w") as fh:
             json.dump(asdict(meta), fh)
         _write_manifest(
             out_dir, "stage",
-            n_docs=stats.n_docs, avgdl=stats.avgdl, secs=time.time() - t0,
+            n_docs=n_docs_total, avgdl=avgdl, secs=time.time() - t0,
         )
         done = manifest_records(out_dir)
     meta = read_meta(out_dir)
@@ -230,7 +280,10 @@ def build_index(
         if unit in done:
             continue
         t0 = time.time()
-        part = staged.where(F.col("shard").isin(shards)).join(tstats.select("term", "df"), "term")
+        # df-per-term is small (vocabulary-sized) → broadcast, no shuffle
+        part = staged.where(F.col("shard").isin(shards)).join(
+            F.broadcast(tstats.select("term", "df")), "term"
+        )
         # salt hot terms by doc-id sub-range within the shard: per-salt
         # groups are disjoint, sorted ranges, so blocks need no re-merge.
         rel = F.col("doc_id") - F.col("shard") * F.lit(shard_span)
@@ -242,8 +295,16 @@ def build_index(
             ),
         ).otherwise(F.lit(0))
         part = part.withColumn("salt", salt)
-        blocks = part.groupBy("shard", "term", "salt").applyInPandas(
-            _block_builder(meta.block_size, float(meta.n_docs), meta.avgdl),
+        # bucket-coarsened grouping: (term, salt) runs hash into n_buckets
+        # groups per shard, so the grouped-map pays Arrow exchange overhead
+        # per BUCKET (hundreds), not per TERM (millions at scale), while
+        # salted hot terms still spread across buckets
+        part = part.withColumn(
+            "tbucket",
+            F.pmod(F.xxhash64("term", "salt"), F.lit(meta.n_buckets)).cast("int"),
+        )
+        blocks = part.groupBy("shard", "tbucket").applyInPandas(
+            _bucket_builder(meta.block_size, float(meta.n_docs), meta.avgdl),
             schema=BLOCK_SCHEMA,
         )
         # one job per group: dynamic partition overwrite replaces only the
@@ -251,9 +312,15 @@ def build_index(
         prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "STATIC")
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", "DYNAMIC")
         try:
+            # write straight off the grouped-map shuffle (full width — no
+            # repartition, which would both cap parallelism and re-execute
+            # the grouped map to sample ranges). Leading "shard" in the sort
+            # satisfies the dynamic-partition writer's required ordering, so
+            # no writer re-sort destroys the term clustering; within a file
+            # rows are term-sorted → Parquet min/max row-group stats prune
+            # term lookups (the Lucene term-dictionary seek analog).
             (
-                blocks.repartition(len(shards), "shard")
-                .sortWithinPartitions("term", "salt", "block_seq")
+                blocks.sortWithinPartitions("shard", "term", "salt", "block_seq")
                 .write.mode("overwrite")
                 .partitionBy("shard")
                 .parquet(os.path.join(out_dir, "postings"))

@@ -354,3 +354,34 @@ def simhash_near_pairs(
         .distinct()
         .where(F.col("hamming") <= max_hamming)
     )
+
+
+def simhash_near_pairs_sql(
+    max_hamming: int = 3, id_col: str = "doc_id", text_col: str = "text"
+) -> str:
+    """DuckDB twin of simhash_near_pairs. Because hamming ≤ max_hamming <
+    bands gives the banded join EXACT recall (pigeonhole), the oracle is
+    the brute-force all-pairs Hamming join over the same 64-bit SimHash
+    (md5-derived per-token bits, ±1 vote per occurrence, bit set iff
+    vote > 0 — identical to simhash64_udf)."""
+    toks = duckdb_tokens_sql(text_col)
+    bit_terms = " + ".join(
+        f"(CASE WHEN SUM(CASE WHEN (h >> {i}) & 1 = 1 THEN 1 ELSE -1 END) > 0"
+        f" THEN {1 << i}::UBIGINT ELSE 0::UBIGINT END)"
+        for i in range(64)
+    )
+    return f"""
+WITH th AS (
+  SELECT {id_col} AS doc_id, ('0x' || substr(md5(tok), 1, 16))::UBIGINT AS h
+  FROM (SELECT {id_col}, unnest({toks}) AS tok FROM documents)
+),
+sig0 AS (SELECT doc_id, ({bit_terms}) AS sig FROM th GROUP BY doc_id),
+sig AS (
+  SELECT d.{id_col} AS doc_id, COALESCE(s.sig, 0::UBIGINT) AS sig
+  FROM documents d LEFT JOIN sig0 s ON s.doc_id = d.{id_col}
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       bit_count(xor(a.sig, b.sig))::INT AS hamming
+FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.sig, b.sig)) <= {max_hamming}
+"""

@@ -113,6 +113,128 @@ def ann_lsh_topk(
     )
 
 
+# ------------------------------------------------------------------ IVF --
+
+def _ivf_centroids(
+    vectors: DataFrame, n_cells: int, id_col: str, vec_col: str
+) -> list[tuple[int, list[float]]]:
+    """Deterministic centroid pick: the embeddings of the n_cells smallest
+    ids (production would run k-means; the assignment/probe plumbing —
+    the part that matters at scale — is identical either way)."""
+    rows = (
+        vectors.select(F.col(id_col).alias("i"), F.col(vec_col).cast("array<double>").alias("v"))
+        .orderBy("i")
+        .limit(n_cells)
+        .collect()
+    )
+    return [(int(r["i"]), [float(x) for x in r["v"]]) for r in rows]
+
+
+def ivf_cell_expr(
+    vec_col: Column, centroids: list[tuple[int, list[float]]]
+) -> Column:
+    """Cell id = argmax-cosine centroid (ties → smallest cid), computed
+    JVM-side against broadcast centroid literals. Cosines rounded to 6
+    decimals so the choice is stable across summation orders (Spark
+    aggregate vs DuckDB list_sum vs numpy)."""
+    structs = [
+        F.struct(
+            F.round(cosine_expr(vec_col, F.array(*[F.lit(x) for x in cv])), 6).alias("c"),
+            F.lit(-cid).alias("ncid"),  # max(-cid) = smallest cid on ties
+        )
+        for cid, cv in centroids
+    ]
+    return (-F.array_max(F.array(*structs))["ncid"]).alias("cell")
+
+
+def ivf_topk(
+    vectors: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    n_cells: int = 8,
+    n_probe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF ANN: coarse-quantize every vector to its nearest centroid cell,
+    probe only the n_probe cells nearest the query, exact cosine top-k
+    within them. The 100 TB path: the table is written partitioned by
+    `cell`, so the probe filter becomes partition pruning and a query
+    scans n_probe/n_cells of the data; centroids are a broadcast literal
+    (no shuffle, no Python)."""
+    cents = _ivf_centroids(vectors, n_cells, id_col, vec_col)
+    qv = [float(x) for x in query_vec]
+
+    def _cos(cv: list[float]) -> float:
+        dot = 0.0
+        na = 0.0
+        nb = 0.0
+        for a, b in zip(cv, qv):
+            dot += a * b
+            na += a * a
+            nb += b * b
+        return round(dot / ((na ** 0.5) * (nb ** 0.5)), 6)
+
+    probe = [
+        cid
+        for cid, _ in sorted(cents, key=lambda c: (-_cos(c[1]), c[0]))[:n_probe]
+    ]
+    emb = F.col(vec_col).cast("array<double>")
+    q = F.array(*[F.lit(x) for x in qv])
+    return (
+        vectors.withColumn("cell", ivf_cell_expr(emb, cents))
+        .where(F.col("cell").isin(probe))
+        .select(
+            F.col(id_col).alias("vec_id"),
+            F.round(cosine_expr(emb, q), ROUND_DECIMALS).alias("cosine"),
+        )
+        .orderBy(F.desc("cosine"), F.asc("vec_id"))
+        .limit(k)
+    )
+
+
+def ivf_topk_sql(
+    query_id: int = 0, k: int = 10, n_cells: int = 8, n_probe: int = 2
+) -> str:
+    """DuckDB twin of ivf_topk with the query vector taken from
+    embeddings[vec_id=query_id] (same deterministic centroids, same
+    round-6 assignment/probe tie rules, same round-4 output)."""
+
+    def cos(a: str, b: str) -> str:
+        return (
+            f"(list_sum(list_transform(list_zip({a}, {b}), p -> p[1] * p[2]))"
+            f" / (sqrt(list_sum(list_transform({a}, x -> x * x)))"
+            f" * sqrt(list_sum(list_transform({b}, x -> x * x)))))"
+        )
+
+    return f"""
+WITH cent AS (
+  SELECT vec_id AS cid, embedding::DOUBLE[] AS cv FROM embeddings
+  ORDER BY vec_id ASC LIMIT {n_cells}
+),
+q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = {query_id}),
+asg AS (
+  SELECT e.vec_id, c.cid,
+         row_number() OVER (
+           PARTITION BY e.vec_id
+           ORDER BY round({cos('e.embedding::DOUBLE[]', 'c.cv')}, 6) DESC, c.cid ASC
+         ) AS rn
+  FROM embeddings e CROSS JOIN cent c
+),
+cell AS (SELECT vec_id, cid FROM asg WHERE rn = 1),
+probe AS (
+  SELECT c.cid FROM cent c, q
+  ORDER BY round({cos('c.cv', 'q.qv')}, 6) DESC, c.cid ASC LIMIT {n_probe}
+)
+SELECT e.vec_id AS vec_id,
+       round({cos('e.embedding::DOUBLE[]', 'q.qv')}, {ROUND_DECIMALS}) AS cosine
+FROM embeddings e
+JOIN cell ON cell.vec_id = e.vec_id, q
+WHERE cell.cid IN (SELECT cid FROM probe)
+ORDER BY cosine DESC, vec_id ASC LIMIT {k}
+"""
+
+
 def embedding_near_dup_pairs(
     vectors: DataFrame,
     threshold: float = 0.95,

@@ -34,14 +34,14 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..index.builder import (
-    _block_builder,
+    _bucket_builder,
     _write_manifest,
     BLOCK_SCHEMA,
     IndexMeta,
     load_attrs,
     read_meta,
 )
-from ..stats import term_freqs
+from ..stats import term_freqs_arrow
 
 
 def append_batch(
@@ -71,7 +71,7 @@ def append_batch(
     # monotonically assigned doc_ids, new docs land in the tail shards and
     # the boundary shift is handled by rebuilding every TOUCHED shard below
     # (staged rows keep their original shard; doc_ids are absolute).
-    staged_new = term_freqs(fresh, "doc_id", text_col).withColumn("shard", shard_expr)
+    staged_new = term_freqs_arrow(fresh, "doc_id", text_col).withColumn("shard", shard_expr)
     staged_new.write.mode("append").partitionBy("shard").parquet(
         os.path.join(out_dir, "_stage", "postings")
     )
@@ -123,8 +123,12 @@ def append_batch(
             F.floor(rel * meta.n_salts / F.lit(shard_span)).cast("int"),
         ),
     ).otherwise(F.lit(0))
-    blocks = part.withColumn("salt", salt).groupBy("shard", "term", "salt").applyInPandas(
-        _block_builder(meta.block_size, float(meta.n_docs), meta.avgdl),
+    part = part.withColumn("salt", salt).withColumn(
+        "tbucket",
+        F.pmod(F.xxhash64("term", "salt"), F.lit(meta.n_buckets)).cast("int"),
+    )
+    blocks = part.groupBy("shard", "tbucket").applyInPandas(
+        _bucket_builder(meta.block_size, float(meta.n_docs), meta.avgdl),
         schema=BLOCK_SCHEMA,
     )
     for s in touched:

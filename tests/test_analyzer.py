@@ -41,3 +41,35 @@ def test_expr_udf_python_equivalence(spark):
             continue  # Catalyst split(NULL) yields NULL — engine never feeds NULL text
         assert r["by_expr"] == expected
         assert r["by_udf"] == expected
+
+
+def test_term_freqs_arrow_matches_catalyst(spark, documents):
+    """The fused Arrow tokenize+tf pass (builder hot path) must produce
+    exactly the (doc_id, term, tf, dl) set of the Catalyst
+    tokenize→explode→groupBy pipeline."""
+    from librecatastro_spark.stats import term_freqs, term_freqs_arrow
+
+    docs = documents.limit(200)
+    a = {
+        (r["doc_id"], r["term"]): (r["tf"], r["dl"])
+        for r in term_freqs_arrow(docs, "doc_id", "text").collect()
+    }
+    b = {
+        (r["doc_id"], r["term"]): (r["tf"], r["dl"])
+        for r in term_freqs(docs, "doc_id", "text").collect()
+    }
+    assert a == b and len(a) > 0
+
+
+def test_token_count_udf_matches_size_expr(spark, documents):
+    from librecatastro_spark.analyzer import token_count_udf
+
+    rows = (
+        documents.limit(200)
+        .select(
+            F.size(tokenize_expr("text")).alias("jvm"),
+            token_count_udf(F.col("text")).alias("py"),
+        )
+        .collect()
+    )
+    assert len(rows) and all(r["jvm"] == r["py"] for r in rows)

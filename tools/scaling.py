@@ -27,6 +27,8 @@ def run(cores: int, sf_dir: str, runs: int) -> dict:
         SPARK_GRAFT_SF_DIR=sf_dir,
         BENCH_RUNS=str(runs),
     )
+    # corpus large enough that work, not fixed overhead, is measured
+    env.setdefault("BENCH_GEN_DOCS", "60000")
     out = subprocess.run(
         [sys.executable, os.path.join(REPO, "bench.py")],
         env=env, capture_output=True, text=True, timeout=3600,
@@ -55,11 +57,17 @@ def main() -> int:
     with open(os.path.join(REPO, "BENCH_SCALING.json"), "w") as fh:
         json.dump(out, fh, indent=2)
 
-    md = f"""# BENCH — scaling evidence ({sf_dir})
+    md = f"""# BENCH — scaling evidence
 
 Protocol (BASELINE.md): identical index-build + golden-query job at
 `local[8]` and `local[32]` on the same input; no real cluster exists in
 this sandbox, so N vs 4N executors is evidenced by N vs 4N local cores.
+Input: deterministic synthetic source-code corpus at the input_hint
+schema, {r8.get('corpus_docs', '?')} docs / {r8.get('corpus_gb', '?')} GB
+(identical bytes at both levels by construction — counter-based
+splitmix64 streams, parallelism-independent). Caveat: this sandbox is a
+shared VM with bursty hypervisor steal time; single-run numbers vary
+±2×, so treat ratios, not absolutes, as the signal.
 
 | metric | local[8] | local[32] |
 |---|---|---|
