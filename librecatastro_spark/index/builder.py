@@ -24,7 +24,7 @@ reference: src/utils/elasticsearch_utils.py:28-30):
 Layout under ``out_dir``::
 
     meta.json                     N, avgdl, n_shards, block_size, …
-    attrs/shard=S/…               doc_id, dl, content_sha256, keyword cols
+    attrs/shard=S/…               doc_id, content_sha256, keyword cols
     term_stats/…                  term, df, cf
     _stage/postings/shard=S/…     doc_id, term, tf, dl
     postings/shard=S/…            term, salt, block_seq, n_docs,
@@ -48,7 +48,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..bm25 import B, K1
-from .codec import encode_block, encode_varbyte
+from .codec import encode_blocks_bulk
 
 BLOCK_SCHEMA = (
     "shard int, term string, salt int, block_seq int, n_docs int, "
@@ -138,7 +138,6 @@ def _bucket_builder(block_size: int, n_docs: float, avgdl: float):
         change[0] = True
         change[1:] = (terms[1:] != terms[:-1]) | (salts[1:] != salts[:-1])
         starts = np.flatnonzero(change)
-        ends = np.concatenate([starts[1:], [n]])
         # all BM25 weights in one vectorized pass (idf varies per run)
         idfs = np.log1p((n_docs - dfs_all + 0.5) / (dfs_all + 0.5))
         dls_f = dls_all.astype(np.float64)
@@ -146,35 +145,31 @@ def _bucket_builder(block_size: int, n_docs: float, avgdl: float):
         w_all = idfs * tfs_f * (K1 + 1.0) / (
             tfs_f + K1 * (1.0 - B + B * dls_f / avgdl)
         )
-        rows = []
-        for s, e in zip(starts, ends):
-            term = terms[s]
-            salt = int(salts[s])
-            idf = float(idfs[s])
-            for seq, lo in enumerate(range(s, e, block_size)):
-                hi = min(lo + block_size, e)
-                docs_enc, tfs_enc = encode_block(doc_ids[lo:hi], tfs_all[lo:hi])
-                # dl travels inside the block (Lucene norms analog) so
-                # scoring needs NO doc-table join/shuffle at query time
-                dls_enc = encode_varbyte(dls_all[lo:hi].astype(np.uint64))
-                rows.append(
-                    (
-                        shard, term, salt, seq, hi - lo,
-                        int(doc_ids[lo]), int(doc_ids[hi - 1]),
-                        docs_enc, tfs_enc, dls_enc, float(w_all[lo:hi].max()),
-                        # idf at build time: incremental appends grow N (idf
-                        # up), so the query-time scorer rescales the bound by
-                        # idf_now / idf_build to keep pruning safe (wand.py).
-                        idf,
-                    )
-                )
+        # dl travels inside the block (Lucene norms analog) so scoring needs
+        # NO doc-table join/shuffle at query time; every stream is encoded
+        # in ONE vectorized pass for the whole bucket (codec bulk path)
+        blk = encode_blocks_bulk(
+            doc_ids, tfs_all, dls_all, w_all, starts, block_size
+        )
+        run_idx = blk["run_idx"]
         return pd.DataFrame(
-            rows,
-            columns=[
-                "shard", "term", "salt", "block_seq", "n_docs",
-                "first_doc_id", "last_doc_id", "docs_enc", "tfs_enc",
-                "dls_enc", "block_max_w", "idf_build",
-            ],
+            {
+                "shard": np.full(len(run_idx), shard, dtype=np.int32),
+                "term": terms[starts[run_idx]],
+                "salt": salts[starts[run_idx]].astype(np.int32),
+                "block_seq": blk["block_seq"].astype(np.int32),
+                "n_docs": blk["n_docs"].astype(np.int32),
+                "first_doc_id": blk["first_doc_id"],
+                "last_doc_id": blk["last_doc_id"],
+                "docs_enc": blk["docs_enc"],
+                "tfs_enc": blk["tfs_enc"],
+                "dls_enc": blk["dls_enc"],
+                "block_max_w": blk["block_max_w"],
+                # idf at build time: incremental appends grow N (idf up), so
+                # the query-time scorer rescales the bound by
+                # idf_now / idf_build to keep pruning safe (wand.py).
+                "idf_build": idfs[starts[run_idx]],
+            }
         )
 
     return fn
@@ -205,7 +200,6 @@ def build_index(
     # ---- stage 1: corpus pass -> staged postings + attrs + term stats ----
     if "stage" not in done:
         t0 = time.time()
-        from ..analyzer import token_count_udf
         from ..stats import term_freqs_arrow
 
         # N first (cheap count; parquet sources answer from footers), so the
@@ -216,27 +210,26 @@ def build_index(
         # whole stage-1 pass. Widen only when under-partitioned — at real
         # scale the scan already yields thousands of partitions and this is
         # a no-op (no shuffle inserted).
-        target_parts = spark.sparkContext.defaultParallelism * 2
+        target_parts = spark.sparkContext.defaultParallelism
         if docs.rdd.getNumPartitions() < target_parts:
-            docs = docs.repartition(target_parts)
+            # range- (not round-robin-) partition on doc_id: shard is itself
+            # a doc_id range, so each task lands in ~1 shard directory and
+            # the partitioned writes emit O(tasks) files, not O(tasks×shards)
+            docs = docs.repartitionByRange(target_parts, F.col("doc_id"))
         shard_expr = F.least(
             F.lit(n_shards - 1),
             F.floor(F.col("doc_id") * n_shards / F.lit(n_docs_total)).cast("int"),
         )
-        # keyword/attr table (the .keyword analog) + per-row sha invariant;
-        # dl via the Arrow tokenizer (one light pass, no shuffle)
+        # keyword/attr table (the .keyword analog) + per-row sha invariant —
+        # a pure projection, NO tokenize (dl lives inside posting blocks;
+        # avgdl is derived below as sum(cf)/N, which equals avg doc length
+        # exactly, so the corpus is tokenized exactly once end-to-end)
         attrs = docs.select(
             F.col(id_col).alias("doc_id"),
-            token_count_udf(F.col(text_col)).alias("dl"),
             *[F.col(c) for c in attr_cols],
         ).withColumn("shard", shard_expr)
         attrs.write.mode("overwrite").partitionBy("shard").parquet(
             os.path.join(out_dir, "attrs")
-        )
-        avgdl = float(
-            spark.read.parquet(os.path.join(out_dir, "attrs"))
-            .agg(F.avg("dl")).collect()[0][0]
-            or 0.0
         )
         # the ONE heavy pass: fused Arrow tokenize + per-doc tf aggregation
         # (map-side, shuffle-free — see term_freqs_arrow). Its output IS the
@@ -251,6 +244,11 @@ def build_index(
         staged_r.groupBy("term").agg(
             F.count(F.lit(1)).alias("df"), F.sum("tf").alias("cf")
         ).write.mode("overwrite").parquet(os.path.join(out_dir, "term_stats"))
+        total_tokens = (
+            spark.read.parquet(os.path.join(out_dir, "term_stats"))
+            .agg(F.sum("cf")).collect()[0][0]
+        )
+        avgdl = float(total_tokens or 0) / n_docs_total if n_docs_total else 0.0
         meta = IndexMeta(
             n_docs=n_docs_total,
             avgdl=avgdl,

@@ -96,3 +96,81 @@ def decode_block(docs_enc: bytes, tfs_enc: bytes) -> tuple[np.ndarray, np.ndarra
         delta_decode(decode_varbyte(docs_enc)),
         decode_varbyte(tfs_enc).astype(np.int64),
     )
+
+
+def _encode_varbyte_sliced(values: np.ndarray, slice_starts: np.ndarray) -> list[bytes]:
+    """Varbyte-encode ONE array, return it pre-sliced at the given value
+    boundaries. One numpy pass for arbitrarily many blocks — the bulk path
+    that replaces per-block encode calls (each ~50 µs of numpy dispatch
+    overhead; a 10M-posting shard has ~80k blocks × 3 streams)."""
+    v = np.ascontiguousarray(values, dtype=_U64)
+    if len(v) == 0:
+        return []
+    nb = _byte_lengths(v)
+    ends = np.cumsum(nb)
+    starts = ends - nb
+    out = np.zeros(int(ends[-1]), dtype=np.uint8)
+    max_nb = int(nb.max())
+    for j in range(max_nb):
+        mask = nb > j
+        shift = ((nb[mask] - 1 - j) * 7).astype(np.uint64)
+        out[starts[mask] + j] = ((v[mask] >> shift) & _U64(0x7F)).astype(np.uint8)
+        cont = mask & (nb - 1 > j)
+        out[starts[cont] + j] |= 0x80
+    buf = out.tobytes()
+    # byte offset where each slice begins
+    b_starts = np.append(starts[slice_starts], int(ends[-1]))
+    return [buf[b_starts[i]:b_starts[i + 1]] for i in range(len(slice_starts))]
+
+
+def encode_blocks_bulk(
+    doc_ids: np.ndarray,
+    tfs: np.ndarray,
+    dls: np.ndarray,
+    weights: np.ndarray,
+    run_starts: np.ndarray,
+    block_size: int,
+) -> dict[str, object]:
+    """Chunk many (term, salt) posting runs into fixed-size blocks and
+    encode every stream in ONE vectorized pass each.
+
+    Inputs are the full sorted bucket group: ``run_starts`` marks where a
+    new (term, salt) run begins (position indices, first must be 0).
+    Returns per-block columns: run_idx (index into run_starts), block_seq,
+    n_docs, first/last doc id, docs_enc / tfs_enc / dls_enc bytes, and
+    block_max_w. Byte-identical to per-block encode_block output
+    (equality-tested)."""
+    n = len(doc_ids)
+    ids = np.ascontiguousarray(doc_ids, dtype=np.int64)
+    run_starts = np.ascontiguousarray(run_starts, dtype=np.int64)
+    run_ends = np.append(run_starts[1:], n)
+    pos_in_run = np.arange(n, dtype=np.int64) - np.repeat(
+        run_starts, run_ends - run_starts
+    )
+    # block start positions: every position where pos_in_run % block_size == 0
+    blk_starts = np.flatnonzero(pos_in_run % block_size == 0)
+    blk_ends = np.append(blk_starts[1:], n)
+    # delta with absolute value at every block start
+    deltas = np.empty(n, dtype=np.int64)
+    deltas[0] = ids[0]
+    np.subtract(ids[1:], ids[:-1], out=deltas[1:])
+    deltas[blk_starts] = ids[blk_starts]
+    inner = np.ones(n, dtype=bool)
+    inner[blk_starts] = False
+    if inner.any() and deltas[inner].min() <= 0:
+        raise ValueError("doc ids must be strictly increasing within a block")
+    return {
+        "run_idx": np.searchsorted(run_starts, blk_starts, side="right") - 1,
+        "block_seq": (pos_in_run[blk_starts] // block_size).astype(np.int64),
+        "n_docs": (blk_ends - blk_starts).astype(np.int64),
+        "first_doc_id": ids[blk_starts],
+        "last_doc_id": ids[blk_ends - 1],
+        "docs_enc": _encode_varbyte_sliced(deltas.astype(_U64), blk_starts),
+        "tfs_enc": _encode_varbyte_sliced(
+            np.ascontiguousarray(tfs, dtype=_U64), blk_starts
+        ),
+        "dls_enc": _encode_varbyte_sliced(
+            np.ascontiguousarray(dls, dtype=_U64), blk_starts
+        ),
+        "block_max_w": np.maximum.reduceat(weights, blk_starts),
+    }

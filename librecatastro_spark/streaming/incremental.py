@@ -88,6 +88,7 @@ def append_batch(
         salt_threshold=meta.salt_threshold,
         n_salts=meta.n_salts,
         attr_cols=meta.attr_cols,
+        n_buckets=meta.n_buckets,
     )
     with open(os.path.join(out_dir, "meta.json"), "w") as fh:
         json.dump(meta.__dict__, fh)
@@ -95,9 +96,10 @@ def append_batch(
         F.count(F.lit(1)).alias("df"), F.sum("tf").alias("cf")
     ).write.mode("overwrite").parquet(os.path.join(out_dir, "term_stats"))
 
-    # rebuild attrs (append only the new docs' rows)
+    # rebuild attrs (append only the new docs' rows; attrs carries keyword
+    # columns only — dl lives inside the posting blocks)
     new_attrs = (
-        staged_new.groupBy("shard", "doc_id").agg(F.first("dl").alias("dl"))
+        staged_new.select("shard", "doc_id").distinct()
         .join(fresh.select("doc_id", *meta.attr_cols), "doc_id")
     )
     new_attrs.write.mode("append").partitionBy("shard").parquet(

@@ -147,4 +147,5 @@ def test_attrs_table_complete(spark, corpus, built):
     attrs = load_attrs(spark, out)
     assert attrs.count() == 300
     assert attrs.select(F.countDistinct("doc_id")).collect()[0][0] == 300
-    assert set(attrs.columns) >= {"doc_id", "dl", "repo", "path", "lang", "content_sha256", "shard"}
+    # dl deliberately absent: doc lengths travel inside the posting blocks
+    assert set(attrs.columns) >= {"doc_id", "repo", "path", "lang", "content_sha256", "shard"}

