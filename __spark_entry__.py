@@ -285,6 +285,18 @@ def _q_grid_lattice(spark, sf):
 # --- compressed-index / block-max WAND path (B14) — same oracles as the
 # --- exact path: the driver's hash compare IS the rank-identity gate.
 
+def _q_fastpath_match(spark, sf):
+    # coordinator fast path: same numpy kernel as the distributed WAND
+    # path, driven by pyarrow row-group-pruned reads on the driver; gated
+    # by the same DuckDB oracle as the distributed match query
+    idx = _index(spark, sf)
+    pdf = idx.search_local("spark join merge", k=10)
+    return spark.createDataFrame(
+        [(int(r.doc_id), float(r.score)) for r in pdf.itertuples()],
+        "doc_id long, score double",
+    )
+
+
 def _q_wand_match(spark, sf):
     return _index(spark, sf).search("spark join merge", k=10)
 
@@ -636,6 +648,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_stats": _q_doc_stats,
         "token_count": _q_token_count,
         "wand_match_topk": _q_wand_match,
+        "fastpath_match_topk": _q_fastpath_match,
         "wand_bool_must": _q_wand_bool_must,
         "wand_must_not": _q_wand_must_not,
         "wand_keyword_filter": _q_wand_filtered,
@@ -736,6 +749,7 @@ SELECT count(*)::BIGINT AS n_docs, round(avg(dl), {ROUND_DECIMALS}) AS avgdl FRO
 SELECT doc_id, len({duckdb_tokens_sql('text')})::INT AS n_tokens FROM documents
 """,
         "wand_match_topk": _bm25_oracle("spark join merge", k=10),
+        "fastpath_match_topk": _bm25_oracle("spark join merge", k=10),
         "wand_bool_must": _bm25_oracle("table window batch", k=10, require_all=True),
         "wand_must_not": _bm25_oracle("spark", k=10, must_not_text="window"),
         "wand_keyword_filter": _bm25_oracle("merge sort", k=10, filters={"source": "src3"}),

@@ -67,7 +67,10 @@ def main() -> None:
     spark = get_spark("bench", cores=cores, shuffle_partitions=cores)
 
     # ---- corpus (untimed): deterministic synthetic @ input_hint schema ----
-    corpus_dir = os.path.join(work, "corpus")
+    # BENCH_CORPUS_DIR shares the corpus across reps/parallelism levels —
+    # sound because generation is a pure function of (n_docs, seed),
+    # byte-identical at any core count
+    corpus_dir = os.environ.get("BENCH_CORPUS_DIR") or os.path.join(work, "corpus")
     if not os.path.isdir(corpus_dir):
         docs = assign_doc_ids(generate_corpus(spark, n_docs, partitions=cores * 2))
         docs.write.mode("overwrite").parquet(corpus_dir)

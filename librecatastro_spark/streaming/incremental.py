@@ -136,7 +136,9 @@ def append_batch(
     for s in touched:
         blocks.where(F.col("shard") == s).sortWithinPartitions(
             "term", "salt", "block_seq"
-        ).write.mode("overwrite").parquet(os.path.join(out_dir, "postings", f"shard={s}"))
+        ).write.mode("overwrite").option(
+            "parquet.block.size", str(1 << 20)  # tight row groups → term pruning
+        ).parquet(os.path.join(out_dir, "postings", f"shard={s}"))
     _write_manifest(
         out_dir, f"incr_{int(time.time() * 1000)}",
         docs_added=n_new, shards=touched,

@@ -1,0 +1,64 @@
+"""Coordinator fast path (CompressedIndex.search_local): rank-identity
+with the distributed Spark path on every golden query shape.
+
+The fast path runs the SAME per-shard numpy kernel over pyarrow
+row-group-pruned reads on the driver — the ES query-node analog — so
+(doc_id, score) lists must match the Spark path exactly.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from librecatastro_spark.index.builder import build_index
+from librecatastro_spark.engine.wand import CompressedIndex
+
+GOLDEN = [
+    dict(text="spark join merge", k=10),
+    dict(text="query", k=10, must_not_text="window"),
+    dict(text="batch stream line", k=10, require_all=True),
+    dict(text="query scan", k=10, filters={"lang": "en"}),
+    dict(text="query scan", k=10, prefix=("source", "src1")),
+    dict(text="spark join", k=10, should_text="window"),
+    dict(text="spark join merge", k=5, offset=5),
+    dict(text="table value", k=100),
+]
+
+
+@pytest.fixture(scope="module")
+def index(spark, documents, tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("fastpath") / "idx")
+    build_index(
+        spark, documents, out, id_col="doc_id", text_col="text",
+        attr_cols=("lang", "source"), n_shards=4, shards_per_job=4,
+        salt_threshold=500, n_salts=4, resume=False,
+    )
+    return CompressedIndex(spark, out)
+
+
+def _spark_rows(index, q):
+    q = dict(q)
+    k = q.pop("k")
+    text = q.pop("text")
+    return [
+        (r["doc_id"], r["score"])
+        for r in index.search(text, k=k, **q).collect()
+    ]
+
+
+def _local_rows(index, q):
+    q = dict(q)
+    k = q.pop("k")
+    text = q.pop("text")
+    pdf = index.search_local(text, k=k, **q)
+    return list(zip(pdf["doc_id"].tolist(), pdf["score"].tolist()))
+
+
+@pytest.mark.parametrize("qi", range(len(GOLDEN)))
+def test_fastpath_rank_identical(index, qi):
+    q = GOLDEN[qi]
+    assert _local_rows(index, q) == _spark_rows(index, q)
+
+
+def test_fastpath_nonempty(index):
+    assert len(_local_rows(index, GOLDEN[0])) == 10

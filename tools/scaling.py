@@ -1,13 +1,15 @@
 """Two-parallelism-level scaling evidence (north_rule: efficiency ≥ 0.8
-between N and 4N executors; evidenced here as local[8] vs local[32] on the
-same input, per BASELINE.md protocol).
+between N and 4N executors; evidenced here as local[N] vs local[4N] on the
+same input, per BASELINE.md protocol — default 8 vs 32, overridable to
+e.g. 2 vs 8 where the larger level would exceed the host's effective
+(steal-free) core count).
 
 Runs bench.py at both levels in fresh subprocesses (one JVM each), checks
 the determinism fingerprint matches, computes
     eff = (throughput@32 / throughput@8) / 4
 and writes the table into BENCH.md (+ raw JSON to BENCH_SCALING.json).
 
-Usage: python tools/scaling.py [sf_dir]
+Usage: python tools/scaling.py [sf_dir] [n_small] [n_large]
 """
 
 from __future__ import annotations
@@ -33,6 +35,23 @@ def run(cores: int, sf_dir: str, runs: int) -> dict:
     )
     # corpus large enough that work, not fixed overhead, is measured
     env.setdefault("BENCH_GEN_DOCS", "120000")
+    # one shared corpus across reps AND levels (deterministic generation),
+    # so no rep pays generation and both levels read identical bytes
+    env.setdefault(
+        "BENCH_CORPUS_DIR",
+        f"/tmp/lc_bench_corpus_{env['BENCH_GEN_DOCS']}",
+    )
+    if not os.path.isdir(env["BENCH_CORPUS_DIR"]):
+        gen = (
+            "import sys; sys.path.insert(0, %r); "
+            "from librecatastro_spark.session import get_spark; "
+            "from librecatastro_spark.corpus import assign_doc_ids, generate_corpus; "
+            "s = get_spark('gen', cores=32, shuffle_partitions=32); "
+            "assign_doc_ids(generate_corpus(s, %d, partitions=64))"
+            ".write.mode('overwrite').parquet(%r)"
+            % (REPO, int(env["BENCH_GEN_DOCS"]), env["BENCH_CORPUS_DIR"])
+        )
+        subprocess.run([sys.executable, "-c", gen], check=True, timeout=3600)
     reps = int(os.environ.get("BENCH_SCALING_REPS", "2"))
     best = None
     for _ in range(reps):
@@ -51,17 +70,20 @@ def run(cores: int, sf_dir: str, runs: int) -> dict:
 
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    n_small = int(sys.argv[2]) if len(sys.argv) > 2 else 8
+    n_large = int(sys.argv[3]) if len(sys.argv) > 3 else 4 * n_small
     runs = int(os.environ.get("BENCH_RUNS", "10"))
-    r8 = run(8, sf_dir, runs)
-    r32 = run(32, sf_dir, runs)
-    eff = (r32["build_gb_per_hr"] / r8["build_gb_per_hr"]) / 4.0
+    r8 = run(n_small, sf_dir, runs)
+    r32 = run(n_large, sf_dir, runs)
+    ratio = n_large / n_small
+    eff = (r32["build_gb_per_hr"] / r8["build_gb_per_hr"]) / ratio
     det = r8["results_sha"] == r32["results_sha"]
     q8 = sum(v for k, v in r8["queries"].items() if k != "build_index")
     q32 = sum(v for k, v in r32["queries"].items() if k != "build_index")
     out = {
         "sf_dir": sf_dir,
-        "local8": r8,
-        "local32": r32,
+        f"local{n_small}": r8,
+        f"local{n_large}": r32,
         "build_scaling_efficiency": round(eff, 3),
         "query_suite_speedup": round(q8 / q32, 3) if q32 else None,
         "deterministic_across_levels": det,
@@ -72,8 +94,9 @@ def main() -> int:
     md = f"""# BENCH — scaling evidence
 
 Protocol (BASELINE.md): identical index-build + golden-query job at
-`local[8]` and `local[32]` on the same input; no real cluster exists in
-this sandbox, so N vs 4N executors is evidenced by N vs 4N local cores.
+`local[{n_small}]` and `local[{n_large}]` on the same input (N vs
+{ratio:g}N cores); no real cluster exists in this sandbox, so N vs 4N
+executors is evidenced by N vs 4N local cores.
 Input: deterministic synthetic source-code corpus at the input_hint
 schema, {r8.get('corpus_docs', '?')} docs / {r8.get('corpus_gb', '?')} GB
 (identical bytes at both levels by construction — counter-based
@@ -81,7 +104,7 @@ splitmix64 streams, parallelism-independent). Caveat: this sandbox is a
 shared VM with bursty hypervisor steal time; single-run numbers vary
 ±2×, so treat ratios, not absolutes, as the signal.
 
-| metric | local[8] | local[32] |
+| metric | local[{n_small}] | local[{n_large}] |
 |---|---|---|
 | index build (s) | {r8['build_sec']} | {r32['build_sec']} |
 | build throughput (GB/hr) | {r8['build_gb_per_hr']} | {r32['build_gb_per_hr']} |
@@ -89,8 +112,8 @@ shared VM with bursty hypervisor steal time; single-run numbers vary
 | query suite total (s) | {round(q8, 3)} | {round(q32, 3)} |
 | results fingerprint | `{r8['results_sha']}` | `{r32['results_sha']}` |
 
-**Build scaling efficiency (throughput@32 / throughput@8) / 4 =
-{round(eff, 3)}** (target ≥ 0.8).
+**Build scaling efficiency (throughput@{n_large} / throughput@{n_small})
+/ {ratio:g} = {round(eff, 3)}** (target ≥ 0.8).
 
 **Determinism across parallelism levels:** {'IDENTICAL results' if det else 'MISMATCH (bug!)'} —
 both levels return byte-identical (doc_id, score) lists over the full
@@ -101,8 +124,8 @@ Raw per-query numbers: `BENCH_SCALING.json`.
 """
     with open(os.path.join(REPO, "BENCH.md"), "w") as fh:
         fh.write(md)
-    print(json.dumps(out["local8"]))
-    print(json.dumps(out["local32"]))
+    print(json.dumps(r8))
+    print(json.dumps(r32))
     print(f"efficiency={eff:.3f} deterministic={det}")
     return 0 if det else 1
 
