@@ -36,7 +36,7 @@ def _index(spark: SparkSession, sf_dir: str) -> CompressedIndex:
 
     src = f"{sf_dir}/documents.parquet"
     mtime = int(os.path.getmtime(src)) if os.path.exists(src) else 0
-    key = hashlib.sha256(f"{sf_dir}:{mtime}:v2".encode()).hexdigest()[:16]
+    key = hashlib.sha256(f"{sf_dir}:{mtime}:v3".encode()).hexdigest()[:16]
     out = os.path.join("/tmp", f"lc_index_{key}")
     docs = _docs(spark, sf_dir).withColumn(
         "content_sha256", F.sha2(F.col("text"), 256)
@@ -393,9 +393,15 @@ def _q_cosine_topk(spark, sf):
 
 
 def _q_emb_near_dup(spark, sf):
-    from librecatastro_spark.ops.similarity import brute_force_pairs
+    # scale path: banded hyperplane-LSH candidate equi-join + exact cosine
+    # verify (NO cartesian join in the plan); the brute-force cross product
+    # is the oracle. Recall-complete at this gate per the band math +
+    # pytest (see embedding_near_dup_banded docstring).
+    from librecatastro_spark.ops.similarity import embedding_near_dup_banded
 
-    return brute_force_pairs(_emb(spark, sf), threshold=0.4)
+    return embedding_near_dup_banded(
+        _emb(spark, sf), threshold=0.4, n_planes=16, bands=8
+    )
 
 
 def _q_ann_lsh(spark, sf):
@@ -434,11 +440,14 @@ def _q_simhash_near(spark, sf):
 
 
 def _q_multimodal_features(spark, sf):
-    # multimodal plumbing: binary payload → fixed-dim feature vector over
-    # mapInPandas (deterministic fake encoder; rows-only check)
-    from librecatastro_spark.ops.multimodal import extract_features, synthetic_media
+    # multimodal plumbing: binary payload → feature values over mapInPandas
+    # (deterministic sha256-derived fake encoder). Emitted as one row per
+    # (media_id, dim) with an exact-dyadic float64 value so the driver can
+    # canonicalize (list columns can't be hash-compared) and DuckDB can
+    # recompute it exactly (A13 analog; reference parser_html.py:172-232).
+    from librecatastro_spark.ops.multimodal import feature_rows, synthetic_media
 
-    return extract_features(synthetic_media(spark, 64))
+    return feature_rows(synthetic_media(spark, 64))
 
 
 def _q_frame_sample(spark, sf):
@@ -472,7 +481,7 @@ def _q_incremental_search(spark, sf):
 
     src = f"{sf}/documents.parquet"
     mtime = int(os.path.getmtime(src)) if os.path.exists(src) else 0
-    key = hashlib.sha256(f"{sf}:{mtime}:incr_v1".encode()).hexdigest()[:16]
+    key = hashlib.sha256(f"{sf}:{mtime}:incr_v2".encode()).hexdigest()[:16]
     out = os.path.join("/tmp", f"lc_incr_{key}")
     docs = _docs(spark, sf)
     n = docs.count()
@@ -599,35 +608,159 @@ def _q_polygon_filter(spark, sf):
     return points_in_polygon(_synth_points(spark, sf), _SQUARE).select("c_custkey")
 
 
-def _q_address_extract(spark, sf):
-    # A14 regex field-extraction suite over reference-format address strings
-    from librecatastro_spark.ops.address import (
-        extract_city,
-        extract_cp,
-        extract_province,
-    )
-
+def _addr_fixture(spark, sf) -> DataFrame:
+    """Reference-format address strings synthesized from customer/nation:
+    even custkeys urban ('CL … Es:/Pl:/Pt: … CP CITY (PROV)'), odd rural
+    ('Polígono … Parcela … (PROV)', no CP) — the two shapes the
+    reference's Address parser handles (address.py:51-153)."""
     cust = _t(spark, sf, "customer")
     nation = _t(spark, sf, "nation")
-    addr = F.concat(
+    k = F.col("c_custkey")
+    urban = F.concat(
         F.lit("CL "), F.col("c_mktsegment"), F.lit(" "),
-        (F.col("c_custkey") % 100).cast("string"), F.lit(" "),
-        F.lpad(((F.col("c_custkey") * 37) % 100000).cast("string"), 5, "0"),
-        F.lit(" CITY"), (F.col("c_custkey") % 50).cast("string"),
+        (k % 100).cast("string"),
+        F.lit(" Es:"), ((k % 3) + 1).cast("string"),
+        F.lit(" Pl:0"), (k % 9).cast("string"),
+        F.lit(" Pt:"), F.substr(F.lit("ABCD"), (k % 4 + 1).cast("int"), F.lit(1)),
+        F.lit(" "), F.lpad(((k * 37) % 100000).cast("string"), 5, "0"),
+        F.lit(" CITY"), (k % 50).cast("string"),
         F.lit(" ("), F.col("n_name"), F.lit(")"),
     )
-    df = cust.join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey).select(
-        "c_custkey", addr.alias("full_address")
+    rural = F.concat(
+        F.lit("Polígono "), ((k % 90) + 1).cast("string"),
+        F.lit(" Parcela "), ((k * 13) % 999 + 1).cast("string"),
+        F.lit(" DISEMINADO ("), F.col("n_name"), F.lit(")"),
     )
+    return cust.join(
+        F.broadcast(nation), cust.c_nationkey == nation.n_nationkey
+    ).select(
+        "c_custkey",
+        F.when(k % 2 == 0, urban).otherwise(rural).alias("full_address"),
+    )
+
+
+_ADDR_SRC_SQL = """
+_addr_src AS (
+  SELECT c_custkey,
+         CASE WHEN c_custkey % 2 = 0 THEN
+           'CL ' || c_mktsegment || ' ' || (c_custkey % 100)::VARCHAR
+           || ' Es:' || ((c_custkey % 3) + 1)::VARCHAR
+           || ' Pl:0' || (c_custkey % 9)::VARCHAR
+           || ' Pt:' || substring('ABCD', (c_custkey % 4)::INT + 1, 1)
+           || ' ' || lpad(((c_custkey * 37) % 100000)::VARCHAR, 5, '0')
+           || ' CITY' || (c_custkey % 50)::VARCHAR
+           || ' (' || n_name || ')'
+         ELSE
+           'Polígono ' || ((c_custkey % 90) + 1)::VARCHAR
+           || ' Parcela ' || ((c_custkey * 13) % 999 + 1)::VARCHAR
+           || ' DISEMINADO (' || n_name || ')'
+         END AS full_address
+  FROM customer JOIN nation ON c_nationkey = n_nationkey
+)
+"""
+
+
+def _q_address_extract(spark, sf):
+    # A14 FULL 13-field regex extraction suite (reference address.py:16-196:
+    # '####'/CP line split, first-line-scoped Es:/Pl:/Pt:/Polígono/Parcela,
+    # second-line-scoped cp/province/city-residual)
+    from librecatastro_spark.ops.address import parse_address
+
+    df = _addr_fixture(spark, sf)
+    a = parse_address("full_address")
     return df.select(
         "c_custkey",
-        extract_cp("full_address").alias("cp"),
-        extract_province("full_address").alias("province"),
-        extract_city("full_address").alias("city"),
+        F.col("full_address"),
+        *[a[f].alias(f) for f in (
+            "first_line", "second_line", "street", "cp", "city",
+            "province_parentheses", "province", "doorway", "floor", "door",
+            "site", "lot",
+        )],
     )
+
+
+def _q_coalesce_fallback(spark, sf):
+    # A27 fan-out with per-element fallback lookup: per order ("parcela"),
+    # fan out to its lineitems ("multiparcela"), resolve each part by id in
+    # the primary dim, fall back to the secondary lookup when absent —
+    # coalesce of two broadcast left joins (reference parser_xml.py:87-124
+    # try-fetch-by-id-except-fetch-by-address)
+    li = _t(spark, sf, "lineitem").where(F.col("l_orderkey") < 200)
+    part = _t(spark, sf, "part")
+    primary = part.where(F.col("p_size") >= 25).select(
+        F.col("p_partkey").alias("pk1"), F.col("p_name").alias("name1")
+    )
+    fallback = part.select(
+        F.col("p_partkey").alias("pk2"), F.col("p_name").alias("name2")
+    )
+    return (
+        li.join(F.broadcast(primary), li.l_partkey == F.col("pk1"), "left")
+        .join(F.broadcast(fallback), li.l_partkey == F.col("pk2"), "left")
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            F.coalesce("name1", "name2").alias("p_name"),
+            F.col("name1").isNull().alias("used_fallback"),
+        )
+    )
+
+
+def _q_geohash_join(spark, sf):
+    # A8/B12 reverse-geo bucket join: probe points → geohash cell → equi-
+    # join against the geohashed point table (no cartesian; broadcast
+    # probes). Geohash equality at precision 4 ≡ equality of the quantized
+    # (qx, qy) pair, which is how the DuckDB twin computes it.
+    from librecatastro_spark.ops.geo import make_geohash_udf
+
+    gh = make_geohash_udf(4)
+    pts = _synth_points(spark, sf).withColumn(
+        "gh", gh(F.col("lon"), F.col("lat"))
+    )
+    probes = pts.where(F.col("c_custkey") <= 5).select(
+        F.col("c_custkey").alias("probe_key"), "gh"
+    )
+    return F.broadcast(probes).join(pts, "gh").select(
+        "probe_key", F.col("c_custkey").alias("match_key")
+    )
+
+
+def _q_nested_reform(spark, sf):
+    # B13 TWO-LEVEL nested-doc semantics: constructions = array of
+    # struct(line, reform{type, year}) — the reference's
+    # construction.reform{type,year} shape (construction.py:9-19,
+    # reform.py:7-13); predicate must hold on the INNER struct of a single
+    # array element (F.exists with nested field access)
+    li = _t(spark, sf, "lineitem")
+    nested = li.groupBy("l_orderkey").agg(
+        F.collect_list(
+            F.struct(
+                F.col("l_linenumber").alias("line"),
+                F.struct(
+                    F.col("l_returnflag").alias("type"),
+                    F.year("l_shipdate").alias("year"),
+                ).alias("reform"),
+            )
+        ).alias("constructions")
+    )
+    return nested.where(
+        F.exists(
+            "constructions",
+            lambda x: (x["reform"]["type"] == "R") & (x["reform"]["year"] >= 2001),
+        )
+    ).select(F.col("l_orderkey").alias("orderkey"))
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    """Exactly 50 entries — the driver's correctness file records at most
+    50, so the gate set is curated (round 1 proved entries 51+ silently
+    fall off). Five round-1 entries moved to extra_queries(), each
+    subsumed by a surviving check: bm25_offset_page2 (B10 ↔
+    wand_offset_page2), content_sha256 + doc_stats (↔
+    sha_invariant_corpus_index / every rank-identical BM25 query),
+    minhash_signatures (signature math re-verified inside
+    dedup_minhash_lsh's oracle), simhash16 (↔ simhash_near_dup). All five
+    remain pytest-covered and oracle-checkable via tools/check_oracle.py
+    --extra."""
     return {
         "bm25_match_topk": _q_match,
         "bm25_bool_must": _q_bool_must,
@@ -635,9 +768,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_keyword_filter": _q_keyword,
         "bm25_prefix_filter": _q_prefix,
         "bm25_should_boost": _q_should_boost,
-        "bm25_offset_page2": _q_offset_page,
         "term_prefix_match": _q_term_prefix,
-        "content_sha256": _q_content_sha,
         "sha_invariant_corpus_index": _q_sha_invariant,
         "scalar_encode_b64_json": _q_scalar_encode,
         "sample_search_det": _q_sample_search,
@@ -645,7 +776,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "flagship_dedup_exists": _q_dedup_exists,
         "hits_total_match": _q_hits_total,
         "term_stats_top20": _q_term_stats,
-        "doc_stats": _q_doc_stats,
         "token_count": _q_token_count,
         "wand_match_topk": _q_wand_match,
         "fastpath_match_topk": _q_fastpath_match,
@@ -661,8 +791,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": _q_exact_dedup,
         "dedup_ngram_jaccard": _q_jaccard,
         "dedup_minhash_lsh": _q_minhash_lsh,
-        "minhash_signatures": _q_minhash_sig,
-        "simhash16": _q_simhash16,
         "embedding_cosine_topk": _q_cosine_topk,
         "embedding_near_dup": _q_emb_near_dup,
         "ann_lsh_topk": _q_ann_lsh,
@@ -676,11 +804,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "upsert_last_write_wins": _q_latest_event,
         "topk_orders": _q_topk_orders,
         "nested_exists": _q_nested_exists,
+        "nested_reform_exists": _q_nested_reform,
         "q1_pricing_summary": _q_q1_pricing,
         "revenue_per_nation": _q_revenue_per_nation,
         "geo_cell_agg": _q_geo_cell_agg,
+        "geohash_bucket_join": _q_geohash_join,
         "polygon_filter": _q_polygon_filter,
         "address_extract": _q_address_extract,
+        "coalesce_fallback_lookup": _q_coalesce_fallback,
+    }
+
+
+def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    """Implemented-and-oracled queries beyond the driver's 50-entry cap
+    (see queries() docstring). tools/check_oracle.py --extra gates them."""
+    return {
+        "bm25_offset_page2": _q_offset_page,
+        "content_sha256": _q_content_sha,
+        "doc_stats": _q_doc_stats,
+        "minhash_signatures": _q_minhash_sig,
+        "simhash16": _q_simhash16,
     }
 
 
@@ -768,6 +911,21 @@ SELECT doc_id, 1.0::DOUBLE AS score FROM (
     }
 
 
+def _address_extract_oracle() -> str:
+    from librecatastro_spark.ops.address import (
+        _sql_lines,
+        address_fields_sql,
+        city_base_sql,
+    )
+
+    return f"""
+WITH {_ADDR_SRC_SQL},
+{_sql_lines('full_address').strip().rstrip()}
+, base AS (SELECT *, {city_base_sql()} AS _city_base FROM split)
+SELECT c_custkey, full_address, {address_fields_sql()} FROM base
+"""
+
+
 def _ops_oracles() -> dict[str, str]:
     from librecatastro_spark.ops.dedup import (
         exact_duplicates_sql,
@@ -776,7 +934,7 @@ def _ops_oracles() -> dict[str, str]:
         simhash16_sql,
         simhash_near_pairs_sql,
     )
-    from librecatastro_spark.ops.similarity import ivf_topk_sql
+    from librecatastro_spark.ops.similarity import ann_lsh_topk_sql, ivf_topk_sql
     from librecatastro_spark.ops.text import (
         fingerprint_sql,
         lang_id_sql,
@@ -803,6 +961,9 @@ def _ops_oracles() -> dict[str, str]:
             f"SELECT doc_id, {fingerprint_sql('text')} AS fingerprint FROM documents"
         ),
         "ann_ivf_topk": ivf_topk_sql(query_id=0, k=10, n_cells=8, n_probe=2),
+        # LSH twin: the seeded hyperplanes frozen as SQL literals (same
+        # pattern as the IVF oracle) — closes the r1 no_oracle gap
+        "ann_lsh_topk": ann_lsh_topk_sql(query_id=0, k=10, dim=64, n_planes=6, seed=13),
         "embedding_cosine_topk": f"""
 WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0)
 SELECT e.vec_id AS vec_id, {cos.format(b='q.qv')} AS cosine
@@ -867,18 +1028,53 @@ SELECT c_custkey FROM (
   FROM customer
 ) WHERE lon > -50.05 AND lon < 50.05 AND lat > -20.05 AND lat < 20.05
 """,
-        "address_extract": """
-WITH t AS (
+        "address_extract": _address_extract_oracle(),
+        "multimodal_features": """
+WITH m AS (
+  SELECT i,
+         'm' || lpad(i::VARCHAR, 4, '0') AS media_id,
+         CASE i % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+         sha256(repeat(sha256('media' || i::VARCHAR), 4)) AS h
+  FROM generate_series(0, 63) t(i)
+),
+d AS (SELECT j FROM generate_series(0, 15) t(j))
+SELECT media_id, kind, j::INT AS dim,
+       (  ('0x' || substring(h, 2*((4*j)%32) + 1, 2))::BIGINT
+        + ('0x' || substring(h, 2*((4*j)%32+1) + 1, 2))::BIGINT * 256
+        + ('0x' || substring(h, 2*((4*j)%32+2) + 1, 2))::BIGINT * 65536
+        + ('0x' || substring(h, 2*((4*j)%32+3) + 1, 2))::BIGINT * 16777216
+       ) / 2147483648.0 - 1.0 AS value
+FROM m, d
+""",
+        "nested_reform_exists": """
+SELECT DISTINCT l_orderkey AS orderkey FROM lineitem
+WHERE l_returnflag = 'R' AND year(l_shipdate) >= 2001
+""",
+        "geohash_bucket_join": """
+WITH p AS (
   SELECT c_custkey,
-         'CL ' || c_mktsegment || ' ' || (c_custkey % 100)::VARCHAR || ' '
-         || lpad(((c_custkey * 37) % 100000)::VARCHAR, 5, '0')
-         || ' CITY' || (c_custkey % 50)::VARCHAR || ' (' || n_name || ')' AS full_address
-  FROM customer JOIN nation ON c_nationkey = n_nationkey
+         (c_custkey % 3600) / 10.0 - 180.0 AS lon,
+         ((c_custkey * 7) % 1800) / 10.0 - 90.0 AS lat
+  FROM customer
+),
+q AS (
+  SELECT c_custkey,
+         least(floor((lon + 180.0) / 360.0 * 1024.0), 1023)::BIGINT AS qx,
+         least(floor((lat + 90.0) / 180.0 * 1024.0), 1023)::BIGINT AS qy
+  FROM p
 )
-SELECT c_custkey,
-       nullif(regexp_extract(full_address, '([0-9]{5})', 1), '') AS cp,
-       nullif(regexp_extract(full_address, '\\(([^)]+)\\)', 1), '') AS province,
-       nullif(trim(regexp_extract(full_address, '([0-9]{5})([^(]*)', 2)), '') AS city
-FROM t
+SELECT a.c_custkey AS probe_key, b.c_custkey AS match_key
+FROM q a JOIN q b ON a.qx = b.qx AND a.qy = b.qy
+WHERE a.c_custkey <= 5
+""",
+        "coalesce_fallback_lookup": """
+SELECT l_orderkey, l_linenumber,
+       coalesce(p1.p_name, p2.p_name) AS p_name,
+       p1.p_name IS NULL AS used_fallback
+FROM lineitem
+LEFT JOIN (SELECT p_partkey, p_name FROM part WHERE p_size >= 25) p1
+  ON l_partkey = p1.p_partkey
+LEFT JOIN part p2 ON l_partkey = p2.p_partkey
+WHERE l_orderkey < 200
 """,
     }

@@ -74,6 +74,18 @@ def main() -> None:
     if not os.path.isdir(corpus_dir):
         docs = assign_doc_ids(generate_corpus(spark, n_docs, partitions=cores * 2))
         docs.write.mode("overwrite").parquet(corpus_dir)
+    # size the scan splits so stage 1 (CPU-bound Python tokenize) runs in
+    # ≥4 full waves with no repartition shuffle: split ≈ bytes/(4·cores).
+    # This is the knob a production job sets per corpus; the builder's
+    # repartitionByRange fallback would otherwise shuffle the full corpus.
+    disk_bytes = sum(
+        os.path.getsize(os.path.join(corpus_dir, f))
+        for f in os.listdir(corpus_dir)
+        if f.endswith(".parquet")
+    )
+    split = max(1 << 20, min(128 << 20, disk_bytes // (4 * cores) + 1))
+    spark.conf.set("spark.sql.files.maxPartitionBytes", str(split))
+    spark.conf.set("spark.sql.files.openCostInBytes", str(64 << 10))
     docs = spark.read.parquet(corpus_dir)
     input_bytes = docs.selectExpr(
         "sum(octet_length(content) + octet_length(repo) + octet_length(path)"

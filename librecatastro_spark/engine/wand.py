@@ -11,9 +11,12 @@ Scale design:
     the Lucene-norms analog), so an unfiltered query shuffles only the
     query terms' blocks: cost O(postings of Q terms), independent of
     corpus size. No doc-table join, ever.
-  * Keyword/prefix filter queries cogroup the shard's (column-pruned)
-    attrs partition — only the filter columns are read (Parquet column
-    pruning), and only for filtered queries.
+  * Keyword/prefix filter queries evaluate the predicate in CATALYST
+    first (pushed to the attrs Parquet scan: equality and StartsWith both
+    appear as PushedFilters) and cogroup only the surviving
+    (shard, doc_id) pairs with the blocks — the scorer never sees a
+    non-matching attrs row, so filtered-query shuffle is
+    O(matching docs + query-term postings).
   * Block bounds are rescaled by idf_now / idf_build so pruning stays
     safe after incremental appends grow N (see builder.py).
 
@@ -72,29 +75,27 @@ def _shard_topk_fn(
     idfs: dict[str, float],
     avgdl: float,
     k: int,
-    filters: dict[str, str] | None,
-    prefix: tuple[str, str] | None,
+    filtered: bool,
     must_not_terms: list[str],
     require_all: bool,
     should_terms: list[str] | None = None,
 ):
     """Per-shard scorer factory. ``fn(blocks)`` for the blocks-only fast
-    path; ``fn(blocks, attrs)`` when filter clauses need doc attributes.
+    path; ``fn(blocks, allowed_docs)`` for filtered queries, where
+    ``allowed_docs`` holds ONLY the doc_ids that already survived the
+    keyword/prefix predicates — the predicates themselves are evaluated
+    upstream (Catalyst with Parquet pushdown on the distributed path,
+    pyarrow scan filters on the coordinator path), never in pandas here.
     All numpy/pandas batch ops — no per-row Python."""
 
     def fn(blocks: pd.DataFrame, attrs: pd.DataFrame | None = None) -> pd.DataFrame:
         if len(blocks) == 0:
             return _empty()
         allowed = None
-        if filters or prefix:
+        if filtered:
             if attrs is None or len(attrs) == 0:
                 return _empty()
-            m = pd.Series(True, index=attrs.index)
-            for col, val in (filters or {}).items():
-                m &= attrs[col] == val
-            if prefix is not None:
-                m &= attrs[prefix[0]].str.startswith(prefix[1])
-            allowed = np.sort(attrs.loc[m, "doc_id"].to_numpy(dtype=np.int64))
+            allowed = np.sort(attrs["doc_id"].to_numpy(dtype=np.int64))
         excluded = None
         if must_not_terms:
             nb = blocks[blocks["term"].isin(must_not_terms)]
@@ -227,14 +228,27 @@ class CompressedIndex:
             # AQE's per-shuffle re-optimization rounds cost ~2× scheduling
             # latency on small interactive query jobs (measured ~950→520 ms
             # at 30k docs) and buys nothing there — the query shuffle is a
-            # fixed n_shards-way partial top-k. Builds (which AQE does help)
-            # run before the index is opened; pass tune_for_queries=False to
-            # leave the session untouched.
+            # fixed n_shards-way partial top-k. The override can't be scoped
+            # per-query (execution of the returned DataFrame is lazy), so it
+            # is session-wide; build_index/append_batch protect themselves
+            # by forcing AQE on for their own duration, and
+            # tune_for_queries=False leaves the session untouched.
             spark.conf.set("spark.sql.adaptive.enabled", "false")
+        self.refresh()
+
+    def refresh(self) -> None:
+        """(Re)load meta, term stats and dataset listings. An open index
+        SNAPSHOTS these for query latency (the ES analog: a shard's term
+        dictionary is resident); after ``append_batch`` rewrites
+        term_stats/meta/postings, call ``refresh()`` (or reopen) so
+        queries see the new N/avgdl/df and the appended posting files."""
+        spark, out_dir = self.spark, self.out_dir
         self.meta = read_meta(out_dir)
         self.postings = load_postings(spark, out_dir)
         self.attrs = load_attrs(spark, out_dir)
         self.term_stats = load_term_stats(spark, out_dir)
+        self._pads_postings = None
+        self._pads_attrs = None
         self._df_local: dict[str, int] | None = None
         ts_dir = os.path.join(out_dir, "term_stats")
         try:
@@ -296,20 +310,24 @@ class CompressedIndex:
         blocks = self.postings.where(F.col("term").isin(wanted))
         local_k = k + offset  # each shard must surface the whole window
         fn = _shard_topk_fn(
-            terms, idfs, self.meta.avgdl, local_k, filters, prefix,
+            terms, idfs, self.meta.avgdl, local_k, bool(filters or prefix),
             must_not_terms, require_all, should_terms,
         )
         if filters or prefix:
-            # filter clauses need doc attributes: cogroup the shard's
-            # column-pruned attrs partition with its blocks
-            attr_cols = ["shard", "doc_id"]
-            attr_cols += list(filters or {})
+            # filter clauses stay in Catalyst: the predicate reaches the
+            # attrs Parquet scan (PushedFilters — equality and StartsWith
+            # both push down), so the cogroup ships only the SURVIVING
+            # (shard, doc_id) pairs into the scorer — O(selectivity ×
+            # corpus), not O(corpus), per shard
+            cond = F.lit(True)
+            for col, val in (filters or {}).items():
+                cond = cond & (F.col(col) == F.lit(val))
             if prefix is not None:
-                attr_cols.append(prefix[0])
-            attrs = self.attrs.select(*dict.fromkeys(attr_cols))
+                cond = cond & F.col(prefix[0]).startswith(prefix[1])
+            allowed = self.attrs.where(cond).select("shard", "doc_id")
             partial = (
                 blocks.groupBy("shard")
-                .cogroup(attrs.groupBy("shard"))
+                .cogroup(allowed.groupBy("shard"))
                 .applyInPandas(lambda bl, at: fn(bl, at), schema=_RESULT_SCHEMA)
             )
         else:
@@ -381,15 +399,26 @@ class CompressedIndex:
         ).to_pandas()
         attrs = None
         if filters or prefix:
-            cols = ["doc_id"] + list(filters or {})
+            # predicates pushed into the pyarrow scan (row-group stats +
+            # dictionary filtering), and only (shard, doc_id) is
+            # materialized — the coordinator never holds the full attrs
+            # table, so filtered fast-path memory is O(matching docs)
+            expr = None
+            for col, val in (filters or {}).items():
+                e = pc.field(col) == val
+                expr = e if expr is None else expr & e
             if prefix is not None:
-                cols.append(prefix[0])
+                p = prefix[1]
+                e = (pc.field(prefix[0]) >= p) & (
+                    pc.field(prefix[0]) < p + "\U0010ffff"
+                )
+                expr = e if expr is None else expr & e
             attrs = self._pads_attrs.to_table(
-                columns=list(dict.fromkeys(cols + ["shard"]))
+                columns=["shard", "doc_id"], filter=expr
             ).to_pandas()
         local_k = k + offset
         fn = _shard_topk_fn(
-            terms, idfs, self.meta.avgdl, local_k, filters, prefix,
+            terms, idfs, self.meta.avgdl, local_k, bool(filters or prefix),
             must_not_terms, require_all, should_terms,
         )
         parts = []

@@ -107,6 +107,29 @@ def read_meta(out_dir: str) -> IndexMeta:
 
 # --------------------------------------------------------------- builder --
 
+def _widen_for_tokenize(spark: SparkSession, docs: DataFrame, id_col: str):
+    """The Python tokenizer costs ~10 s per 128 MB task: a small corpus
+    packed into few scan partitions would serialize stage 1, and a task
+    count barely above the core count leaves a ragged last wave (39 tasks
+    on 32 cores = 45% idle in wave 2) — pure scaling-efficiency loss.
+    Target ≥4 waves of the CPU-bound stage so the tail is ≤ 1/4 wave,
+    via an explicit range- (not round-robin-) partition on doc_id so each
+    task still lands in ~1 shard directory for the partitioned write.
+
+    Callers that own their scan should instead size
+    ``spark.sql.files.maxPartitionBytes`` to ~bytes/(4·cores) BEFORE
+    reading (bench.py does) — then the scan itself yields the width with
+    NO shuffle and this is a no-op. Scan confs cannot be applied here:
+    they only take effect for frames created after the conf change, and
+    re-reading the base files would silently drop caller transforms.
+    At real scale the scan yields thousands of partitions → no-op.
+    Returns (frame, restore_conf)."""
+    target = 4 * spark.sparkContext.defaultParallelism
+    if docs.rdd.getNumPartitions() >= target:
+        return docs, lambda: None
+    return docs.repartitionByRange(target, F.col(id_col)), lambda: None
+
+
 def _bucket_builder(block_size: int, n_docs: float, avgdl: float):
     """Grouped-map fn over one (shard, tbucket) group — a hash bucket of
     MANY (term, salt) posting runs. Bucket-coarsened grouping (~hundreds of
@@ -193,6 +216,36 @@ def build_index(
     """Build (or resume building) the index at out_dir. Idempotent: a
     completed out_dir is a no-op; a partially built one finishes only the
     missing units."""
+    # the build wants AQE (coalesced shuffles) regardless of what an open
+    # CompressedIndex turned off for query latency in this session — set it
+    # for the build's duration and restore the caller's value after
+    prev_aqe = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.enabled", "true")
+    try:
+        return _build_index(
+            spark, docs, out_dir, id_col, text_col, attr_cols, n_shards,
+            block_size, salt_threshold, n_salts, shards_per_job, n_buckets,
+            resume,
+        )
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", prev_aqe)
+
+
+def _build_index(
+    spark: SparkSession,
+    docs: DataFrame,
+    out_dir: str,
+    id_col: str,
+    text_col: str,
+    attr_cols: Iterable[str],
+    n_shards: int,
+    block_size: int,
+    salt_threshold: int,
+    n_salts: int,
+    shards_per_job: int,
+    n_buckets: int,
+    resume: bool,
+) -> IndexMeta:
     attr_cols = list(attr_cols)
     os.makedirs(out_dir, exist_ok=True)
     done = manifest_records(out_dir) if resume else {}
@@ -205,25 +258,17 @@ def build_index(
         # N first (cheap count; parquet sources answer from footers), so the
         # doc-id range shard split is known before any heavy pass
         n_docs_total = docs.count()
-        # the Python tokenizer costs ~10 s/128 MB-task: a small corpus packed
-        # into few scan partitions (maxPartitionBytes) would serialize the
-        # whole stage-1 pass. Widen only when under-partitioned — at real
-        # scale the scan already yields thousands of partitions and this is
-        # a no-op (no shuffle inserted).
-        target_parts = spark.sparkContext.defaultParallelism
-        if docs.rdd.getNumPartitions() < target_parts:
-            # range- (not round-robin-) partition on doc_id: shard is itself
-            # a doc_id range, so each task lands in ~1 shard directory and
-            # the partitioned writes emit O(tasks) files, not O(tasks×shards)
-            docs = docs.repartitionByRange(target_parts, F.col("doc_id"))
+        t_count = time.time()
         shard_expr = F.least(
             F.lit(n_shards - 1),
             F.floor(F.col("doc_id") * n_shards / F.lit(n_docs_total)).cast("int"),
         )
         # keyword/attr table (the .keyword analog) + per-row sha invariant —
-        # a pure projection, NO tokenize (dl lives inside posting blocks;
-        # avgdl is derived below as sum(cf)/N, which equals avg doc length
-        # exactly, so the corpus is tokenized exactly once end-to-end)
+        # a pure projection of the ORIGINAL frame (no repartition upstream,
+        # so this pass shuffles nothing and prunes to the attr columns; dl
+        # lives inside posting blocks; avgdl is derived below as sum(cf)/N,
+        # which equals avg doc length exactly, so the corpus is tokenized
+        # exactly once end-to-end)
         attrs = docs.select(
             F.col(id_col).alias("doc_id"),
             *[F.col(c) for c in attr_cols],
@@ -231,15 +276,21 @@ def build_index(
         attrs.write.mode("overwrite").partitionBy("shard").parquet(
             os.path.join(out_dir, "attrs")
         )
+        t_attrs = time.time()
         # the ONE heavy pass: fused Arrow tokenize + per-doc tf aggregation
         # (map-side, shuffle-free — see term_freqs_arrow). Its output IS the
         # durable stage checkpoint everything downstream re-reads.
-        staged = term_freqs_arrow(docs, id_col, text_col).withColumn(
-            "shard", shard_expr
-        )
-        staged.write.mode("overwrite").partitionBy("shard").parquet(
-            os.path.join(out_dir, "_stage", "postings")
-        )
+        docs_tok, restore_conf = _widen_for_tokenize(spark, docs, id_col)
+        try:
+            staged = term_freqs_arrow(docs_tok, id_col, text_col).withColumn(
+                "shard", shard_expr
+            )
+            staged.write.mode("overwrite").partitionBy("shard").parquet(
+                os.path.join(out_dir, "_stage", "postings")
+            )
+        finally:
+            restore_conf()
+        t_staged = time.time()
         staged_r = spark.read.parquet(os.path.join(out_dir, "_stage", "postings"))
         staged_r.groupBy("term").agg(
             F.count(F.lit(1)).alias("df"), F.sum("tf").alias("cf")
@@ -261,9 +312,15 @@ def build_index(
         )
         with open(os.path.join(out_dir, "meta.json"), "w") as fh:
             json.dump(asdict(meta), fh)
+        t_stats = time.time()
         _write_manifest(
             out_dir, "stage",
             n_docs=n_docs_total, avgdl=avgdl, secs=time.time() - t0,
+            # per-section wall times — the scaling-efficiency breakdown
+            sec_count=round(t_count - t0, 3),
+            sec_attrs=round(t_attrs - t_count, 3),
+            sec_tokenize=round(t_staged - t_attrs, 3),
+            sec_stats=round(t_stats - t_staged, 3),
         )
         done = manifest_records(out_dir)
     meta = read_meta(out_dir)
@@ -311,18 +368,33 @@ def build_index(
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", "DYNAMIC")
         try:
             # The encode work runs at full shuffle width in the grouped-map
-            # stage; the hash repartition on shard AFTER it only narrows the
-            # WRITE, so each shard directory gets ~one term-sorted file
-            # instead of O(tasks) fragments (502 tiny files cost ~1 s of
-            # footer opens per query — measured). The exchange moves only
-            # encoded blocks (~3% of corpus bytes) — the Lucene segment-
-            # merge analog. Small row groups then give tight per-group term
-            # min/max, so a term lookup reads only its own row groups in
-            # BOTH pyarrow (fast path) and Spark scans — the
-            # term-dictionary seek.
+            # stage; the repartition AFTER it only consolidates the WRITE so
+            # each shard directory gets a few term-sorted files instead of
+            # O(tasks) fragments (502 tiny files cost ~1 s of footer opens
+            # per query — measured). The exchange moves only encoded blocks
+            # (~3% of corpus bytes) — the Lucene segment-merge analog.
+            # Write width = cores (not n_shards): capping it at n_shards
+            # left (cores - n_shards) threads idle through the whole
+            # encode+write tail, the main scaling-efficiency leak found in
+            # round 1. wslice carves each shard into contiguous tbucket
+            # ranges, so files stay term-clustered; small row groups then
+            # give tight per-group term min/max, so a term lookup reads
+            # only its own row groups in BOTH pyarrow (fast path) and
+            # Spark scans — the term-dictionary seek.
+            files_per_shard = max(
+                1, spark.sparkContext.defaultParallelism // len(shards)
+            )
+            # recompute the term bucket (grouped-map output drops it) —
+            # same deterministic hash as the grouping key above
+            tbucket = F.pmod(F.xxhash64("term", "salt"), F.lit(meta.n_buckets))
+            wslice = F.floor(
+                tbucket * files_per_shard / F.lit(meta.n_buckets)
+            ).cast("int")
             (
-                blocks.repartition(len(shards), "shard")
+                blocks.withColumn("wslice", wslice)
+                .repartition(len(shards) * files_per_shard, "shard", "wslice")
                 .sortWithinPartitions("term", "salt", "block_seq")
+                .drop("wslice")
                 .write.mode("overwrite")
                 .option("parquet.block.size", str(1 << 20))
                 .partitionBy("shard")

@@ -110,12 +110,22 @@ def lattice(spark: SparkSession, bbox: tuple[float, float, float, float],
 _GEOHASH32 = np.frombuffer(b"0123456789bcdefghjkmnpqrstuvwxyz", dtype="S1")
 
 
-@F.pandas_udf(StringType())
-def geohash_udf(lon: pd.Series, lat: pd.Series) -> pd.Series:
-    """Standard 8-char geohash, numpy bit-interleave (no per-row Python)."""
+def make_geohash_udf(precision: int = 8):
+    """Geohash encoder at a chosen precision (cell size), as a vectorized
+    pandas_udf — numpy bit-interleave, no per-row Python. Geohash equality
+    at precision p is exactly equality of the (qx, qy) quantized pair
+    (interleaving is injective), which is how the DuckDB oracle twins it."""
+
+    @F.pandas_udf(StringType())
+    def geohash(lon: pd.Series, lat: pd.Series) -> pd.Series:
+        return _geohash_np(lon, lat, precision)
+
+    return geohash
+
+
+def _geohash_np(lon: pd.Series, lat: pd.Series, precision: int) -> pd.Series:
     x = lon.to_numpy(dtype=np.float64)
     y = lat.to_numpy(dtype=np.float64)
-    precision = 8
     nbits = precision * 5
     lon_bits = (nbits + 1) // 2
     lat_bits = nbits // 2
@@ -131,5 +141,9 @@ def geohash_udf(lon: pd.Series, lat: pd.Series) -> pd.Series:
     for c in range(precision):
         shift = np.uint64(nbits - 5 * (c + 1))
         chars[c] = _GEOHASH32[((interleaved >> shift) & np.uint64(31)).astype(np.int64)]
-    joined = chars.T.view(f"S{precision}").ravel()
+    joined = np.ascontiguousarray(chars.T).view(f"S{precision}").ravel()
     return pd.Series(joined.astype(str))
+
+
+#: default 8-char encoder (kept as the module-level UDF for callers)
+geohash_udf = make_geohash_udf(8)

@@ -68,15 +68,69 @@ def _fake_features(payloads: pd.Series, dim: int = FEATURE_DIM) -> pd.Series:
     """Deterministic stand-in for a real encoder: features derived from
     sha256 of the bytes, scaled to [-1, 1]. Exercises the exact Arrow
     plumbing a real model UDF would use."""
+    return pd.Series(
+        [
+            None
+            if w is None
+            else (w.astype(np.float64) / 2**31 - 1.0).astype(np.float32).tolist()
+            for w in _digest_words(payloads, dim)
+        ]
+    )
+
+
+def _digest_words(payloads: pd.Series, dim: int = FEATURE_DIM) -> list:
+    """sha256-derived uint32 words per payload (None → None). The digest is
+    taken over the payload's HEX string (not the raw bytes) so the DuckDB
+    oracle — whose sha256() accepts VARCHAR only — can compute the exact
+    same value. Per-row hashing is inherent to a content hash (the real
+    seam here is a batched GPU encoder; hashlib is the stand-in)."""
     out = []
     for b in payloads:
         if b is None:
             out.append(None)
             continue
-        digest = hashlib.sha256(bytes(b)).digest()
-        raw = np.frombuffer((digest * ((dim * 4) // len(digest) + 1))[: dim * 4], dtype=np.uint32)
-        out.append((raw.astype(np.float64) / 2**31 - 1.0).astype(np.float32).tolist())
-    return pd.Series(out)
+        digest = hashlib.sha256(bytes(b).hex().encode()).digest()
+        raw = np.frombuffer(
+            (digest * ((dim * 4) // len(digest) + 1))[: dim * 4], dtype="<u4"
+        )
+        out.append(raw)
+    return out
+
+
+def feature_rows(media: DataFrame, dim: int = FEATURE_DIM) -> DataFrame:
+    """Canonicalizable projection of ``extract_features``: one row per
+    (media_id, dim) with the feature value as an EXACT float64
+    (word / 2^31 - 1 — dyadic, so bit-identical in any IEEE engine).
+    This is the contract-surface shape (list-typed columns can't be
+    hash-compared); the vector form stays in ``extract_features``."""
+    schema = "media_id string, kind string, dim int, value double"
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            words = _digest_words(pdf["payload"], dim)
+            keep = [i for i, w in enumerate(words) if w is not None]
+            if not keep:
+                yield pd.DataFrame(
+                    {
+                        "media_id": pd.Series(dtype="object"),
+                        "kind": pd.Series(dtype="object"),
+                        "dim": pd.Series(dtype="int32"),
+                        "value": pd.Series(dtype="float64"),
+                    }
+                )
+                continue
+            w = np.stack([words[i] for i in keep])  # (n, dim) uint32
+            n = len(keep)
+            yield pd.DataFrame(
+                {
+                    "media_id": np.repeat(pdf["media_id"].to_numpy()[keep], dim),
+                    "kind": np.repeat(pdf["kind"].to_numpy()[keep], dim),
+                    "dim": np.tile(np.arange(dim, dtype=np.int32), n),
+                    "value": w.astype(np.float64).ravel() / 2**31 - 1.0,
+                }
+            )
+
+    return media.mapInPandas(fn, schema=schema)
 
 
 def extract_features(media: DataFrame, batch_hint: int = 64) -> DataFrame:

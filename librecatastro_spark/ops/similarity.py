@@ -74,12 +74,58 @@ def _planes(dim: int, n_planes: int, seed: int = 13) -> np.ndarray:
 
 
 def lsh_bucket_expr(vec_col: Column, planes: np.ndarray) -> Column:
-    """Bucket id = sign bits against fixed seeded hyperplanes (Catalyst)."""
+    """Bucket id = sign bits against fixed seeded hyperplanes (Catalyst).
+    The dot product is rounded to 6 decimals before the sign test so the
+    bit is stable across summation orders (Spark fold vs DuckDB list_sum
+    vs numpy) — same stabilization the IVF assignment uses."""
     acc = F.lit(0)
     for i, p in enumerate(planes):
         q = F.array(*[F.lit(float(x)) for x in p])
-        acc = acc + F.when(_dot(vec_col, q) > 0, F.lit(1 << i)).otherwise(F.lit(0))
+        acc = acc + F.when(F.round(_dot(vec_col, q), 6) > 0, F.lit(1 << i)).otherwise(F.lit(0))
     return acc
+
+
+def _sql_dot(a: str, b: str) -> str:
+    return (
+        f"list_sum(list_transform(list_zip({a}, {b}), p -> p[1] * p[2]))"
+    )
+
+
+def _sql_arr(v) -> str:
+    return "[" + ", ".join(repr(float(x)) for x in v) + "]"
+
+
+def ann_lsh_topk_sql(
+    query_id: int = 0,
+    k: int = 10,
+    dim: int = 64,
+    n_planes: int = 8,
+    seed: int = 13,
+) -> str:
+    """DuckDB twin of ann_lsh_topk: the seeded hyperplanes are frozen as
+    SQL literals (the IVF-oracle pattern), buckets recomputed with the
+    same round-6 sign test, multiprobe = bucket equality or Hamming-1
+    (xor is a power of two)."""
+    planes = _planes(dim, n_planes, seed)
+    bucket = " + ".join(
+        f"(CASE WHEN round({_sql_dot('v', _sql_arr(p))}, 6) > 0 THEN {1 << i} ELSE 0 END)"
+        for i, p in enumerate(planes)
+    )
+    probes = ", ".join(str(1 << i) for i in range(n_planes))
+    cos = (
+        f"round({_sql_dot('b.v', 'q.v')} / (sqrt({_sql_dot('b.v', 'b.v')})"
+        f" * sqrt({_sql_dot('q.v', 'q.v')})), {ROUND_DECIMALS})"
+    )
+    return f"""
+WITH b AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v, {bucket} AS bucket FROM embeddings
+),
+q AS (SELECT vec_id, v, bucket FROM b WHERE vec_id = {query_id})
+SELECT b.vec_id AS vec_id, {cos} AS cosine
+FROM b, q
+WHERE b.bucket = q.bucket OR xor(b.bucket, q.bucket) IN ({probes})
+ORDER BY cosine DESC, vec_id ASC LIMIT {k}
+"""
 
 
 def ann_lsh_topk(
@@ -97,7 +143,9 @@ def ann_lsh_topk(
     dim = len(query_vec)
     planes = _planes(dim, n_planes, seed)
     qv = np.asarray(query_vec, dtype=np.float64)
-    qb = int(sum((1 << i) for i, p in enumerate(planes) if float(p @ qv) > 0))
+    qb = int(
+        sum((1 << i) for i, p in enumerate(planes) if round(float(p @ qv), 6) > 0)
+    )
     probe = [qb] + [qb ^ (1 << i) for i in range(n_planes)]
     emb = F.col(vec_col).cast("array<double>")
     bucketed = vectors.withColumn("bucket", lsh_bucket_expr(emb, planes))
@@ -233,6 +281,87 @@ JOIN cell ON cell.vec_id = e.vec_id, q
 WHERE cell.cid IN (SELECT cid FROM probe)
 ORDER BY cosine DESC, vec_id ASC LIMIT {k}
 """
+
+
+def _band_exprs(vec_col: Column, planes: np.ndarray, bands: int) -> list[Column]:
+    """Band values from hyperplane sign bits: n_planes bits split into
+    `bands` contiguous groups of r = n_planes // bands bits each."""
+    n = len(planes)
+    r = n // bands
+    bits = [
+        F.when(
+            F.round(_dot(vec_col, F.array(*[F.lit(float(x)) for x in p])), 6) > 0,
+            F.lit(1),
+        ).otherwise(F.lit(0))
+        for p in planes
+    ]
+    out = []
+    for b in range(bands):
+        acc = F.lit(0)
+        for k in range(r):
+            acc = acc * 2 + bits[b * r + k]
+        out.append(acc)
+    return out
+
+
+def embedding_near_dup_banded(
+    vectors: DataFrame,
+    threshold: float = 0.4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_planes: int = 16,
+    bands: int = 8,
+    seed: int = 13,
+) -> DataFrame:
+    """Embedding-cosine near-dup via BANDED hyperplane LSH — the scale
+    path: candidate pairs come from an equi-self-join on
+    (band_idx, band_val), never a cartesian product, then exact cosine
+    verify (the dedup_minhash_lsh pattern applied to embeddings).
+
+    Recall math (random-hyperplane LSH): a pair at angle θ agrees on one
+    plane w.p. s = 1 - θ/π, on an r-bit band w.p. s^r, and is missed by
+    all b bands w.p. ≤ (1 - s^r)^b. At the gated threshold cos ≥ 0.4
+    (θ ≤ 66.4°, s ≥ 0.631) with r=2, b=8 the per-pair miss bound is
+    ≤ 0.017 analytically and 0 observed on the sf0.01 gate corpus
+    (pytest-asserted vs brute force), so the brute-force SQL is a valid
+    oracle there. 0.4 is a deliberately loose gate; at production
+    near-dup thresholds (≥ 0.9, s ≥ 0.93) use r=8, b=16 for real
+    pruning (band match prob 0.56 for dups vs 0.004 for random pairs)."""
+    emb = F.col(vec_col).cast("array<double>")
+    dim_row = vectors.select(F.size(vec_col).alias("d")).limit(1).collect()
+    planes = _planes(int(dim_row[0]["d"]), n_planes, seed)
+    base = vectors.select(F.col(id_col).alias("vec_id"), emb.alias("v"))
+    keyed = vectors.select(
+        F.col(id_col).alias("vec_id"),
+        F.posexplode(F.array(*_band_exprs(emb, planes, bands))).alias(
+            "band_idx", "band_val"
+        ),
+    )
+    cand = (
+        keyed.alias("l")
+        .join(
+            keyed.alias("r"),
+            (F.col("l.band_idx") == F.col("r.band_idx"))
+            & (F.col("l.band_val") == F.col("r.band_val"))
+            & (F.col("l.vec_id") < F.col("r.vec_id")),
+        )
+        .select(
+            F.col("l.vec_id").alias("vec_a"), F.col("r.vec_id").alias("vec_b")
+        )
+        .distinct()
+    )
+    return (
+        cand.join(base.alias("a"), F.col("vec_a") == F.col("a.vec_id"))
+        .join(base.alias("b"), F.col("vec_b") == F.col("b.vec_id"))
+        .select(
+            "vec_a",
+            "vec_b",
+            F.round(cosine_expr(F.col("a.v"), F.col("b.v")), ROUND_DECIMALS).alias(
+                "cosine"
+            ),
+        )
+        .where(F.col("cosine") >= threshold)
+    )
 
 
 def embedding_near_dup_pairs(

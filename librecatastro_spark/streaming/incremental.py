@@ -17,17 +17,21 @@ watched directory, or any stream source); each micro-batch is
 builder's idempotent per-shard overwrite: replaying a batch converges to
 the same index (the upsert-by-id analog, cadaster_entry.py:53).
 
-Scale note: rebuilding a shard's blocks reads only that shard's staged
-partition (partition-pruned), so per-batch cost is O(new docs + touched
-shards), not O(corpus). Stats (df/idf) are recomputed from staged postings
-— BM25 scores therefore reflect the full corpus after every batch, which
-is what ES's refresh gives (B15).
+Scale note: per-batch cost is O(new docs + touched shards + vocabulary),
+not O(corpus): the batch is tokenized once, term_stats are maintained by
+an ADDITIVE merge (old stats ∪ batch deltas → sum — df/cf are additive,
+N and Σcf are counters), and only the touched shards' posting blocks are
+rebuilt from their partition-pruned staged postings. The full staged
+corpus is never re-read (pytest-asserted by deleting an untouched staged
+partition before an append). BM25 scores reflect the full corpus after
+every batch, which is what ES's refresh gives (B15).
 """
 
 from __future__ import annotations
 
 import json
 import os
+import shutil
 import time
 
 from pyspark.sql import DataFrame, SparkSession
@@ -52,13 +56,30 @@ def append_batch(
     text_col: str = "content",
 ) -> int:
     """Merge a batch of new documents into an existing index at out_dir.
-    Returns number of newly indexed docs. Idempotent per batch content."""
+    Returns number of newly indexed docs. Idempotent per batch content.
+    Already-open CompressedIndex objects snapshot stats at open — call
+    refresh() (or reopen) after an append."""
+    prev_aqe = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.enabled", "true")
+    try:
+        return _append_batch(spark, out_dir, new_docs, id_col, text_col)
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", prev_aqe)
+
+
+def _append_batch(
+    spark: SparkSession,
+    out_dir: str,
+    new_docs: DataFrame,
+    id_col: str,
+    text_col: str,
+) -> int:
     meta = read_meta(out_dir)
     attrs = load_attrs(spark, out_dir)
     # A16 skip-if-present: only genuinely new doc_ids are indexed
     fresh = new_docs.withColumnRenamed(id_col, "doc_id").join(
         attrs.select("doc_id"), "doc_id", "left_anti"
-    )
+    ).cache()
     n_new = fresh.count()
     if n_new == 0:
         return 0
@@ -70,19 +91,40 @@ def append_batch(
     # NB: growing N shifts range boundaries; for an append-only corpus with
     # monotonically assigned doc_ids, new docs land in the tail shards and
     # the boundary shift is handled by rebuilding every TOUCHED shard below
-    # (staged rows keep their original shard; doc_ids are absolute).
-    staged_new = term_freqs_arrow(fresh, "doc_id", text_col).withColumn("shard", shard_expr)
+    # (staged rows keep their original shard; doc_ids are absolute; a doc's
+    # attrs and postings use the SAME shard expression, so they agree).
+    staged_new = term_freqs_arrow(fresh, "doc_id", text_col).withColumn(
+        "shard", shard_expr
+    ).cache()
     staged_new.write.mode("append").partitionBy("shard").parquet(
         os.path.join(out_dir, "_stage", "postings")
     )
-    staged = spark.read.parquet(os.path.join(out_dir, "_stage", "postings"))
 
-    # refresh global stats (single small agg over staged dl projection)
-    dl = staged.select("doc_id", "dl").distinct()
-    row = dl.agg(F.count(F.lit(1)).alias("n"), F.avg("dl").alias("avgdl")).collect()[0]
+    # ---- additive stats merge: O(vocabulary + batch terms), NOT O(staged).
+    # df/cf are additive across disjoint doc sets; N counts ALL docs
+    # (zero-token ones included, matching build_index's docs.count()), and
+    # avgdl = Σcf / N — identical to the batch-build derivation, so an
+    # appended index converges to the batch-built one bit-for-bit.
+    ts_path = os.path.join(out_dir, "term_stats")
+    batch_stats = staged_new.groupBy("term").agg(
+        F.count(F.lit(1)).alias("df"), F.sum("tf").alias("cf")
+    )
+    merged = (
+        spark.read.parquet(ts_path)
+        .unionByName(batch_stats)
+        .groupBy("term")
+        .agg(F.sum("df").alias("df"), F.sum("cf").alias("cf"))
+    )
+    tmp = ts_path + ".tmp"
+    merged.write.mode("overwrite").parquet(tmp)
+    total_tokens = (
+        spark.read.parquet(tmp).agg(F.sum("cf")).collect()[0][0]
+    )
+    shutil.rmtree(ts_path)
+    os.replace(tmp, ts_path)
     meta = IndexMeta(
-        n_docs=int(row["n"]),
-        avgdl=float(row["avgdl"]),
+        n_docs=new_n_docs,
+        avgdl=float(total_tokens or 0) / new_n_docs if new_n_docs else 0.0,
         n_shards=meta.n_shards,
         block_size=meta.block_size,
         salt_threshold=meta.salt_threshold,
@@ -92,19 +134,6 @@ def append_batch(
     )
     with open(os.path.join(out_dir, "meta.json"), "w") as fh:
         json.dump(meta.__dict__, fh)
-    staged.groupBy("term").agg(
-        F.count(F.lit(1)).alias("df"), F.sum("tf").alias("cf")
-    ).write.mode("overwrite").parquet(os.path.join(out_dir, "term_stats"))
-
-    # rebuild attrs (append only the new docs' rows; attrs carries keyword
-    # columns only — dl lives inside the posting blocks)
-    new_attrs = (
-        staged_new.select("shard", "doc_id").distinct()
-        .join(fresh.select("doc_id", *meta.attr_cols), "doc_id")
-    )
-    new_attrs.write.mode("append").partitionBy("shard").parquet(
-        os.path.join(out_dir, "attrs")
-    )
 
     # rebuild blocks for touched shards only (idf changed globally, but
     # block_max_w is an upper bound built from the CURRENT df at build
@@ -113,6 +142,9 @@ def append_batch(
     # stay upper bounds)
     touched = [r["shard"] for r in staged_new.select("shard").distinct().collect()]
     tstats = spark.read.parquet(os.path.join(out_dir, "term_stats"))
+    # lazily open the staged postings; the isin(touched) predicate below is
+    # partition pruning, so only the touched shards' files are ever read
+    staged = spark.read.parquet(os.path.join(out_dir, "_stage", "postings"))
     part = staged.where(F.col("shard").isin(touched)).join(
         tstats.select("term", "df"), "term"
     )
@@ -139,10 +171,29 @@ def append_batch(
         ).write.mode("overwrite").option(
             "parquet.block.size", str(1 << 20)  # tight row groups → term pruning
         ).parquet(os.path.join(out_dir, "postings", f"shard={s}"))
+    # append attrs rows LAST, for ALL fresh docs (projected from fresh, not
+    # from staged postings — a zero-token doc has no postings but must
+    # exist in attrs for the sha invariant and the A16 anti-join).
+    # ORDERING MATTERS: this write triggers refreshByPath(attrs), which
+    # invalidates every cached plan referencing the attrs files —
+    # including `fresh` itself (its anti-join reads attrs). Any action on
+    # fresh/staged_new AFTER this point would recompute against the
+    # updated attrs and silently see ZERO fresh docs, so this must be the
+    # final consumer. (Crash between the block rebuild and here ⇒ the
+    # batch replays from scratch; production would wrap the append in an
+    # Iceberg transaction.)
+    new_attrs = fresh.select("doc_id", *meta.attr_cols).withColumn(
+        "shard", shard_expr
+    )
+    new_attrs.write.mode("append").partitionBy("shard").parquet(
+        os.path.join(out_dir, "attrs")
+    )
     _write_manifest(
         out_dir, f"incr_{int(time.time() * 1000)}",
         docs_added=n_new, shards=touched,
     )
+    staged_new.unpersist()
+    fresh.unpersist()
     return n_new
 
 

@@ -16,6 +16,7 @@ from librecatastro_spark.ops.similarity import (
     ann_lsh_topk,
     brute_force_pairs,
     cosine_topk,
+    embedding_near_dup_banded,
     embedding_near_dup_pairs,
 )
 
@@ -99,6 +100,48 @@ def test_embedding_near_dup_pairs(spark, vectors):
     assert lsh == exact  # near-identical vectors share every LSH bucket
 
 
+def test_embedding_near_dup_banded_recall_complete_at_gate(spark):
+    """The gated query swaps brute force for the banded-LSH equi-join;
+    its oracle is the brute-force SQL, which is only valid if the band
+    configuration loses NO pair at the gate corpus+threshold. Assert
+    that recall-completeness holds on the exact gate inputs."""
+    import os
+
+    path = "/root/testdata/sf0.01/embeddings.parquet"
+    if not os.path.exists(path):
+        pytest.skip("driver testdata not present")
+    emb = spark.read.parquet(path)
+    brute = {(r["vec_a"], r["vec_b"], r["cosine"])
+             for r in brute_force_pairs(emb, 0.4).collect()}
+    banded = {(r["vec_a"], r["vec_b"], r["cosine"])
+              for r in embedding_near_dup_banded(
+                  emb, 0.4, n_planes=16, bands=8).collect()}
+    assert banded == brute
+    assert len(brute) > 0
+
+
+def test_embedding_near_dup_banded_no_cartesian(spark):
+    import os
+
+    path = "/root/testdata/sf0.01/embeddings.parquet"
+    if not os.path.exists(path):
+        pytest.skip("driver testdata not present")
+    emb = spark.read.parquet(path)
+    plan = embedding_near_dup_banded(emb, 0.4)._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan and "NestedLoopJoin" not in plan
+
+
+def test_geohash_precision_param(spark):
+    from librecatastro_spark.ops.geo import make_geohash_udf
+
+    df = spark.createDataFrame(
+        [(-0.1278, 51.5074), (2.3522, 48.8566)], "lon double, lat double"
+    )
+    gh4 = make_geohash_udf(4)
+    got = [r[0] for r in df.select(gh4(F.col("lon"), F.col("lat"))).collect()]
+    assert got == ["gcpv", "u09t"]  # prefixes of the precision-8 values
+
+
 def test_address_extraction_reference_shapes(spark):
     rows = [
         (0, "CL TESTTEST 17 03005 AJALVIR (MURCIA)"),
@@ -119,3 +162,33 @@ def test_address_extraction_reference_shapes(spark):
     a3 = got[3]
     assert (a3["site"], a3["lot"]) == ("12", "345")
     assert a3["province"] == "CÁCERES"
+
+
+def test_address_line_split_13_field_parity(spark):
+    # full reference Address semantics (address.py:51-84): split at '####'
+    # (HTML) or at the first 5-digit CP (XML); street aliases first_line;
+    # city = second_line minus parens minus separator minus cp
+    rows = [
+        (0, "CL TESTTEST 17 Es:1 Pl:02 Pt:A 03005 AJALVIR (MURCIA)"),
+        (1, "CL HTML 9 Pl:01####28001 MADRID (MADRID)"),
+        (2, "Polígono 12 Parcela 345 EL CAMPO (CÁCERES)"),
+    ]
+    df = spark.createDataFrame(rows, "id long, full_address string")
+    from librecatastro_spark.ops.address import parse_address
+
+    got = {r["id"]: r["addr"]
+           for r in df.select("id", parse_address("full_address").alias("addr")).collect()}
+    a0 = got[0]
+    assert a0["first_line"] == "CL TESTTEST 17 Es:1 Pl:02 Pt:A"
+    assert a0["second_line"] == "03005 AJALVIR (MURCIA)"
+    assert a0["street"] == a0["first_line"]
+    assert a0["province_parentheses"] == "(MURCIA)"
+    assert len(a0.asDict()) == 13
+    a1 = got[1]  # '####' separator wins over the CP position
+    assert a1["first_line"] == "CL HTML 9 Pl:01"
+    assert a1["second_line"] == "####28001 MADRID (MADRID)"
+    assert a1["cp"] == "28001" and a1["city"] == "MADRID"
+    assert a1["floor"] == "01"
+    a2 = got[2]  # no split → both lines are the whole string (reference quirk)
+    assert a2["first_line"] == a2["second_line"] == rows[2][1]
+    assert a2["city"] == "Polígono 12 Parcela 345 EL CAMPO"

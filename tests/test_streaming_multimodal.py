@@ -49,6 +49,70 @@ def test_incremental_append_matches_full_rebuild(spark, corpus, tmp_path):
     assert idx.meta.n_docs == 260
 
 
+def test_append_touches_only_batch_and_touched_shards(spark, corpus, tmp_path):
+    """Scale property of the additive stats merge: an append must never
+    re-read untouched shards' staged postings. Proven destructively — an
+    untouched staged partition is DELETED before the append; the append
+    still succeeds and global term_stats stay correct (they come from the
+    old stats table + batch deltas, not from re-aggregating staged)."""
+    import shutil
+
+    out = str(tmp_path / "touch_idx")
+    first = corpus.where(F.col("doc_id") < 200)
+    rest = corpus.where(F.col("doc_id") >= 200)  # lands in tail shards only
+    build_index(spark, first, out, attr_cols=ATTRS, n_shards=4, block_size=16,
+                salt_threshold=100, n_salts=4)
+    before = {
+        r["term"]: (r["df"], r["cf"])
+        for r in spark.read.parquet(f"{out}/term_stats").collect()
+    }
+    # shard 0 holds doc_ids far below 200 — untouched by the append
+    shutil.rmtree(f"{out}/_stage/postings/shard=0")
+    assert append_batch(spark, out, rest, id_col="doc_id", text_col="content") == 60
+    after = {
+        r["term"]: (r["df"], r["cf"])
+        for r in spark.read.parquet(f"{out}/term_stats").collect()
+    }
+    # stats merged additively: nothing lost from the deleted partition,
+    # batch deltas folded in
+    assert set(before) <= set(after)
+    assert all(after[t][0] >= df for t, (df, _) in before.items())
+    exact = ExactBM25(corpus, attr_cols=ATTRS)
+    idx = CompressedIndex(spark, out)
+    assert rows(idx.search("def return import", k=10)) == rows(
+        exact.search("def return import", k=10)
+    )
+
+
+def test_append_with_zero_token_doc_converges(spark, corpus, tmp_path):
+    """ADVICE r1: n_docs/avgdl must count zero-token docs exactly like the
+    batch build (N = all docs, avgdl = Σcf/N), and empty docs must get
+    attrs rows (sha invariant + anti-join idempotence)."""
+    out = str(tmp_path / "zt_idx")
+    empty = spark.createDataFrame(
+        [(9000, "r", "p", "py", "", "c", "sha")],
+        "doc_id long, repo string, path string, lang string, content string,"
+        " commit string, content_sha256 string",
+    )
+    full = corpus.unionByName(empty.select(*corpus.columns))
+    out_batch = str(tmp_path / "zt_batch")
+    build_index(spark, full, out_batch, attr_cols=ATTRS, n_shards=4,
+                block_size=16, salt_threshold=100, n_salts=4)
+    build_index(spark, corpus, out, attr_cols=ATTRS, n_shards=4,
+                block_size=16, salt_threshold=100, n_salts=4)
+    assert append_batch(spark, out, empty, id_col="doc_id",
+                        text_col="content") == 1
+    m_incr = CompressedIndex(spark, out).meta
+    m_batch = CompressedIndex(spark, out_batch).meta
+    assert m_incr.n_docs == m_batch.n_docs == 261
+    assert abs(m_incr.avgdl - m_batch.avgdl) < 1e-9
+    # the empty doc has an attrs row (anti-join treats it as indexed)
+    attrs = spark.read.parquet(f"{out}/attrs")
+    assert attrs.where(F.col("doc_id") == 9000).count() == 1
+    assert append_batch(spark, out, empty, id_col="doc_id",
+                        text_col="content") == 0  # idempotent
+
+
 def test_stream_into_index(spark, corpus, tmp_path):
     out = str(tmp_path / "s_idx")
     src = str(tmp_path / "src")
@@ -95,3 +159,17 @@ def test_multimodal_plumbing(spark):
 
     with pytest.raises(NotImplementedError):
         decode_image_stub(b"notreal")
+
+
+def test_feature_rows_matches_vector_form(spark):
+    from librecatastro_spark.ops.multimodal import feature_rows
+
+    media = synthetic_media(spark, 12)
+    vecs = {r["media_id"]: r["feature"] for r in extract_features(media).collect()}
+    rows_ = feature_rows(media).collect()
+    assert len(rows_) == 12 * 16
+    import numpy as np
+
+    for r in rows_:
+        # the exploded float64 value float32-rounds to the vector entry
+        assert np.float32(r["value"]) == np.float32(vecs[r["media_id"]][r["dim"]])

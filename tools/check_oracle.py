@@ -39,8 +39,10 @@ def norm_rows(cols, rows):
 
 
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    args = [a for a in sys.argv[1:] if a != "--extra"]
+    with_extra = "--extra" in sys.argv[1:]
+    sf_dir = args[0] if args else "/root/testdata/sf0.01"
+    only = set(args[1:])
 
     import __spark_entry__ as mod
     from librecatastro_spark.session import get_spark
@@ -53,6 +55,8 @@ def main() -> int:
             con.sql(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
 
     qs, oracles = mod.queries(), mod.oracle_sql()
+    if with_extra:
+        qs = {**qs, **mod.extra_queries()}
     failed = []
     for name, fn in qs.items():
         if only and name not in only:

@@ -42,6 +42,8 @@ CHECKS = {
     "broadcast": "BroadcastHashJoin",
     "exchange": "Exchange",
     "take_ordered": "TakeOrderedAndProject",
+    "cartesian": "CartesianProduct",
+    "pushed_startswith": "StartsWith",
 }
 
 
@@ -110,6 +112,40 @@ def main() -> int:
         "pattern; the only exchange is the query-term blocks.",
     )
     sections.append(s); problems += p
+
+    s, p = audit(
+        "Keyword-FILTERED WAND query (B4+B14 — r2 pushdown fix)",
+        index.search("query scan", k=10, filters={"lang": "py"}),
+        {"pushed_filter": True, "take_ordered": True},
+        "The keyword predicate is applied to the attrs table in CATALYST "
+        "before the cogroup, so it reaches the attrs Parquet scan as a "
+        "PushedFilter and the scorer receives only surviving "
+        "(shard, doc_id) pairs — round 1 shipped the whole attrs "
+        "partition into pandas instead.",
+    )
+    sections.append(s); problems += p
+
+    s, p = audit(
+        "Prefix-FILTERED WAND query (B5+B14 — r2 pushdown fix)",
+        index.search("query scan", k=10, prefix=("lang", "p")),
+        {"pushed_filter": True, "pushed_startswith": True, "take_ordered": True},
+        "StartsWith pushes to the Parquet scan exactly like equality.",
+    )
+    sections.append(s); problems += p
+
+    emb_path = f"{sf_dir}/embeddings.parquet"
+    if os.path.exists(emb_path):
+        from librecatastro_spark.ops.similarity import embedding_near_dup_banded
+
+        s, p = audit(
+            "Embedding near-dup, banded-LSH path (r2 scale fix)",
+            embedding_near_dup_banded(spark.read.parquet(emb_path), 0.4),
+            {"cartesian": False},
+            "Candidates come from an equi-self-join on (band_idx, "
+            "band_val) — NO cartesian product anywhere in the plan "
+            "(round 1 gated the brute-force cross join).",
+        )
+        sections.append(s); problems += p
 
     s, p = audit(
         "Shard partition pruning (resume-unit read)",
