@@ -815,6 +815,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     }
 
 
+def _q_windowed_events(spark, sf):
+    # event-time tumbling-window agg (batch form of the Structured
+    # Streaming operator; identical plan runs on readStream — see
+    # streaming/windowed.py)
+    from librecatastro_spark.streaming.windowed import windowed_event_counts
+
+    return windowed_event_counts(_t(spark, sf, "events"))
+
+
 def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Implemented-and-oracled queries beyond the driver's 50-entry cap
     (see queries() docstring). tools/check_oracle.py --extra gates them."""
@@ -824,6 +833,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_stats": _q_doc_stats,
         "minhash_signatures": _q_minhash_sig,
         "simhash16": _q_simhash16,
+        "windowed_event_counts": _q_windowed_events,
     }
 
 
@@ -1077,4 +1087,11 @@ LEFT JOIN (SELECT p_partkey, p_name FROM part WHERE p_size >= 25) p1
 LEFT JOIN part p2 ON l_partkey = p2.p_partkey
 WHERE l_orderkey < 200
 """,
+        "windowed_event_counts": _windowed_sql(),
     }
+
+
+def _windowed_sql() -> str:
+    from librecatastro_spark.streaming.windowed import windowed_event_counts_sql
+
+    return windowed_event_counts_sql(1)

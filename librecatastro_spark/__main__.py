@@ -59,6 +59,12 @@ def main(argv: list[str] | None = None) -> int:
                    help="keyword equality col=val (repeatable)")
     s.add_argument("--prefix", default=None, help="keyword prefix col=val")
 
+    a = sub.add_parser("append", help="fold a new document batch into an index")
+    a.add_argument("--index", required=True)
+    a.add_argument("--input", required=True)
+    a.add_argument("--id-col", default="doc_id")
+    a.add_argument("--text-col", default="text")
+
     h = sub.add_parser("health", help="corpus sanity counts (A31 --health analog)")
     h.add_argument("--input", required=True)
     h.add_argument("--text-col", default="text")
@@ -89,6 +95,16 @@ def main(argv: list[str] | None = None) -> int:
         )
         print(json.dumps({"n_docs": meta.n_docs, "avgdl": meta.avgdl,
                           "n_shards": meta.n_shards, "out": args.out}))
+        return 0
+
+    if args.cmd == "append":
+        from .streaming.incremental import append_batch
+
+        added = append_batch(
+            spark, args.index, spark.read.parquet(args.input),
+            id_col=args.id_col, text_col=args.text_col,
+        )
+        print(json.dumps({"docs_added": added, "index": args.index}))
         return 0
 
     if args.cmd == "search":

@@ -161,6 +161,49 @@ def test_multimodal_plumbing(spark):
         decode_image_stub(b"notreal")
 
 
+def test_windowed_event_counts_stream_equals_batch(spark, tmp_path):
+    """The SAME windowed-agg plan runs as a batch job and as a Structured
+    Streaming query (watermark is a no-op on batch); both must agree."""
+    import datetime
+
+    from librecatastro_spark.streaming.windowed import windowed_event_counts
+
+    rows = []
+    base = datetime.datetime(2024, 1, 1, 0, 0, 0)
+    for i in range(300):
+        rows.append(
+            (i, base + datetime.timedelta(minutes=7 * i), i % 5,
+             f"t{i % 3}", float(i % 11))
+        )
+    schema = ("event_id long, ts timestamp, user_id long, event_type string,"
+              " value double")
+    src = str(tmp_path / "ev_src")
+    df = spark.createDataFrame(rows, schema)
+    # two files → two potential micro-batches
+    df.where(F.col("event_id") < 150).write.mode("append").parquet(src)
+    df.where(F.col("event_id") >= 150).write.mode("append").parquet(src)
+
+    batch = {
+        (r["window_start"], r["event_type"]): (r["n"], r["total"])
+        for r in windowed_event_counts(spark.read.parquet(src)).collect()
+    }
+    stream = spark.readStream.schema(schema).parquet(src)
+    q = (
+        windowed_event_counts(stream)
+        .writeStream.format("memory")
+        .queryName("win_counts")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["window_start"], r["event_type"]): (r["n"], r["total"])
+        for r in spark.sql("SELECT * FROM win_counts").collect()
+    }
+    assert got == batch and len(batch) > 10
+
+
 def test_feature_rows_matches_vector_form(spark):
     from librecatastro_spark.ops.multimodal import feature_rows
 
