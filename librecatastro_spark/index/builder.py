@@ -13,7 +13,8 @@ reference: src/utils/elasticsearch_utils.py:28-30):
   * **Stage 2 (per shard group, independently resumable)**: read one shard's
     staged postings (partition-pruned), salt hot terms (df > threshold) by
     doc-id sub-range so per-salt blocks stay sorted and concatenation-free,
-    groupBy(shard, term, salt) → applyInPandas building 128-doc
+    groupBy(shard, term, salt) → applyInPandas over numeric-only
+    columns (term→tid) building 128-doc
     delta+varbyte blocks with per-block max BM25 weight, write sorted
     Parquet, then append a manifest/lineage record (rows, blocks, duration
     — the A29 tracking-journal analog, reference:
@@ -107,6 +108,33 @@ def read_meta(out_dir: str) -> IndexMeta:
 
 # --------------------------------------------------------------- builder --
 
+from contextlib import contextmanager
+
+
+@contextmanager
+def _small_arrow_batches(spark: SparkSession, rows: int = 512):
+    """Scope small Arrow batches to the TOKENIZE stage only.
+
+    At the default 10,000 rows a batch holds ~10M tokens (avgdl ~1k), so
+    every numpy temporary in the tokenize kernel is an ~80 MB allocation —
+    32 concurrent workers then mmap/munmap hundreds of MB per batch and
+    the host's page-fault path becomes the bottleneck (measured: the
+    tokenize stage ANTI-scaled 315 s @8 → 776 s @32 on a 4.9 GB corpus).
+    At 512 rows the temporaries are ~4 MB, stay in the allocator's reuse
+    pools, and the same stage runs 30 s @8 / 21 s @32 (A/B-probed,
+    interleaved best-of-2; 1024 was 1.5× worse, 256 no better).
+
+    MUST NOT leak into stage 2: the grouped map reassembles each group by
+    concatenating its Arrow chunks, and 512-row chunks turn the bucket
+    groups into ~190k tiny batches (measured 1.9× stage-2 slowdown).
+    """
+    prev = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", str(rows))
+    try:
+        yield
+    finally:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", prev)
+
 def _widen_for_tokenize(spark: SparkSession, docs: DataFrame, id_col: str):
     """The Python tokenizer costs ~10 s per 128 MB task: a small corpus
     packed into few scan partitions would serialize stage 1, and a task
@@ -130,36 +158,102 @@ def _widen_for_tokenize(spark: SparkSession, docs: DataFrame, id_col: str):
     return docs.repartitionByRange(target, F.col(id_col)), lambda: None
 
 
+def assign_term_ids(tstats: DataFrame, n_buckets: int = 256) -> DataFrame:
+    """(term, df, tid) — a deterministic, unique, JOB-EPHEMERAL integer id
+    per vocabulary term, assigned with the same two-phase bucketed rank as
+    corpus.assign_doc_ids (no global-sort bottleneck: xxhash buckets are
+    uniform; only the n_buckets-row count table touches the driver).
+
+    Why: stage 2's grouped map used to ship the term STRING of every
+    posting row into the python workers; Arrow→pandas then materializes
+    one CPython object per row (~100M per build at the bench corpus),
+    which both dominates the transport time and saturates the host
+    allocator at high worker counts. With tid the grouped map moves only
+    fixed-width numerics (pure memcpy), and term strings are re-attached
+    JVM-side at BLOCK level — postings/block_size rows, ~1% of the rows.
+    Ids need no durability: every build/append job derives them fresh
+    from the current term_stats and they never leave the job."""
+    from pyspark.sql import Window
+
+    b = F.pmod(F.xxhash64("term"), F.lit(n_buckets)).cast("int")
+    df = tstats.withColumn("_b", b)
+    counts = {
+        r["_b"]: r["cnt"]
+        for r in df.groupBy("_b").agg(F.count(F.lit(1)).alias("cnt")).collect()
+    }
+    offsets, acc = {}, 0
+    for i in range(n_buckets):
+        offsets[i] = acc
+        acc += counts.get(i, 0)
+    off = F.element_at(
+        F.create_map(*[F.lit(x) for i in range(n_buckets) for x in (i, offsets[i])]),
+        F.col("_b"),
+    )
+    w = Window.partitionBy("_b").orderBy("term")
+    return df.withColumn(
+        "tid", (off + F.row_number().over(w) - F.lit(1)).cast("long")
+    ).drop("_b")
+
+
+# grouped-map output: tid instead of term (strings never enter python),
+# tbucket passed through so the write slicing needs no re-hash
+BLOCK_SCHEMA_TID = (
+    "shard int, tbucket int, tid long, salt int, block_seq int, n_docs int, "
+    "first_doc_id long, last_doc_id long, docs_enc binary, tfs_enc binary, "
+    "dls_enc binary, block_max_w double, idf_build double"
+)
+
+
 def _bucket_builder(block_size: int, n_docs: float, avgdl: float):
     """Grouped-map fn over one (shard, tbucket) group — a hash bucket of
-    MANY (term, salt) posting runs. Bucket-coarsened grouping (~hundreds of
-    groups, not one per term) amortizes the per-group Arrow/pandas exchange
+    MANY (tid, salt) posting runs. Bucket-coarsened grouping (~hundreds of
+    groups, not one per term) amortizes the per-group Arrow exchange
     overhead ~50×; run boundaries are found vectorized and each run is
     chunked into delta+varbyte blocks. Hot (salted) terms hash to distinct
     buckets per salt, so no bucket exceeds ~|shard postings|/n_buckets plus
-    one salt share — the OOM bound the salting exists for."""
+    one salt share — the OOM bound the salting exists for.
+
+    The input frame is ALL-NUMERIC (see assign_term_ids): Arrow→pandas is
+    a zero-copy/memcpy conversion, the sort is an integer np.lexsort, and
+    no per-row Python object is ever created. (applyInArrow was measured
+    and rejected: its JVM writer serializes groups ~3.4× slower than the
+    pandas path on identical data — 128 s vs 38 s for an identity UDF over
+    the 800k-doc staged postings — with GCLocker alloc stalls; the pandas
+    path's object churn was the OTHER bottleneck, and numeric-only input
+    eliminates both.)"""
 
     def fn(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values(["term", "salt", "doc_id"], kind="mergesort")
-        terms = pdf["term"].to_numpy()
-        salts = pdf["salt"].to_numpy(dtype=np.int64)
-        doc_ids = pdf["doc_id"].to_numpy(dtype=np.int64)
-        tfs_all = pdf["tf"].to_numpy(dtype=np.int64)
-        dls_all = pdf["dl"].to_numpy(dtype=np.int64)
-        dfs_all = pdf["df"].to_numpy(dtype=np.float64)
-        shard = int(pdf["shard"].iloc[0]) if len(pdf) else 0
         n = len(pdf)
         if n == 0:
             return pd.DataFrame(
                 columns=[
-                    "shard", "term", "salt", "block_seq", "n_docs",
+                    "shard", "tbucket", "tid", "salt", "block_seq", "n_docs",
                     "first_doc_id", "last_doc_id", "docs_enc", "tfs_enc",
                     "dls_enc", "block_max_w", "idf_build",
                 ]
             )
+        tids = pdf["tid"].to_numpy(np.int64)
+        salts = pdf["salt"].to_numpy(np.int64)
+        doc_ids = pdf["doc_id"].to_numpy(np.int64)
+        tfs_all = pdf["tf"].to_numpy(np.int64)
+        dls_all = pdf["dl"].to_numpy(np.int64)
+        dfs_all = pdf["df"].to_numpy(np.float64)
+        shard = int(pdf["shard"].iloc[0])
+        tbucket = int(pdf["tbucket"].iloc[0])
+        # integer lexsort, last key primary: (tid, salt, doc_id) — unique
+        # per row, so the order (hence every block byte) is deterministic.
+        # Lexicographic TERM order is restored JVM-side before the write;
+        # within a bucket only run grouping matters, not run order.
+        order = np.lexsort((doc_ids, salts, tids))
+        tids = tids[order]
+        salts = salts[order]
+        doc_ids = doc_ids[order]
+        tfs_all = tfs_all[order]
+        dls_all = dls_all[order]
+        dfs_all = dfs_all[order]
         change = np.empty(n, dtype=bool)
         change[0] = True
-        change[1:] = (terms[1:] != terms[:-1]) | (salts[1:] != salts[:-1])
+        change[1:] = (tids[1:] != tids[:-1]) | (salts[1:] != salts[:-1])
         starts = np.flatnonzero(change)
         # all BM25 weights in one vectorized pass (idf varies per run)
         idfs = np.log1p((n_docs - dfs_all + 0.5) / (dfs_all + 0.5))
@@ -175,10 +269,12 @@ def _bucket_builder(block_size: int, n_docs: float, avgdl: float):
             doc_ids, tfs_all, dls_all, w_all, starts, block_size
         )
         run_idx = blk["run_idx"]
+        nb = len(run_idx)
         return pd.DataFrame(
             {
-                "shard": np.full(len(run_idx), shard, dtype=np.int32),
-                "term": terms[starts[run_idx]],
+                "shard": np.full(nb, shard, dtype=np.int32),
+                "tbucket": np.full(nb, tbucket, dtype=np.int32),
+                "tid": tids[starts[run_idx]],
                 "salt": salts[starts[run_idx]].astype(np.int32),
                 "block_seq": blk["block_seq"].astype(np.int32),
                 "n_docs": blk["n_docs"].astype(np.int32),
@@ -285,9 +381,10 @@ def _build_index(
             staged = term_freqs_arrow(docs_tok, id_col, text_col).withColumn(
                 "shard", shard_expr
             )
-            staged.write.mode("overwrite").partitionBy("shard").parquet(
-                os.path.join(out_dir, "_stage", "postings")
-            )
+            with _small_arrow_batches(spark):
+                staged.write.mode("overwrite").partitionBy("shard").parquet(
+                    os.path.join(out_dir, "_stage", "postings")
+                )
         finally:
             restore_conf()
         t_staged = time.time()
@@ -328,6 +425,9 @@ def _build_index(
     # ---- stage 2: per shard-group block build (resumable units) ----------
     staged = spark.read.parquet(os.path.join(out_dir, "_stage", "postings"))
     tstats = spark.read.parquet(os.path.join(out_dir, "term_stats"))
+    # one ephemeral term→tid map for the whole stage (cached: every shard
+    # group broadcasts from it; see assign_term_ids for why tid exists)
+    tids = assign_term_ids(tstats).cache()
     shard_span = meta.n_docs / meta.n_shards
     for lo in range(0, meta.n_shards, shards_per_job):
         shards = list(range(lo, min(lo + shards_per_job, meta.n_shards)))
@@ -335,10 +435,13 @@ def _build_index(
         if unit in done:
             continue
         t0 = time.time()
-        # df-per-term is small (vocabulary-sized) → broadcast, no shuffle
+        # df-per-term is small (vocabulary-sized) → broadcast, no shuffle.
+        # tid replaces the term STRING for everything python-side
+        # (assign_term_ids docstring has the numbers); the join projects
+        # the string away immediately after.
         part = staged.where(F.col("shard").isin(shards)).join(
-            F.broadcast(tstats.select("term", "df")), "term"
-        )
+            F.broadcast(tids.select("term", "df", "tid")), "term"
+        ).drop("term")
         # salt hot terms by doc-id sub-range within the shard: per-salt
         # groups are disjoint, sorted ranges, so blocks need no re-merge.
         rel = F.col("doc_id") - F.col("shard") * F.lit(shard_span)
@@ -350,18 +453,22 @@ def _build_index(
             ),
         ).otherwise(F.lit(0))
         part = part.withColumn("salt", salt)
-        # bucket-coarsened grouping: (term, salt) runs hash into n_buckets
+        # bucket-coarsened grouping: (tid, salt) runs hash into n_buckets
         # groups per shard, so the grouped-map pays Arrow exchange overhead
         # per BUCKET (hundreds), not per TERM (millions at scale), while
         # salted hot terms still spread across buckets
         part = part.withColumn(
             "tbucket",
-            F.pmod(F.xxhash64("term", "salt"), F.lit(meta.n_buckets)).cast("int"),
+            F.pmod(F.xxhash64("tid", "salt"), F.lit(meta.n_buckets)).cast("int"),
         )
-        blocks = part.groupBy("shard", "tbucket").applyInPandas(
+        blocks_tid = part.groupBy("shard", "tbucket").applyInPandas(
             _bucket_builder(meta.block_size, float(meta.n_docs), meta.avgdl),
-            schema=BLOCK_SCHEMA,
+            schema=BLOCK_SCHEMA_TID,
         )
+        # re-attach term strings JVM-side at BLOCK granularity (~1% of the
+        # posting rows; unhinted join — AQE broadcasts the vocab when it
+        # fits, sort-merges when a 100 TB vocabulary does not)
+        blocks = blocks_tid.join(tids.select("tid", "term"), "tid").drop("tid")
         # one job per group: dynamic partition overwrite replaces only the
         # shard dirs this group produced (idempotent re-run of the unit)
         prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "STATIC")
@@ -384,17 +491,16 @@ def _build_index(
             files_per_shard = max(
                 1, spark.sparkContext.defaultParallelism // len(shards)
             )
-            # recompute the term bucket (grouped-map output drops it) —
-            # same deterministic hash as the grouping key above
-            tbucket = F.pmod(F.xxhash64("term", "salt"), F.lit(meta.n_buckets))
+            # tbucket rides along in the grouped-map output, so the write
+            # slice needs no re-hash
             wslice = F.floor(
-                tbucket * files_per_shard / F.lit(meta.n_buckets)
+                F.col("tbucket") * files_per_shard / F.lit(meta.n_buckets)
             ).cast("int")
             (
                 blocks.withColumn("wslice", wslice)
                 .repartition(len(shards) * files_per_shard, "shard", "wslice")
                 .sortWithinPartitions("term", "salt", "block_seq")
-                .drop("wslice")
+                .drop("wslice", "tbucket")
                 .write.mode("overwrite")
                 .option("parquet.block.size", str(1 << 20))
                 .partitionBy("shard")
@@ -403,6 +509,7 @@ def _build_index(
         finally:
             spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
         _write_manifest(out_dir, unit, shards=shards, secs=time.time() - t0)
+    tids.unpersist()
     return meta
 
 

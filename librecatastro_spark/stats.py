@@ -19,11 +19,12 @@ from collections.abc import Iterator
 from dataclasses import dataclass
 
 import numpy as np
-import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from .analyzer import _PY_FINDALL, tokenize_expr
+from .analyzer import TOKEN_SPLIT_RE, tokenize_expr
 
 
 @dataclass(frozen=True)
@@ -66,73 +67,90 @@ def term_freqs_arrow(
     """(doc_id, term, tf, dl) via ONE fused Arrow pass — the builder's hot
     path. Semantically identical to term_freqs (equality-tested), but:
 
-      * tokenization uses CPython's C regex (~30× the JVM regex split's
-        throughput on the char-class pattern, measured on this box);
-      * tf is aggregated per document INSIDE the batch (factorize →
-        bincount over doc×term keys, all numpy) — per-doc aggregation is
-        embarrassingly parallel, so the groupBy(doc_id, term) shuffle of
-        one row PER TOKEN OCCURRENCE disappears entirely. At 100 TB that
-        shuffle is the single largest exchange of the whole build; this
-        map-side combine removes it, leaving only the (already tiny)
-        per-term stats aggregation downstream.
+      * the whole tokenize→count kernel is pyarrow compute + numpy batch
+        math (``mapInArrow``, zero pandas conversion): RE2 split,
+        dictionary-encode, then a sort + run-length pass over packed
+        (doc, term) keys. No per-token CPython objects exist at any point
+        — vs the previous findall/factorize kernel this is ~1.7× faster
+        at 32 concurrent workers on this host (interleaved best-of-3
+        probe) because Arrow's jemalloc pool RECYCLES buffers instead of
+        munmap'ing them, sidestepping the measured kernel-side
+        page-fault wall that anti-scales allocation-churning workers
+        (BENCH.md "Why"), and satisfies the input_hint's no-per-row-
+        Python requirement outright.
+      * tf is aggregated per document INSIDE the batch — per-doc
+        aggregation is embarrassingly parallel, so the
+        groupBy(doc_id, term) shuffle of one row PER TOKEN OCCURRENCE
+        disappears entirely. At 100 TB that shuffle is the single
+        largest exchange of the whole build; this map-side combine
+        removes it, leaving only the (already tiny) per-term stats
+        aggregation downstream.
+      * the sort + run-length counter touches only real keys — a dense
+        np.bincount over the doc×vocab key space was A/B-measured
+        strictly worse at every batch shape (32 concurrent
+        multi-hundred-MB zero+scan loops saturate memory bandwidth).
     """
     cols = docs.select(
         F.col(id_col).cast("long").alias("doc_id"), F.col(text_col).alias("_text")
     )
 
-    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            n = len(pdf)
+    def gen(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for rb in batches:
+            n = rb.num_rows
             if n == 0:
                 continue
-            lowered = pdf["_text"].fillna("").str.lower()
-            # Per-row-Python waiver (input_hint bans row loops): this
-            # comprehension calls CPython's C regex engine once per row —
-            # the per-row Python cost is the loop frame only; matching
-            # itself is C. Measured alternatives on this box: JVM
-            # tokenize_expr ~30× slower on the char-class pattern;
-            # pandas .str.findall ~1.1× (same loop inside pandas); pyarrow
-            # compute has no findall. Everything downstream of this line
-            # (counts, factorize, bincount) is numpy batch math.
-            tok_lists = [_PY_FINDALL.findall(x) for x in lowered]
-            counts = np.fromiter((len(t) for t in tok_lists), np.int64, count=n)
-            total = int(counts.sum())
-            if total == 0:
+            text = rb.column(1)
+            # every skipped copy matters: the host saturates on aggregate
+            # allocation traffic before it runs out of CPU, so bytes
+            # allocated per input byte IS the scaling ceiling
+            if text.null_count:
+                text = pc.coalesce(text, pa.scalar("", pa.string()))
+            low = pc.utf8_lower(text)
+            toks = pc.split_pattern_regex(low, TOKEN_SPLIT_RE)
+            parent = pc.list_parent_indices(toks)
+            flat = pc.list_flatten(toks)
+            mask = pc.not_equal(flat, "")
+            if mask.false_count:  # empties only at non-token doc edges
+                flat = flat.filter(mask)
+                parent = parent.filter(mask)
+            if len(flat) == 0:
                 continue
-            flat = np.concatenate(
-                [np.asarray(t, dtype=object) for t in tok_lists if t]
-            )
-            codes, uniques = pd.factorize(flat)
-            v = len(uniques)
-            doc_idx = np.repeat(np.arange(n, dtype=np.int64), counts)
-            key = doc_idx * v + codes
-            # sort + run-length over the (doc, term) keys: O(total log
-            # total), touches only real keys. A dense np.bincount over the
-            # n·v key space was A/B-measured strictly worse at every batch
-            # shape on the bench corpus (equal at 930-doc batches, 3.7×
-            # slower at 3,700 — it zeroes and scans n·v int64 slots, and
-            # 32 concurrent multi-hundred-MB zero+scan loops saturate
-            # memory bandwidth and ANTI-scale the whole build), so the
-            # sort path is unconditional.
+            dv = flat.dictionary_encode()
+            codes = dv.indices.to_numpy(zero_copy_only=False)
+            uniq = dv.dictionary
+            v = len(uniq)
+            par = parent.to_numpy(zero_copy_only=False)
+            dl = np.bincount(par, minlength=n)
+            # pack (doc, term) into ONE key; int32 math when it fits (the
+            # 512-row build batches always do: n·v < 2^31) halves the
+            # bytes the sort touches and allocates
+            if n * v < 2**31:
+                key = par.astype(np.int32, copy=False) * np.int32(v) + codes.astype(
+                    np.int32, copy=False
+                )
+            else:
+                key = par.astype(np.int64) * v + codes.astype(np.int64)
             sk = np.sort(key)
             ch = np.empty(len(sk), dtype=bool)
             ch[0] = True
             ch[1:] = sk[1:] != sk[:-1]
             st = np.flatnonzero(ch)
             uk = sk[st]
-            tf = np.diff(np.append(st, len(sk)))
+            tf = np.diff(np.append(st, len(sk))).astype(np.int64)
             d = uk // v
-            ids = pdf["doc_id"].to_numpy(np.int64)
-            yield pd.DataFrame(
-                {
-                    "doc_id": ids[d],
-                    "term": uniques[uk % v],
-                    "tf": tf.astype(np.int64),
-                    "dl": counts[d],
-                }
+            ids = rb.column(0).to_numpy(zero_copy_only=False)
+            term = uniq.take(pa.array(uk % v, type=pa.int64()))
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(ids[d], type=pa.int64()),
+                    pc.cast(term, pa.string()),
+                    pa.array(tf),
+                    pa.array(dl[d], type=pa.int64()),
+                ],
+                names=["doc_id", "term", "tf", "dl"],
             )
 
-    return cols.mapInPandas(gen, schema="doc_id long, term string, tf long, dl long")
+    return cols.mapInArrow(gen, schema="doc_id long, term string, tf long, dl long")
 
 
 def doc_lengths(postings: DataFrame) -> DataFrame:

@@ -39,8 +39,10 @@ from pyspark.sql import functions as F
 
 from ..index.builder import (
     _bucket_builder,
+    assign_term_ids,
+    _small_arrow_batches,
     _write_manifest,
-    BLOCK_SCHEMA,
+    BLOCK_SCHEMA_TID,
     IndexMeta,
     load_attrs,
     read_meta,
@@ -96,9 +98,14 @@ def _append_batch(
     staged_new = term_freqs_arrow(fresh, "doc_id", text_col).withColumn(
         "shard", shard_expr
     ).cache()
-    staged_new.write.mode("append").partitionBy("shard").parquet(
-        os.path.join(out_dir, "_stage", "postings")
-    )
+    # small Arrow batches scoped to the tokenize pass — the same
+    # allocation-churn mitigation as the batch build (builder.py:
+    # _small_arrow_batches); the cache() above materializes here, so the
+    # downstream stats/block stages run at the default batch size
+    with _small_arrow_batches(spark):
+        staged_new.write.mode("append").partitionBy("shard").parquet(
+            os.path.join(out_dir, "_stage", "postings")
+        )
 
     # ---- additive stats merge: O(vocabulary + batch terms), NOT O(staged).
     # df/cf are additive across disjoint doc sets; N counts ALL docs
@@ -142,12 +149,15 @@ def _append_batch(
     # stay upper bounds)
     touched = [r["shard"] for r in staged_new.select("shard").distinct().collect()]
     tstats = spark.read.parquet(os.path.join(out_dir, "term_stats"))
+    # ephemeral term→tid map so the grouped map below moves only numerics
+    # (same design as the batch build — assign_term_ids docstring)
+    tids = assign_term_ids(tstats).cache()
     # lazily open the staged postings; the isin(touched) predicate below is
     # partition pruning, so only the touched shards' files are ever read
     staged = spark.read.parquet(os.path.join(out_dir, "_stage", "postings"))
     part = staged.where(F.col("shard").isin(touched)).join(
-        tstats.select("term", "df"), "term"
-    )
+        F.broadcast(tids.select("term", "df", "tid")), "term"
+    ).drop("term")
     shard_span = meta.n_docs / meta.n_shards
     rel = F.col("doc_id") - F.col("shard") * F.lit(shard_span)
     salt = F.when(
@@ -159,18 +169,19 @@ def _append_batch(
     ).otherwise(F.lit(0))
     part = part.withColumn("salt", salt).withColumn(
         "tbucket",
-        F.pmod(F.xxhash64("term", "salt"), F.lit(meta.n_buckets)).cast("int"),
+        F.pmod(F.xxhash64("tid", "salt"), F.lit(meta.n_buckets)).cast("int"),
     )
     blocks = part.groupBy("shard", "tbucket").applyInPandas(
         _bucket_builder(meta.block_size, float(meta.n_docs), meta.avgdl),
-        schema=BLOCK_SCHEMA,
-    )
+        schema=BLOCK_SCHEMA_TID,
+    ).join(tids.select("tid", "term"), "tid").drop("tid", "tbucket")
     for s in touched:
         blocks.where(F.col("shard") == s).sortWithinPartitions(
             "term", "salt", "block_seq"
         ).write.mode("overwrite").option(
             "parquet.block.size", str(1 << 20)  # tight row groups → term pruning
         ).parquet(os.path.join(out_dir, "postings", f"shard={s}"))
+    tids.unpersist()
     # append attrs rows LAST, for ALL fresh docs (projected from fresh, not
     # from staged postings — a zero-token doc has no postings but must
     # exist in attrs for the sha invariant and the A16 anti-join).

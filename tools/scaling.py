@@ -100,6 +100,17 @@ def main() -> int:
     with open(os.path.join(REPO, "BENCH_SCALING.json"), "w") as fh:
         json.dump(out, fh, indent=2)
 
+    # preserve the hand-maintained analysis tail (host-wall measurements,
+    # fixed-overhead decomposition) across regenerations: everything from
+    # the ANALYSIS marker on survives
+    marker = "<!-- ANALYSIS:KEEP -->"
+    analysis = ""
+    bench_path = os.path.join(REPO, "BENCH.md")
+    if os.path.exists(bench_path):
+        prev = open(bench_path).read()
+        if marker in prev:
+            analysis = prev[prev.index(marker):]
+
     md = f"""# BENCH — scaling evidence
 
 Protocol (BASELINE.md): identical index-build + golden-query job at
@@ -130,8 +141,9 @@ query suite, per the north_rule requirement that cluster size cannot
 change results.
 
 Raw per-query numbers: `BENCH_SCALING.json`.
-"""
-    with open(os.path.join(REPO, "BENCH.md"), "w") as fh:
+
+{analysis}"""
+    with open(bench_path, "w") as fh:
         fh.write(md)
     print(json.dumps(r8))
     print(json.dumps(r32))
