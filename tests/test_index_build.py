@@ -149,3 +149,19 @@ def test_attrs_table_complete(spark, corpus, built):
     assert attrs.select(F.countDistinct("doc_id")).collect()[0][0] == 300
     # dl deliberately absent: doc lengths travel inside the posting blocks
     assert set(attrs.columns) >= {"doc_id", "repo", "path", "lang", "content_sha256", "shard"}
+
+
+def test_assign_term_ids_unique_dense_deterministic(spark):
+    """tid invariants the stage-2 numeric grouped map depends on: unique
+    per term, dense [0, vocab), and identical across partitionings."""
+    from librecatastro_spark.index.builder import assign_term_ids
+
+    terms = [f"tok{i:04d}" for i in range(500)]
+    ts = spark.createDataFrame(
+        [(t, i % 7 + 1, i % 11 + 1) for i, t in enumerate(terms)],
+        "term string, df long, cf long",
+    )
+    a = {r["term"]: r["tid"] for r in assign_term_ids(ts).collect()}
+    assert sorted(a.values()) == list(range(500))
+    b = {r["term"]: r["tid"] for r in assign_term_ids(ts.repartition(17)).collect()}
+    assert a == b
