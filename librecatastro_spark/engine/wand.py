@@ -64,6 +64,21 @@ from ..index.codec import decode_varbyte, delta_decode
 _RESULT_SCHEMA = "doc_id long, score double"
 
 
+def _prefix_successor(p: str) -> str | None:
+    """Smallest string ordering strictly above EVERY string with prefix p
+    (codepoint-lexicographic, matching Parquet min/max stats on UTF-8):
+    increment the last incrementable codepoint, dropping any trailing
+    U+10FFFF chars; None when p is all-U+10FFFF (no finite upper bound).
+    Skips the surrogate range, which cannot appear in valid UTF-8."""
+    for i in range(len(p) - 1, -1, -1):
+        c = ord(p[i]) + 1
+        if 0xD800 <= c <= 0xDFFF:
+            c = 0xE000
+        if c <= 0x10FFFF:
+            return p[:i] + chr(c)
+    return None
+
+
 def _empty() -> pd.DataFrame:
     return pd.DataFrame(
         {"doc_id": pd.Series(dtype="int64"), "score": pd.Series(dtype="float64")}
@@ -252,13 +267,23 @@ class CompressedIndex:
         self._df_local: dict[str, int] | None = None
         ts_dir = os.path.join(out_dir, "term_stats")
         try:
-            size = sum(
-                os.path.getsize(os.path.join(ts_dir, f))
-                for f in os.listdir(ts_dir)
+            from ..index.builder import stats_delta_dirs
+
+            dirs = stats_delta_dirs(out_dir) or [ts_dir]
+            files = [
+                os.path.join(d, f)
+                for d in dirs
+                for f in os.listdir(d)
                 if f.endswith(".parquet")
-            )
-            if size <= self._LOCAL_TERMSTATS_BYTES:
-                tbl = pq.read_table(ts_dir, columns=["term", "df"])
+            ]
+            size = sum(os.path.getsize(f) for f in files)
+            if size <= self._LOCAL_TERMSTATS_BYTES and files:
+                import pyarrow.dataset as pads
+
+                tbl = pads.dataset(files).to_table(columns=["term", "df"])
+                if len(dirs) > 1:  # merge stats deltas (post-append)
+                    tbl = tbl.group_by("term").aggregate([("df", "sum")])
+                    tbl = tbl.rename_columns(["term", "df"])
                 self._df_local = dict(
                     zip(
                         tbl.column("term").to_pylist(),
@@ -409,13 +434,27 @@ class CompressedIndex:
                 expr = e if expr is None else expr & e
             if prefix is not None:
                 p = prefix[1]
-                e = (pc.field(prefix[0]) >= p) & (
-                    pc.field(prefix[0]) < p + "\U0010ffff"
-                )
+                # range form for row-group/dictionary pruning only: every
+                # string with prefix p satisfies p <= s < successor(p)
+                # (a strict SUPERSET of the prefix match — e.g. 'src1z'
+                # falls in ['src1', 'src2') without starting a longer
+                # prefix); the exact starts_with re-check below restores
+                # semantics identical to the distributed path's Catalyst
+                # StartsWith
+                e = pc.field(prefix[0]) >= p
+                upper = _prefix_successor(p)
+                if upper is not None:
+                    e = e & (pc.field(prefix[0]) < upper)
                 expr = e if expr is None else expr & e
-            attrs = self._pads_attrs.to_table(
-                columns=["shard", "doc_id"], filter=expr
-            ).to_pandas()
+            cols = ["shard", "doc_id"]
+            if prefix is not None:
+                cols.append(prefix[0])
+            tbl = self._pads_attrs.to_table(columns=cols, filter=expr)
+            if prefix is not None:
+                tbl = tbl.filter(
+                    pc.starts_with(pc.field(prefix[0]), prefix[1])
+                ).select(["shard", "doc_id"])
+            attrs = tbl.to_pandas()
         local_k = k + offset
         fn = _shard_topk_fn(
             terms, idfs, self.meta.avgdl, local_k, bool(filters or prefix),
@@ -442,10 +481,14 @@ class CompressedIndex:
         min/max row-group pruning (postings are written sorted by term, so
         non-matching row groups are skipped — the Lucene term-dictionary
         seek analog). Constant-score 1.0, deterministic doc_id order."""
-        hi = prefix + "\U0010ffff"
-        blocks = self.postings.where(
-            (F.col("term") >= prefix) & (F.col("term") < hi)
-        )
+        # [prefix, successor(prefix)) is EXACTLY the startswith set under
+        # codepoint-lexicographic comparison (Spark's UTF8String order),
+        # with both endpoints plain literals the Parquet scan prunes on
+        hi = _prefix_successor(prefix)
+        cond = F.col("term") >= prefix
+        if hi is not None:
+            cond = cond & (F.col("term") < hi)
+        blocks = self.postings.where(cond)
 
         def fn(pdf: pd.DataFrame) -> pd.DataFrame:
             parts = [delta_decode(decode_varbyte(e)) for e in pdf["docs_enc"]]

@@ -26,7 +26,9 @@ Layout under ``out_dir``::
 
     meta.json                     N, avgdl, n_shards, block_size, …
     attrs/shard=S/…               doc_id, content_sha256, keyword cols
-    term_stats/…                  term, df, cf
+    term_stats/delta=N/…          term, df, cf (delta-partitioned: base
+                                  build = delta=0, appends add one delta
+                                  per batch, merged on read / compacted)
     _stage/postings/shard=S/…     doc_id, term, tf, dl
     postings/shard=S/…            term, salt, block_seq, n_docs,
                                   first_doc_id, last_doc_id,
@@ -389,12 +391,17 @@ def _build_index(
             restore_conf()
         t_staged = time.time()
         staged_r = spark.read.parquet(os.path.join(out_dir, "_stage", "postings"))
+        # delta=0 is the base generation of the delta-partitioned stats
+        # layout: appends add delta=<n> dirs of BATCH-vocabulary size (see
+        # streaming/incremental.py) and readers aggregate on read, so no
+        # append ever rewrites the global vocabulary
         staged_r.groupBy("term").agg(
             F.count(F.lit(1)).alias("df"), F.sum("tf").alias("cf")
-        ).write.mode("overwrite").parquet(os.path.join(out_dir, "term_stats"))
+        ).write.mode("overwrite").parquet(
+            os.path.join(out_dir, "term_stats", "delta=0")
+        )
         total_tokens = (
-            spark.read.parquet(os.path.join(out_dir, "term_stats"))
-            .agg(F.sum("cf")).collect()[0][0]
+            load_term_stats(spark, out_dir).agg(F.sum("cf")).collect()[0][0]
         )
         avgdl = float(total_tokens or 0) / n_docs_total if n_docs_total else 0.0
         meta = IndexMeta(
@@ -424,7 +431,7 @@ def _build_index(
 
     # ---- stage 2: per shard-group block build (resumable units) ----------
     staged = spark.read.parquet(os.path.join(out_dir, "_stage", "postings"))
-    tstats = spark.read.parquet(os.path.join(out_dir, "term_stats"))
+    tstats = load_term_stats(spark, out_dir)
     # one ephemeral term→tid map for the whole stage (cached: every shard
     # group broadcasts from it; see assign_term_ids for why tid exists)
     tids = assign_term_ids(tstats).cache()
@@ -529,8 +536,36 @@ def load_attrs(spark: SparkSession, out_dir: str) -> DataFrame:
     return df.withColumn("shard", F.col("shard").cast("int"))
 
 
+def stats_delta_dirs(out_dir: str) -> list[str]:
+    """Absolute paths of the term_stats delta partitions, oldest first.
+    Layout: term_stats/delta=<n>/ — the base build writes delta=0, each
+    append adds one batch-vocabulary-sized delta, readers merge on read,
+    and compaction (streaming/incremental.py) folds them back to one."""
+    ts = os.path.join(out_dir, "term_stats")
+    if not os.path.isdir(ts):
+        return []
+    out = []
+    for d in os.listdir(ts):
+        if d.startswith("delta="):
+            try:
+                out.append((int(d.split("=", 1)[1]), os.path.join(ts, d)))
+            except ValueError:
+                continue
+    return [p for _, p in sorted(out)]
+
+
 def load_term_stats(spark: SparkSession, out_dir: str) -> DataFrame:
-    return spark.read.parquet(os.path.join(out_dir, "term_stats"))
+    """Aggregated (term, df, cf) over every stats delta. With a single
+    delta (every batch-built index) this is a plain scan — no extra
+    shuffle on the build/bench path; the merge groupBy only appears once
+    appends have added deltas, and is vocabulary-sized either way."""
+    deltas = stats_delta_dirs(out_dir)
+    if not deltas:  # pre-delta flat layout (legacy indexes)
+        return spark.read.parquet(os.path.join(out_dir, "term_stats"))
+    if len(deltas) == 1:
+        return spark.read.parquet(deltas[0])
+    df = spark.read.parquet(*deltas)
+    return df.groupBy("term").agg(F.sum("df").alias("df"), F.sum("cf").alias("cf"))
 
 
 def load_staged_postings(spark: SparkSession, out_dir: str) -> DataFrame:

@@ -284,43 +284,52 @@ def simhash16_sql(col: str, n_bits: int = 16) -> str:
 
 @F.pandas_udf(LongType())
 def simhash64_udf(texts: pd.Series) -> pd.Series:
-    """Production 64-bit SimHash — Arrow-vectorized; md5 computed once per
-    UNIQUE token per batch, bit votes in numpy.
+    """Production 64-bit SimHash — fully columnar: tokenize with the same
+    RE2 split + ``dictionary_encode`` kernel as the index builder
+    (stats.py term_freqs_arrow), so token interning happens in Arrow C++,
+    md5 runs once per UNIQUE token (vocabulary-sized, typically ~50×
+    smaller than the token stream), and the 64 bit-votes accumulate with
+    one vectorized scatter-add (``np.add.at``) over (doc, bit). No
+    per-row or per-token Python loop remains (the r2 waiver is gone)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
 
-    Per-row-Python waiver (input_hint bans row loops): the token-interning
-    loop below iterates rows INSIDE an Arrow batch, but each iteration
-    only dict-interns token strings — the md5 and all 64-bit vote math run
-    batch-wide in numpy over the UNIQUE vocabulary (typically ~50× smaller
-    than the token stream). A fully columnar rewrite (explode + join)
-    costs a corpus-wide shuffle per call; measured, the interning loop is
-    ~8% of this UDF's runtime, so the loop is the cheaper scale shape."""
-    from ..analyzer import _PY_SPLIT
+    from ..analyzer import TOKEN_SPLIT_RE
 
-    out = np.zeros(len(texts), dtype=np.int64)
-    token_lists = texts.fillna("").str.lower().str.split(_PY_SPLIT)
-    vocab: dict[str, int] = {}
-    hashes: list[int] = []
-    idx_lists = []
-    for toks in token_lists:
-        idxs = []
-        for t in toks:
-            if not t:
-                continue
-            h = vocab.get(t)
-            if h is None:
-                h = len(hashes)
-                vocab[t] = h
-                hashes.append(int.from_bytes(hashlib.md5(t.encode()).digest()[:8], "big"))
-            idxs.append(h)
-        idx_lists.append(np.asarray(idxs, dtype=np.int64))
-    hv = np.asarray(hashes, dtype=np.uint64)
-    bits = ((hv[:, None] >> np.arange(64, dtype=np.uint64)) & np.uint64(1)).astype(np.int8)
+    n = len(texts)
+    out = np.zeros(n, dtype=np.int64)
+    if n == 0:
+        return pd.Series(out)
+    text = pa.Array.from_pandas(texts.astype("object"), type=pa.string())
+    if text.null_count:
+        text = pc.coalesce(text, pa.scalar("", pa.string()))
+    toks = pc.split_pattern_regex(pc.utf8_lower(text), TOKEN_SPLIT_RE)
+    parent = pc.list_parent_indices(toks)
+    flat = pc.list_flatten(toks)
+    mask = pc.not_equal(flat, "")
+    if mask.false_count:
+        flat = flat.filter(mask)
+        parent = parent.filter(mask)
+    if len(flat) == 0:
+        return pd.Series(out)
+    dv = flat.dictionary_encode()
+    codes = dv.indices.to_numpy(zero_copy_only=False).astype(np.int64, copy=False)
+    uniq = dv.dictionary.to_pylist()
+    par = parent.to_numpy(zero_copy_only=False).astype(np.int64, copy=False)
+    hv = np.fromiter(
+        (int.from_bytes(hashlib.md5(t.encode()).digest()[:8], "big") for t in uniq),
+        dtype=np.uint64,
+        count=len(uniq),
+    )
+    bits = ((hv[:, None] >> np.arange(64, dtype=np.uint64)) & np.uint64(1)).astype(
+        np.int32
+    )
     votes_pm = bits * 2 - 1  # ±1 per bit per vocab entry
-    for row, idxs in enumerate(idx_lists):
-        if len(idxs) == 0:
-            continue
-        v = votes_pm[idxs].sum(axis=0)
-        out[row] = int(((v > 0).astype(np.uint64) << np.arange(64, dtype=np.uint64)).sum().astype(np.int64))
+    acc = np.zeros((n, 64), dtype=np.int32)
+    np.add.at(acc, par, votes_pm[codes])
+    out = ((acc > 0).astype(np.uint64) << np.arange(64, dtype=np.uint64)).sum(
+        axis=1
+    ).astype(np.int64)
     return pd.Series(out)
 
 

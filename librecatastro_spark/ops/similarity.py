@@ -318,17 +318,37 @@ def embedding_near_dup_banded(
     (band_idx, band_val), never a cartesian product, then exact cosine
     verify (the dedup_minhash_lsh pattern applied to embeddings).
 
-    Recall math (random-hyperplane LSH): a pair at angle θ agrees on one
-    plane w.p. s = 1 - θ/π, on an r-bit band w.p. s^r, and is missed by
-    all b bands w.p. ≤ (1 - s^r)^b. At the gated threshold cos ≥ 0.4
-    (θ ≤ 66.4°, s ≥ 0.631) with r=2, b=8 the per-pair miss bound is
-    ≤ 0.017 analytically and 0 observed on the sf0.01 gate corpus
-    (pytest-asserted vs brute force), so the brute-force SQL is a valid
-    oracle there. 0.4 is a deliberately loose gate; at production
-    near-dup thresholds (≥ 0.9, s ≥ 0.93) use r=8, b=16 for real
-    pruning (band match prob 0.56 for dups vs 0.004 for random pairs)."""
+    This operator is APPROXIMATE, like every banded-LSH dedup: a pair at
+    angle θ agrees on one plane w.p. s = 1 - θ/π, on an r-bit band w.p.
+    s^r, and is missed by all b bands w.p. ≤ (1 - s^r)^b — at cos ≥ 0.4
+    (s ≥ 0.631) with r=2, b=8 that per-pair miss bound is ≤ 0.017.
+    Measured recall vs the exact brute-force baseline: 100% on the
+    sf0.001/sf0.01 corpora, 907/920 pairs (98.6%) at sf0.1 — consistent
+    with the bound, and why its correctness oracle is
+    ``embedding_near_dup_banded_sql`` (the SAME banding with the seeded
+    planes frozen as SQL literals — the ann_lsh_topk oracle pattern),
+    which matches on every corpus by construction, rather than the exact
+    cross product, which an approximate operator cannot promise. Recall
+    vs ``brute_force_pairs`` stays pytest-measured. 0.4 is a loose gate
+    threshold; at production near-dup thresholds (≥ 0.9, s ≥ 0.93) use
+    r=8, b=16 for real pruning (band match prob 0.56 for dups vs 0.004
+    for random pairs)."""
     emb = F.col(vec_col).cast("array<double>")
     dim_row = vectors.select(F.size(vec_col).alias("d")).limit(1).collect()
+    if not dim_row:  # empty input → empty pairs, same as brute force
+        from pyspark.sql import types as T
+
+        idt = vectors.schema[id_col].dataType
+        return vectors.sparkSession.createDataFrame(
+            [],
+            T.StructType(
+                [
+                    T.StructField("vec_a", idt),
+                    T.StructField("vec_b", idt),
+                    T.StructField("cosine", T.DoubleType()),
+                ]
+            ),
+        )
     planes = _planes(int(dim_row[0]["d"]), n_planes, seed)
     base = vectors.select(F.col(id_col).alias("vec_id"), emb.alias("v"))
     keyed = vectors.select(
@@ -362,6 +382,62 @@ def embedding_near_dup_banded(
         )
         .where(F.col("cosine") >= threshold)
     )
+
+
+def embedding_near_dup_banded_sql(
+    threshold: float = 0.4,
+    dim: int = 64,
+    n_planes: int = 16,
+    bands: int = 8,
+    seed: int = 13,
+) -> str:
+    """DuckDB twin of embedding_near_dup_banded: the seeded hyperplanes
+    are frozen as SQL literals and the band values recomputed with the
+    same round-6 sign test and the same MSB-first bit packing as
+    _band_exprs, so the candidate set — and therefore the verified output
+    — is identical to the Spark path on ANY corpus (no recall assumption;
+    the exact cross product is NOT a valid oracle for an approximate
+    operator). Candidate generation mirrors the plan shape too: per-band
+    unnest + equi-self-join on (band_idx, band_val), never a cartesian."""
+    planes = _planes(dim, n_planes, seed)
+    r = n_planes // bands
+    band_exprs = []
+    for b in range(bands):
+        acc = "0"
+        for k in range(r):
+            p = planes[b * r + k]
+            bit = (
+                f"(CASE WHEN round({_sql_dot('v', _sql_arr(p))}, 6) > 0"
+                " THEN 1 ELSE 0 END)"
+            )
+            acc = f"({acc}) * 2 + {bit}"
+        band_exprs.append(acc)
+    bands_list = "[" + ", ".join(band_exprs) + "]"
+    cos = (
+        f"round({_sql_dot('a.v', 'b.v')} / (sqrt({_sql_dot('a.v', 'a.v')})"
+        f" * sqrt({_sql_dot('b.v', 'b.v')})), {ROUND_DECIMALS})"
+    )
+    return f"""
+WITH base AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v, {bands_list} AS bands
+  FROM embeddings
+),
+keyed AS (
+  SELECT vec_id, unnest(range({bands})) AS band_idx, unnest(bands) AS band_val
+  FROM base
+),
+cand AS (
+  SELECT DISTINCT l.vec_id AS vec_a, r.vec_id AS vec_b
+  FROM keyed l JOIN keyed r
+    ON l.band_idx = r.band_idx AND l.band_val = r.band_val
+   AND l.vec_id < r.vec_id
+)
+SELECT cand.vec_a AS vec_a, cand.vec_b AS vec_b, {cos} AS cosine
+FROM cand
+JOIN base a ON a.vec_id = cand.vec_a
+JOIN base b ON b.vec_id = cand.vec_b
+WHERE {cos} >= {threshold}
+"""
 
 
 def embedding_near_dup_pairs(

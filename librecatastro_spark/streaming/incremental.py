@@ -13,18 +13,28 @@ watched directory, or any stream source); each micro-batch is
   3. the affected shards' posting blocks are rebuilt from the staged
      postings (delta shards only), term_stats/meta refreshed.
 
-``foreachBatch`` gives exactly-once-per-batch semantics on top of the
-builder's idempotent per-shard overwrite: replaying a batch converges to
-the same index (the upsert-by-id analog, cadaster_entry.py:53).
+Crash consistency: each append is guarded by a write-ahead intent record
+(_pending_append.json) holding a file-level snapshot of the mutable
+areas, written BEFORE any index file is touched and deleted as the COMMIT
+step after the last write. Recovery (run automatically at the next
+append, or explicitly via ``recover_index``) rolls an uncommitted batch
+back completely — orphan staged/attrs files are purged against the
+snapshot, the batch's stats delta is dropped, meta is restored, and the
+touched shards' blocks are rebuilt from the clean state — so a replayed
+batch can never duplicate staged rows or double-count df/cf. This is the
+poor-man's single-writer transaction a production deployment would get
+from an Iceberg commit.
 
-Scale note: per-batch cost is O(new docs + touched shards + vocabulary),
-not O(corpus): the batch is tokenized once, term_stats are maintained by
-an ADDITIVE merge (old stats ∪ batch deltas → sum — df/cf are additive,
-N and Σcf are counters), and only the touched shards' posting blocks are
-rebuilt from their partition-pruned staged postings. The full staged
-corpus is never re-read (pytest-asserted by deleting an untouched staged
-partition before an append). BM25 scores reflect the full corpus after
-every batch, which is what ES's refresh gives (B15).
+Scale note: per-batch cost is O(new docs + touched shards + batch vocab):
+the batch is tokenized once, term_stats are maintained by APPENDING a
+batch-vocabulary-sized delta partition (term_stats/delta=<n>, merged on
+read, folded back into one generation by ``compact_term_stats`` once
+``COMPACT_AFTER`` deltas accumulate — df/cf are additive, N and Σcf are
+counters), and only the touched shards' posting blocks are rebuilt from
+their partition-pruned staged postings. The full staged corpus is never
+re-read and the global vocabulary is never rewritten per batch (both
+pytest-asserted). BM25 scores reflect the full corpus after every batch,
+which is what ES's refresh gives (B15).
 """
 
 from __future__ import annotations
@@ -45,9 +55,129 @@ from ..index.builder import (
     BLOCK_SCHEMA_TID,
     IndexMeta,
     load_attrs,
+    load_term_stats,
     read_meta,
+    stats_delta_dirs,
 )
 from ..stats import term_freqs_arrow
+
+COMPACT_AFTER = 8  # fold stats deltas back into one generation past this
+
+_WAL_NAME = "_pending_append.json"
+
+
+class _InjectedCrash(RuntimeError):
+    """Raised by the test-only _fail_after hook to simulate a crash at a
+    chosen point of the append protocol."""
+
+
+def _list_files(root: str) -> list[str]:
+    """Relative paths of every regular file under root ('' if missing)."""
+    out: list[str] = []
+    if not os.path.isdir(root):
+        return out
+    for dp, _, fns in os.walk(root):
+        for fn in fns:
+            out.append(os.path.relpath(os.path.join(dp, fn), root))
+    return out
+
+
+def _purge_files_not_in(root: str, keep: list[str]) -> int:
+    """Delete every file under root whose relpath is not in keep (and any
+    directories emptied by that), returning the number removed. This is
+    the rollback primitive: `keep` is the pre-batch snapshot, so exactly
+    the crashed batch's output files disappear."""
+    if not os.path.isdir(root):
+        return 0
+    keep_set = set(keep)
+    removed = 0
+    for dp, dns, fns in os.walk(root, topdown=False):
+        for fn in fns:
+            p = os.path.join(dp, fn)
+            if os.path.relpath(p, root) not in keep_set:
+                os.remove(p)
+                removed += 1
+        if dp != root and not os.listdir(dp):
+            os.rmdir(dp)
+    return removed
+
+
+def _recover_term_stats(out_dir: str) -> None:
+    """Finish or undo an interrupted term_stats compaction swap: the swap
+    is rename(ts → ts.old); rename(ts.compact → ts); rmtree(ts.old) — at
+    any crash point either ts or ts.old holds a complete generation."""
+    ts = os.path.join(out_dir, "term_stats")
+    old, tmp = ts + ".old", ts + ".compact"
+    if not os.path.isdir(ts) and os.path.isdir(old):
+        os.rename(old, ts)
+    shutil.rmtree(old, ignore_errors=True)
+    shutil.rmtree(tmp, ignore_errors=True)
+    # incomplete batch-delta write (crash before its atomic rename)
+    shutil.rmtree(os.path.join(ts, "_tmp_delta"), ignore_errors=True)
+
+
+def recover_index(spark: SparkSession, out_dir: str) -> bool:
+    """Roll back an uncommitted append, if one crashed mid-flight. Safe to
+    call on a healthy index (no-op). Returns True if a rollback ran.
+    Single-writer assumption: never call concurrently with a live append
+    on the same out_dir."""
+    _recover_term_stats(out_dir)
+    wal_path = os.path.join(out_dir, _WAL_NAME)
+    if not os.path.exists(wal_path):
+        return False
+    with open(wal_path) as fh:
+        wal = json.load(fh)
+    # 1) purge the crashed batch's attrs + staged files (snapshot diff)
+    _purge_files_not_in(os.path.join(out_dir, "attrs"), wal["attrs_files"])
+    _purge_files_not_in(
+        os.path.join(out_dir, "_stage", "postings"), wal["staged_files"]
+    )
+    # 2) drop the batch's stats delta (written whole via atomic rename,
+    #    so it is either absent or complete)
+    shutil.rmtree(
+        os.path.join(out_dir, "term_stats", f"delta={wal['stats_delta']}"),
+        ignore_errors=True,
+    )
+    # deleting files out from under Spark leaves stale entries in its
+    # file-listing cache — invalidate before anything re-reads these paths
+    for sub in ("attrs", os.path.join("_stage", "postings"), "term_stats"):
+        spark.catalog.refreshByPath(os.path.join(out_dir, sub))
+    # 3) restore meta
+    with open(os.path.join(out_dir, "meta.json"), "w") as fh:
+        json.dump(wal["old_meta"], fh)
+    # 4) rebuild the touched shards' blocks from the now-clean staged
+    #    postings (idempotent overwrite; a crash here re-enters recovery)
+    meta = read_meta(out_dir)
+    _rebuild_shards(spark, out_dir, meta, wal["touched_shards"])
+    os.remove(wal_path)
+    _write_manifest(
+        out_dir, f"rollback_{int(time.time() * 1000)}",
+        rolled_back_batch=wal.get("batch_token"),
+        shards=wal["touched_shards"],
+    )
+    return True
+
+
+def compact_term_stats(
+    spark: SparkSession, out_dir: str, max_deltas: int = COMPACT_AFTER
+) -> bool:
+    """Fold accumulated stats deltas back into a single delta=0 generation
+    once there are >= max_deltas of them. Crash-safe via the rename-aside
+    swap undone/finished by _recover_term_stats. O(vocabulary), amortized
+    over max_deltas appends."""
+    deltas = stats_delta_dirs(out_dir)
+    if len(deltas) < max_deltas:
+        return False
+    ts = os.path.join(out_dir, "term_stats")
+    tmp, old = ts + ".compact", ts + ".old"
+    shutil.rmtree(tmp, ignore_errors=True)
+    load_term_stats(spark, out_dir).write.mode("overwrite").parquet(
+        os.path.join(tmp, "delta=0")
+    )
+    os.rename(ts, old)
+    os.rename(tmp, ts)
+    shutil.rmtree(old)
+    return True
 
 
 def append_batch(
@@ -56,17 +186,27 @@ def append_batch(
     new_docs: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "content",
+    _fail_after: str | None = None,
 ) -> int:
     """Merge a batch of new documents into an existing index at out_dir.
-    Returns number of newly indexed docs. Idempotent per batch content.
+    Returns number of newly indexed docs. Crash-safe and idempotent per
+    batch content (WAL rollback + A16 anti-join; see module docstring).
     Already-open CompressedIndex objects snapshot stats at open — call
-    refresh() (or reopen) after an append."""
+    refresh() (or reopen) after an append. ``_fail_after`` is a TEST-ONLY
+    hook that raises after a named protocol step to exercise recovery."""
     prev_aqe = spark.conf.get("spark.sql.adaptive.enabled", "true")
     spark.conf.set("spark.sql.adaptive.enabled", "true")
     try:
-        return _append_batch(spark, out_dir, new_docs, id_col, text_col)
+        return _append_batch(
+            spark, out_dir, new_docs, id_col, text_col, _fail_after
+        )
     finally:
         spark.conf.set("spark.sql.adaptive.enabled", prev_aqe)
+
+
+def _crash_hook(_fail_after: str | None, step: str) -> None:
+    if _fail_after == step:
+        raise _InjectedCrash(f"injected crash after step '{step}'")
 
 
 def _append_batch(
@@ -75,7 +215,10 @@ def _append_batch(
     new_docs: DataFrame,
     id_col: str,
     text_col: str,
+    _fail_after: str | None = None,
 ) -> int:
+    recover_index(spark, out_dir)  # roll back any crashed predecessor
+    compact_term_stats(spark, out_dir)  # bound the stats delta count
     meta = read_meta(out_dir)
     attrs = load_attrs(spark, out_dir)
     # A16 skip-if-present: only genuinely new doc_ids are indexed
@@ -100,35 +243,60 @@ def _append_batch(
     ).cache()
     # small Arrow batches scoped to the tokenize pass — the same
     # allocation-churn mitigation as the batch build (builder.py:
-    # _small_arrow_batches); the cache() above materializes here, so the
-    # downstream stats/block stages run at the default batch size
+    # _small_arrow_batches); the collect() materializes the cache here, so
+    # the downstream stats/block stages run at the default batch size
     with _small_arrow_batches(spark):
-        staged_new.write.mode("append").partitionBy("shard").parquet(
-            os.path.join(out_dir, "_stage", "postings")
+        touched = sorted(
+            r["shard"] for r in staged_new.select("shard").distinct().collect()
         )
 
-    # ---- additive stats merge: O(vocabulary + batch terms), NOT O(staged).
-    # df/cf are additive across disjoint doc sets; N counts ALL docs
-    # (zero-token ones included, matching build_index's docs.count()), and
-    # avgdl = Σcf / N — identical to the batch-build derivation, so an
-    # appended index converges to the batch-built one bit-for-bit.
-    ts_path = os.path.join(out_dir, "term_stats")
-    batch_stats = staged_new.groupBy("term").agg(
+    # ---- write-ahead intent record: snapshot of everything this batch
+    # will touch, written before the first index mutation; deleting it is
+    # the commit. Any crash in between → recover_index rolls back fully.
+    deltas = stats_delta_dirs(out_dir)
+    delta_id = 1 + max(
+        (int(os.path.basename(d).split("=", 1)[1]) for d in deltas), default=0
+    )
+    wal = {
+        "batch_token": f"incr_{int(time.time() * 1000)}",
+        "touched_shards": touched,
+        "staged_files": _list_files(os.path.join(out_dir, "_stage", "postings")),
+        "attrs_files": _list_files(os.path.join(out_dir, "attrs")),
+        "stats_delta": delta_id,
+        "old_meta": meta.__dict__,
+    }
+    wal_path = os.path.join(out_dir, _WAL_NAME)
+    with open(wal_path + ".tmp", "w") as fh:
+        json.dump(wal, fh)
+    os.replace(wal_path + ".tmp", wal_path)
+    _crash_hook(_fail_after, "wal")
+
+    staged_new.write.mode("append").partitionBy("shard").parquet(
+        os.path.join(out_dir, "_stage", "postings")
+    )
+    _crash_hook(_fail_after, "staged")
+
+    # ---- stats: append ONE batch-vocabulary-sized delta partition —
+    # df/cf are additive across disjoint doc sets, so merge-on-read over
+    # deltas equals the batch-build aggregation exactly. Written to a
+    # temp dir and renamed in, so the delta is either absent or complete.
+    ts = os.path.join(out_dir, "term_stats")
+    tmp_delta = os.path.join(ts, "_tmp_delta")
+    shutil.rmtree(tmp_delta, ignore_errors=True)
+    staged_new.groupBy("term").agg(
         F.count(F.lit(1)).alias("df"), F.sum("tf").alias("cf")
-    )
-    merged = (
-        spark.read.parquet(ts_path)
-        .unionByName(batch_stats)
-        .groupBy("term")
-        .agg(F.sum("df").alias("df"), F.sum("cf").alias("cf"))
-    )
-    tmp = ts_path + ".tmp"
-    merged.write.mode("overwrite").parquet(tmp)
+    ).write.mode("overwrite").parquet(tmp_delta)
+    os.rename(tmp_delta, os.path.join(ts, f"delta={delta_id}"))
+    _crash_hook(_fail_after, "stats")
+
+    # N counts ALL docs (zero-token ones included, matching build_index's
+    # docs.count()) and avgdl = Σcf / N — identical to the batch-build
+    # derivation, so an appended index converges to the batch-built one
+    # bit-for-bit. Σcf is a plain column sum over the deltas (no groupBy).
     total_tokens = (
-        spark.read.parquet(tmp).agg(F.sum("cf")).collect()[0][0]
+        spark.read.parquet(*stats_delta_dirs(out_dir))
+        .agg(F.sum("cf")).collect()[0][0]
     )
-    shutil.rmtree(ts_path)
-    os.replace(tmp, ts_path)
     meta = IndexMeta(
         n_docs=new_n_docs,
         avgdl=float(total_tokens or 0) / new_n_docs if new_n_docs else 0.0,
@@ -141,14 +309,53 @@ def _append_batch(
     )
     with open(os.path.join(out_dir, "meta.json"), "w") as fh:
         json.dump(meta.__dict__, fh)
+    _crash_hook(_fail_after, "meta")
 
     # rebuild blocks for touched shards only (idf changed globally, but
     # block_max_w is an upper bound built from the CURRENT df at build
     # time; the scorer recomputes true idf at query time, so untouched
     # shards stay valid as long as df only grows — idf shrinks, bounds
     # stay upper bounds)
-    touched = [r["shard"] for r in staged_new.select("shard").distinct().collect()]
-    tstats = spark.read.parquet(os.path.join(out_dir, "term_stats"))
+    _rebuild_shards(spark, out_dir, meta, touched)
+    _crash_hook(_fail_after, "blocks")
+
+    # append attrs rows for ALL fresh docs (projected from fresh, not
+    # from staged postings — a zero-token doc has no postings but must
+    # exist in attrs for the sha invariant and the A16 anti-join).
+    # ORDERING MATTERS: this write triggers refreshByPath(attrs), which
+    # invalidates every cached plan referencing the attrs files —
+    # including `fresh` itself (its anti-join reads attrs). Any action on
+    # fresh/staged_new AFTER this point would recompute against the
+    # updated attrs and silently see ZERO fresh docs, so this must be the
+    # final consumer.
+    new_attrs = fresh.select("doc_id", *meta.attr_cols).withColumn(
+        "shard", shard_expr
+    )
+    new_attrs.write.mode("append").partitionBy("shard").parquet(
+        os.path.join(out_dir, "attrs")
+    )
+    _crash_hook(_fail_after, "attrs")
+
+    os.remove(wal_path)  # COMMIT — the batch is now fully visible
+    _write_manifest(
+        out_dir, wal["batch_token"],
+        docs_added=n_new, shards=touched, stats_delta=delta_id,
+    )
+    staged_new.unpersist()
+    fresh.unpersist()
+    return n_new
+
+
+def _rebuild_shards(
+    spark: SparkSession, out_dir: str, meta: IndexMeta, touched: list[int]
+) -> None:
+    """Rebuild the posting blocks of the given shards from the staged
+    postings (partition-pruned to exactly those shards) — shared by the
+    append hot path and crash rollback. Same numeric-only grouped-map
+    design as the batch build (builder.py stage 2)."""
+    if not touched:
+        return
+    tstats = load_term_stats(spark, out_dir)
     # ephemeral term→tid map so the grouped map below moves only numerics
     # (same design as the batch build — assign_term_ids docstring)
     tids = assign_term_ids(tstats).cache()
@@ -182,30 +389,6 @@ def _append_batch(
             "parquet.block.size", str(1 << 20)  # tight row groups → term pruning
         ).parquet(os.path.join(out_dir, "postings", f"shard={s}"))
     tids.unpersist()
-    # append attrs rows LAST, for ALL fresh docs (projected from fresh, not
-    # from staged postings — a zero-token doc has no postings but must
-    # exist in attrs for the sha invariant and the A16 anti-join).
-    # ORDERING MATTERS: this write triggers refreshByPath(attrs), which
-    # invalidates every cached plan referencing the attrs files —
-    # including `fresh` itself (its anti-join reads attrs). Any action on
-    # fresh/staged_new AFTER this point would recompute against the
-    # updated attrs and silently see ZERO fresh docs, so this must be the
-    # final consumer. (Crash between the block rebuild and here ⇒ the
-    # batch replays from scratch; production would wrap the append in an
-    # Iceberg transaction.)
-    new_attrs = fresh.select("doc_id", *meta.attr_cols).withColumn(
-        "shard", shard_expr
-    )
-    new_attrs.write.mode("append").partitionBy("shard").parquet(
-        os.path.join(out_dir, "attrs")
-    )
-    _write_manifest(
-        out_dir, f"incr_{int(time.time() * 1000)}",
-        docs_added=n_new, shards=touched,
-    )
-    staged_new.unpersist()
-    fresh.unpersist()
-    return n_new
 
 
 def stream_into_index(

@@ -8,7 +8,7 @@ from pyspark.sql import functions as F
 from librecatastro_spark.corpus import assign_doc_ids, generate_corpus
 from librecatastro_spark.engine import ExactBM25
 from librecatastro_spark.engine.wand import CompressedIndex
-from librecatastro_spark.index.builder import build_index
+from librecatastro_spark.index.builder import build_index, load_term_stats
 from librecatastro_spark.ops.multimodal import (
     decode_image_stub,
     extract_features,
@@ -64,14 +64,14 @@ def test_append_touches_only_batch_and_touched_shards(spark, corpus, tmp_path):
                 salt_threshold=100, n_salts=4)
     before = {
         r["term"]: (r["df"], r["cf"])
-        for r in spark.read.parquet(f"{out}/term_stats").collect()
+        for r in load_term_stats(spark, out).collect()
     }
     # shard 0 holds doc_ids far below 200 — untouched by the append
     shutil.rmtree(f"{out}/_stage/postings/shard=0")
     assert append_batch(spark, out, rest, id_col="doc_id", text_col="content") == 60
     after = {
         r["term"]: (r["df"], r["cf"])
-        for r in spark.read.parquet(f"{out}/term_stats").collect()
+        for r in load_term_stats(spark, out).collect()
     }
     # stats merged additively: nothing lost from the deleted partition,
     # batch deltas folded in
@@ -216,3 +216,112 @@ def test_feature_rows_matches_vector_form(spark):
     for r in rows_:
         # the exploded float64 value float32-rounds to the vector entry
         assert np.float32(r["value"]) == np.float32(vecs[r["media_id"]][r["dim"]])
+
+
+def test_append_crash_recovery_all_fail_points(spark, corpus, tmp_path):
+    """Crash-idempotence (ADVICE r2): kill the append after EVERY protocol
+    step; the WAL rollback at the next append must restore the pre-batch
+    state so the replay converges to the batch-built index — no duplicate
+    staged rows, no double-counted df/cf, no phantom attrs."""
+    from librecatastro_spark.streaming.incremental import (
+        _InjectedCrash,
+        recover_index,
+    )
+
+    first = corpus.where(F.col("doc_id") < 200)
+    rest = corpus.where(F.col("doc_id") >= 200)
+    out_ref = str(tmp_path / "crash_ref")
+    build_index(spark, corpus, out_ref, attr_cols=ATTRS, n_shards=4,
+                block_size=16, salt_threshold=100, n_salts=4)
+    ref_stats = {r["term"]: (r["df"], r["cf"])
+                 for r in load_term_stats(spark, out_ref).collect()}
+    exact = ExactBM25(corpus, attr_cols=ATTRS)
+
+    for point in ("wal", "staged", "stats", "meta", "blocks", "attrs"):
+        out = str(tmp_path / f"crash_{point}")
+        build_index(spark, first, out, attr_cols=ATTRS, n_shards=4,
+                    block_size=16, salt_threshold=100, n_salts=4)
+        with pytest.raises(_InjectedCrash):
+            append_batch(spark, out, rest, id_col="doc_id",
+                         text_col="content", _fail_after=point)
+        assert os.path.exists(f"{out}/_pending_append.json"), point
+        # replay (recovery runs inside); anti-join must re-admit the batch
+        assert append_batch(spark, out, rest, id_col="doc_id",
+                            text_col="content") == 60, point
+        assert not os.path.exists(f"{out}/_pending_append.json"), point
+        got = {r["term"]: (r["df"], r["cf"])
+               for r in load_term_stats(spark, out).collect()}
+        assert got == ref_stats, point  # additive stats, not double-counted
+        staged = spark.read.parquet(f"{out}/_stage/postings")
+        assert staged.count() == staged.dropDuplicates(["doc_id", "term"]).count(), point
+        idx = CompressedIndex(spark, out)
+        assert idx.meta.n_docs == 260, point
+        for q in ["def return import", "id0003"]:
+            assert rows(idx.search(q, k=10)) == rows(exact.search(q, k=10)), (point, q)
+    # recovery on a healthy index is a no-op
+    assert recover_index(spark, str(tmp_path / "crash_attrs")) is False
+
+
+def test_append_stats_write_is_batch_sized(spark, corpus, tmp_path):
+    """VERDICT r2 #7: per-batch stats write volume must be O(batch vocab),
+    not O(global vocab) — the append adds ONE delta partition whose rows
+    are exactly the batch's distinct terms."""
+    from librecatastro_spark.index.builder import stats_delta_dirs
+    from librecatastro_spark.stats import term_freqs_arrow
+
+    out = str(tmp_path / "delta_idx")
+    first = corpus.where(F.col("doc_id") < 200)
+    rest = corpus.where(F.col("doc_id") >= 200)
+    build_index(spark, first, out, attr_cols=ATTRS, n_shards=4, block_size=16,
+                salt_threshold=100, n_salts=4)
+    before = stats_delta_dirs(out)
+    assert len(before) == 1
+    append_batch(spark, out, rest, id_col="doc_id", text_col="content")
+    after = stats_delta_dirs(out)
+    assert len(after) == 2
+    new_delta = [d for d in after if d not in before][0]
+    batch_vocab = (
+        term_freqs_arrow(rest.withColumnRenamed("doc_id", "doc_id"),
+                         "doc_id", "content")
+        .select("term").distinct().count()
+    )
+    assert spark.read.parquet(new_delta).count() == batch_vocab
+    # merged view equals the batch-built aggregation
+    merged = {r["term"]: (r["df"], r["cf"])
+              for r in load_term_stats(spark, out).collect()}
+    out_ref = str(tmp_path / "delta_ref")
+    build_index(spark, corpus, out_ref, attr_cols=ATTRS, n_shards=4,
+                block_size=16, salt_threshold=100, n_salts=4)
+    ref = {r["term"]: (r["df"], r["cf"])
+           for r in load_term_stats(spark, out_ref).collect()}
+    assert merged == ref
+
+
+def test_stats_compaction_preserves_stats_and_results(spark, corpus, tmp_path):
+    """After COMPACT_AFTER deltas accumulate, the next append folds them
+    into one generation; stats and search results are unchanged."""
+    from librecatastro_spark.index.builder import stats_delta_dirs
+    from librecatastro_spark.streaming.incremental import compact_term_stats
+
+    out = str(tmp_path / "compact_idx")
+    build_index(spark, corpus.where(F.col("doc_id") < 200), out,
+                attr_cols=ATTRS, n_shards=4, block_size=16,
+                salt_threshold=100, n_salts=4)
+    # 6 appends of 10 docs each → 7 deltas
+    for lo in range(200, 260, 10):
+        batch = corpus.where((F.col("doc_id") >= lo) & (F.col("doc_id") < lo + 10))
+        assert append_batch(spark, out, batch, id_col="doc_id",
+                            text_col="content") == 10
+    assert len(stats_delta_dirs(out)) == 7
+    before = {r["term"]: (r["df"], r["cf"])
+              for r in load_term_stats(spark, out).collect()}
+    assert compact_term_stats(spark, out, max_deltas=4) is True
+    assert len(stats_delta_dirs(out)) == 1
+    after = {r["term"]: (r["df"], r["cf"])
+             for r in load_term_stats(spark, out).collect()}
+    assert before == after
+    exact = ExactBM25(corpus, attr_cols=ATTRS)
+    idx = CompressedIndex(spark, out)
+    assert rows(idx.search("def return import", k=10)) == rows(
+        exact.search("def return import", k=10)
+    )

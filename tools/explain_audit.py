@@ -25,7 +25,7 @@ sys.path.insert(0, REPO)
 from pyspark.sql import functions as F
 
 from librecatastro_spark.engine.wand import CompressedIndex
-from librecatastro_spark.index.builder import build_index
+from librecatastro_spark.index.builder import build_index, load_term_stats
 from librecatastro_spark.session import get_spark
 
 
@@ -158,7 +158,7 @@ def main() -> int:
 
     # broadcast evidence: stage-2 stats join
     staged = spark.read.parquet(os.path.join(idx_dir, "_stage", "postings"))
-    tstats = spark.read.parquet(os.path.join(idx_dir, "term_stats"))
+    tstats = load_term_stats(spark, idx_dir)
     s, p = audit(
         "Stage-2 df-per-term join (build path)",
         staged.join(F.broadcast(tstats.select("term", "df")), "term"),
