@@ -481,7 +481,7 @@ def _q_incremental_search(spark, sf):
 
     src = f"{sf}/documents.parquet"
     mtime = int(os.path.getmtime(src)) if os.path.exists(src) else 0
-    key = hashlib.sha256(f"{sf}:{mtime}:incr_v2".encode()).hexdigest()[:16]
+    key = hashlib.sha256(f"{sf}:{mtime}:incr_v3".encode()).hexdigest()[:16]
     out = os.path.join("/tmp", f"lc_incr_{key}")
     docs = _docs(spark, sf)
     n = docs.count()
@@ -750,6 +750,80 @@ def _q_nested_reform(spark, sf):
     ).select(F.col("l_orderkey").alias("orderkey"))
 
 
+def _q_glob_source_scan(spark, sf):
+    # A25 file-source fan-out: read a multi-file directory through a
+    # pathGlobFilter that must select exactly the docs_<lang>.parquet
+    # files and skip the decoys (an extra parquet that would corrupt the
+    # aggregates, plus non-parquet files that would crash the scan) —
+    # reference coordinates_searcher.py:28-50 dir walk + suffix filter.
+    # The fixture dir is derived deterministically from the sf tables.
+    import hashlib
+
+    from librecatastro_spark.ops.filesource import glob_scan, materialize_glob_dir
+
+    src = f"{sf}/documents.parquet"
+    mtime = int(os.path.getmtime(src)) if os.path.exists(src) else 0
+    key = hashlib.sha256(f"{sf}:{mtime}:glob_v1".encode()).hexdigest()[:16]
+    d = materialize_glob_dir(sf, os.path.join("/tmp", f"lc_glob_{key}"))
+    return (
+        glob_scan(spark, d, "docs_*.parquet")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+        )
+    )
+
+
+def _q_probe_first_gap(spark, sf):
+    # A19 bounded probe loop: per order, walk quantities 1,2,3,… and stop
+    # after 10 consecutive misses (reference parser_xml.py:154-188 street-
+    # number probing) — closed-form window formulation, aggregated per key
+    from librecatastro_spark.ops.probe import bounded_probe_scan
+
+    reached = bounded_probe_scan(
+        _t(spark, sf, "lineitem"), "l_orderkey", "l_quantity", max_misses=10
+    )
+    return reached.groupBy("l_orderkey").agg(
+        F.count(F.lit(1)).alias("n_reached"),
+        F.max("l_quantity").alias("max_qty"),
+    )
+
+
+def _index_salted(spark, sf):
+    """A second gate index whose salt threshold is LOW enough that hot
+    terms actually salt on the sf0.01 corpus (the main index's
+    production threshold never triggers there), so the salted build+query
+    path is oracle-checked, not just pytest-covered. The query fn asserts
+    from the manifest that salting really happened."""
+    import hashlib
+
+    from librecatastro_spark.index.builder import manifest_records
+
+    src = f"{sf}/documents.parquet"
+    mtime = int(os.path.getmtime(src)) if os.path.exists(src) else 0
+    key = hashlib.sha256(f"{sf}:{mtime}:salted_v1".encode()).hexdigest()[:16]
+    out = os.path.join("/tmp", f"lc_salted_{key}")
+    docs = _docs(spark, sf)
+    build_index(
+        spark, docs, out, id_col="doc_id", text_col="text",
+        attr_cols=("lang", "source"), n_shards=4,
+        block_size=64, salt_threshold=40, n_salts=4, resume=True,
+    )
+    rec = manifest_records(out).get("stage", {})
+    if not rec.get("salted_terms"):
+        raise AssertionError(
+            "salted gate index did not salt any term — lower the threshold"
+        )
+    return CompressedIndex(spark, out)
+
+
+def _q_wand_match_salted(spark, sf):
+    # rank-identity through the salted layout: scores must equal the
+    # unsalted oracle exactly (salting only re-buckets posting blocks)
+    return _index_salted(spark, sf).search("spark join merge", k=10)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Exactly 50 entries — the driver's correctness file records at most
     50, so the gate set is curated (round 1 proved entries 51+ silently
@@ -758,16 +832,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     wand_offset_page2), content_sha256 + doc_stats (↔
     sha_invariant_corpus_index / every rank-identical BM25 query),
     minhash_signatures (signature math re-verified inside
-    dedup_minhash_lsh's oracle), simhash16 (↔ simhash_near_dup). All five
-    remain pytest-covered and oracle-checkable via tools/check_oracle.py
+    dedup_minhash_lsh's oracle), simhash16 (↔ simhash_near_dup). Round 3
+    rotated bm25_keyword_filter / bm25_prefix_filter / bm25_should_boost
+    out (their WAND twins gate the same shapes through the production
+    path) to admit glob_source_scan (A25), probe_first_gap (A19) and
+    wand_match_salted (salt path at gate scale). Everything rotated out
+    remains pytest-covered and oracle-checkable via tools/check_oracle.py
     --extra."""
     return {
         "bm25_match_topk": _q_match,
         "bm25_bool_must": _q_bool_must,
         "bm25_must_not": _q_must_not,
-        "bm25_keyword_filter": _q_keyword,
-        "bm25_prefix_filter": _q_prefix,
-        "bm25_should_boost": _q_should_boost,
+        "glob_source_scan": _q_glob_source_scan,
+        "probe_first_gap": _q_probe_first_gap,
+        "wand_match_salted": _q_wand_match_salted,
         "term_prefix_match": _q_term_prefix,
         "sha_invariant_corpus_index": _q_sha_invariant,
         "scalar_encode_b64_json": _q_scalar_encode,
@@ -834,6 +912,15 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_signatures": _q_minhash_sig,
         "simhash16": _q_simhash16,
         "windowed_event_counts": _q_windowed_events,
+        # rotated out in round 3 for glob_source_scan / probe_first_gap /
+        # wand_match_salted (50-entry cap): each stays subsumed by its
+        # gated WAND twin running the same query shape through the
+        # production path (wand_keyword_filter / wand_prefix_filter /
+        # wand_should_boost); the exact-scorer path itself remains gated
+        # via bm25_match_topk / bm25_bool_must / bm25_must_not.
+        "bm25_keyword_filter": _q_keyword,
+        "bm25_prefix_filter": _q_prefix,
+        "bm25_should_boost": _q_should_boost,
     }
 
 
@@ -917,8 +1004,27 @@ SELECT doc_id, 1.0::DOUBLE AS score FROM (
   SELECT DISTINCT doc_id FROM toks WHERE term LIKE 's%'
 ) ORDER BY doc_id ASC LIMIT 10
 """,
+        # A25: the glob selected exactly the per-lang files — any decoy
+        # leak (duplicate-row parquet) breaks every count/sum below
+        "glob_source_scan": """
+SELECT lang, count(*)::BIGINT AS n_docs, sum(n_chars)::BIGINT AS total_chars
+FROM documents GROUP BY lang
+""",
+        # A19: probe-until-10-consecutive-misses, aggregated per key
+        "probe_first_gap": f"""
+SELECT l_orderkey, count(*)::BIGINT AS n_reached, max(l_quantity) AS max_qty
+FROM ({_probe_scan_sql()}) GROUP BY l_orderkey
+""",
+        # salted build is rank-identical to the plain BM25 oracle
+        "wand_match_salted": _bm25_oracle("spark join merge", k=10),
         **_ops_oracles(),
     }
+
+
+def _probe_scan_sql() -> str:
+    from librecatastro_spark.ops.probe import bounded_probe_scan_sql
+
+    return bounded_probe_scan_sql("lineitem", "l_orderkey", "l_quantity", 10)
 
 
 def _address_extract_oracle() -> str:

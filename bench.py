@@ -13,7 +13,12 @@ Prints exactly ONE JSON line:
   {"metric": ..., "value": <total sec>, "unit": "sec",
    "queries": {name: sec, ...}, "sf": ...,
    "build_sec": ..., "build_gb_per_hr": ..., "query_p95_ms": ...,
+   "fastpath_ms": {name: ms, ...}, "fastpath_p95_ms": ...,
    "corpus_docs": ..., "corpus_gb": ..., "cores": ..., "results_sha": ...}
+
+The distributed path (index.search) and the serving fast path
+(index.search_local) are both timed; the fast path is asserted
+rank-identical to the distributed result on every query first.
 
 Env knobs: SPARK_GRAFT_SF_DIR (reported as "sf" tag, default
 /root/testdata/sf0.1), SPARK_GRAFT_CPUS (default 32), BENCH_GEN_DOCS
@@ -106,7 +111,9 @@ def main() -> None:
 
     index = CompressedIndex(spark, idx_dir)
     per_query: dict[str, float] = {}
+    fastpath_ms: dict[str, float] = {}
     lat_ms: list[float] = []
+    fp_lat_ms: list[float] = []
     result_fp = hashlib.sha256()
     for name, q in QUERIES.items():
         q = dict(q)
@@ -121,8 +128,28 @@ def main() -> None:
             times.append(time.time() - t)
         per_query[name] = round(statistics.mean(times), 4)
         lat_ms.extend(x * 1000 for x in times)
+        # serving fast path (search_local): the coordinator answers from
+        # pyarrow reads of only the query terms' posting blocks — this is
+        # the path an interactive deployment serves from, so its latency
+        # is a headline number, not a footnote. Rank-identity with the
+        # distributed path is asserted on the warm run.
+        fp_rows = index.search_local(text, k=k, **q)
+        assert [
+            (int(r.doc_id), float(r.score)) for r in fp_rows.itertuples()
+        ] == [(r["doc_id"], r["score"]) for r in rows], f"fastpath diverged: {name}"
+        fp_times = []
+        for _ in range(runs):
+            t = time.time()
+            index.search_local(text, k=k, **q)
+            fp_times.append(time.time() - t)
+        fastpath_ms[name] = round(statistics.mean(fp_times) * 1000, 2)
+        fp_lat_ms.extend(x * 1000 for x in fp_times)
     lat_ms.sort()
+    fp_lat_ms.sort()
     p95 = lat_ms[max(0, int(len(lat_ms) * 0.95) - 1)] if lat_ms else 0.0
+    fp_p95 = (
+        fp_lat_ms[max(0, int(len(fp_lat_ms) * 0.95) - 1)] if fp_lat_ms else 0.0
+    )
 
     total = build_sec + sum(per_query.values())
     out = {
@@ -134,6 +161,8 @@ def main() -> None:
         "build_sec": round(build_sec, 3),
         "build_gb_per_hr": round((input_bytes / 1e9) / (build_sec / 3600.0), 3),
         "query_p95_ms": round(p95, 1),
+        "fastpath_ms": fastpath_ms,
+        "fastpath_p95_ms": round(fp_p95, 2),
         "corpus_docs": n_docs,
         "corpus_gb": round(input_bytes / 1e9, 3),
         "cores": cores,

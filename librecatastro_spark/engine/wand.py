@@ -172,9 +172,36 @@ def _shard_topk_fn(
             / np.maximum(qb["idf_build"].to_numpy(), 1e-12)
         )
         if require_all or should_terms:
-            # full TAAT scoring (no pruning): needed when matched-must-term
-            # counting constrains the result (AND semantics / should boosts)
-            ids, w, th = score_block_rows(qb)
+            # matched-must-term counting constrains the result (AND
+            # semantics / should boosts), so block-max pruning by score
+            # bound doesn't apply — but INTERSECTION-AWARE pruning does:
+            # every qualifying doc must occur in the seed terms' postings
+            # (the rarest must term under AND; all must terms otherwise),
+            # so any other block whose doc-id range contains no seed
+            # candidate can be skipped before decode, and decoded postings
+            # of non-candidates dropped before the aggregation. Exact:
+            # a doc absent from the seed postings can never satisfy
+            # n_matched == len(terms) (AND) / n_matched >= 1 (should), and
+            # a candidate's postings all live in range-intersecting blocks.
+            if require_all and len(qb):
+                rare = max(terms, key=lambda t: idfs[t])
+                seed_mask = qb["term"] == rare
+            else:
+                seed_mask = qb["term"].isin(terms)
+            seed_rows, other = qb[seed_mask], qb[~seed_mask]
+            s_ids, s_w, s_th = score_block_rows(seed_rows)
+            cand = np.unique(s_ids)
+            pos_lo = np.searchsorted(
+                cand, other["first_doc_id"].to_numpy(dtype=np.int64), side="left"
+            )
+            pos_hi = np.searchsorted(
+                cand, other["last_doc_id"].to_numpy(dtype=np.int64), side="right"
+            )
+            o_ids, o_w, o_th = score_block_rows(other[pos_hi > pos_lo])
+            sel = np.isin(o_ids, cand)
+            ids = np.concatenate([s_ids, o_ids[sel]])
+            w = np.concatenate([s_w, o_w[sel]])
+            th = np.concatenate([s_th, o_th[sel]])
             must_hashes = {hash(t) for t in terms}
             dfagg = pd.DataFrame({"doc_id": ids, "w": w, "t": th})
             # one posting row per (doc, term) ⇒ sum of the must indicator ==

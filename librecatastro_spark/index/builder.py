@@ -400,9 +400,13 @@ def _build_index(
         ).write.mode("overwrite").parquet(
             os.path.join(out_dir, "term_stats", "delta=0")
         )
-        total_tokens = (
-            load_term_stats(spark, out_dir).agg(F.sum("cf")).collect()[0][0]
-        )
+        agg_row = load_term_stats(spark, out_dir).agg(
+            F.sum("cf").alias("total_cf"),
+            # how many terms exceed the salt threshold — recorded in the
+            # manifest so salting is observable lineage, not a silent knob
+            F.sum((F.col("df") > salt_threshold).cast("int")).alias("n_salted"),
+        ).collect()[0]
+        total_tokens, n_salted_terms = agg_row["total_cf"], agg_row["n_salted"]
         avgdl = float(total_tokens or 0) / n_docs_total if n_docs_total else 0.0
         meta = IndexMeta(
             n_docs=n_docs_total,
@@ -420,6 +424,7 @@ def _build_index(
         _write_manifest(
             out_dir, "stage",
             n_docs=n_docs_total, avgdl=avgdl, secs=time.time() - t0,
+            salted_terms=int(n_salted_terms or 0),
             # per-section wall times — the scaling-efficiency breakdown
             sec_count=round(t_count - t0, 3),
             sec_attrs=round(t_attrs - t_count, 3),

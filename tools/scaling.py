@@ -128,7 +128,8 @@ shared VM with bursty hypervisor steal time; single-run numbers vary
 |---|---|---|
 | index build (s) | {r8['build_sec']} | {r32['build_sec']} |
 | build throughput (GB/hr) | {r8['build_gb_per_hr']} | {r32['build_gb_per_hr']} |
-| query p95 (ms) | {r8['query_p95_ms']} | {r32['query_p95_ms']} |
+| query p95 (ms, distributed path) | {r8['query_p95_ms']} | {r32['query_p95_ms']} |
+| query p95 (ms, serving fast path) | {r8.get('fastpath_p95_ms', '—')} | {r32.get('fastpath_p95_ms', '—')} |
 | query suite total (s) | {round(q8, 3)} | {round(q32, 3)} |
 | results fingerprint | `{r8['results_sha']}` | `{r32['results_sha']}` |
 
