@@ -438,8 +438,13 @@ def _build_index(
     staged = spark.read.parquet(os.path.join(out_dir, "_stage", "postings"))
     tstats = load_term_stats(spark, out_dir)
     # one ephemeral term→tid map for the whole stage (cached: every shard
-    # group broadcasts from it; see assign_term_ids for why tid exists)
+    # group broadcasts from it; see assign_term_ids for why tid exists).
+    # Materialized eagerly so its cost is attributed in the manifest
+    # (scaling-efficiency breakdown) instead of hiding in the first unit.
+    t_tids0 = time.time()
     tids = assign_term_ids(tstats).cache()
+    n_terms = tids.count()
+    sec_tids = round(time.time() - t_tids0, 3)
     shard_span = meta.n_docs / meta.n_shards
     for lo in range(0, meta.n_shards, shards_per_job):
         shards = list(range(lo, min(lo + shards_per_job, meta.n_shards)))
@@ -520,7 +525,11 @@ def _build_index(
             )
         finally:
             spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
-        _write_manifest(out_dir, unit, shards=shards, secs=time.time() - t0)
+        _write_manifest(
+            out_dir, unit, shards=shards, secs=time.time() - t0,
+            sec_tids=sec_tids, n_terms=n_terms,
+        )
+        sec_tids = 0.0  # attributed once, to the first unit built
     tids.unpersist()
     return meta
 
