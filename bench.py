@@ -51,6 +51,9 @@ QUERIES = {
     "q_match_mixed": dict(text="spark partition id0042", k=10),
     "q_match_rare": dict(text="id0007 id1234 id1999", k=10),
     "q_bool_must": dict(text="select filter group", k=10, require_all=True),
+    # hot keyword AND ultra-rare uid: the intersection-pruning showcase —
+    # only the "def" blocks whose doc-id range holds a uid candidate decode
+    "q_must_selective": dict(text="def uid00123", k=10, require_all=True),
     "q_must_not": dict(text="query", k=10, must_not_text="shuffle"),
     "q_keyword_filter": dict(text="index merge", k=10, filters={"lang": "py"}),
     "q_prefix_filter": dict(text="index merge", k=10, prefix=("path", "src/mod4/")),

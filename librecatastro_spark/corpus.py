@@ -13,6 +13,13 @@ Determinism rules (SURVEY.md §7.4):
   * content vocabulary is zipfian over code keywords, so stop-terms
     (`def`, `import`, `return`, …) create the real skew the salted build
     must handle, plus rare identifiers for selective queries;
+  * every doc additionally carries two ULTRA-rare `uidNNNNN` tokens
+    (uniform over 50k, df ≈ 2·n_docs/50000) — the selective tail a real
+    code corpus has (unique identifiers) and the zipf draw lacks (its
+    rarest term still lands in ~4% of docs). These are what make
+    intersection-aware AND pruning measurable: a `require_all` query
+    mixing a hot keyword with a uid decodes only the hot term's blocks
+    whose doc-id range holds a uid candidate;
   * content_sha256 is computed JVM-side (F.sha2) and is the per-row
     invariant verified corpus↔index end-to-end.
 
@@ -112,8 +119,18 @@ def generate_corpus(
             words = VOCAB[widx]
             bounds = np.zeros(len(ids) + 1, dtype=np.int64)
             bounds[1:] = np.cumsum(counts)
-            content = [" ".join(words[bounds[m]:bounds[m + 1]]) for m in range(len(ids))]
             i64 = ids.astype(np.int64)
+            # ultra-rare selective tail: two uid tokens per doc, uniform
+            # over 50k — pure function of the row counter, so still
+            # parallelism-independent. uid{K} exists iff some row index i
+            # has i % 50000 == K or (i*31+7) % 50000 == K.
+            uid_a = i64 % 50000
+            uid_b = (i64 * 31 + 7) % 50000
+            content = [
+                " ".join(words[bounds[m]:bounds[m + 1]])
+                + f" uid{uid_a[m]:05d} uid{uid_b[m]:05d}"
+                for m in range(len(ids))
+            ]
             yield pd.DataFrame(
                 {
                     "repo": [f"org{a % 7}/repo{a % 53}" for a in i64],
