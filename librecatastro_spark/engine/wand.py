@@ -487,14 +487,32 @@ class CompressedIndex:
             terms, idfs, self.meta.avgdl, local_k, bool(filters or prefix),
             must_not_terms, require_all, should_terms,
         )
-        parts = []
-        for shard, bl in blocks.groupby("shard", sort=False):
-            if filters or prefix:
-                parts.append(fn(bl, attrs[attrs["shard"] == shard]))
-            else:
-                parts.append(fn(bl))
-        if not parts:
+        # shard scorers run on a thread pool: the kernel is numpy bulk ops
+        # (varbyte decode, BM25 math, searchsorted) that release the GIL,
+        # so a coordinator with a few cores scores its 16 shards nearly
+        # concurrently — same fan-out an ES coordinator gets from its data
+        # nodes, collapsed into one process. Result order is immaterial:
+        # the final (score desc, doc_id asc) sort is a total order.
+        groups = list(blocks.groupby("shard", sort=False))
+        if not groups:
             return _empty()
+
+        def run_one(item):
+            shard, bl = item
+            if filters or prefix:
+                return fn(bl, attrs[attrs["shard"] == shard])
+            return fn(bl)
+
+        if len(groups) > 1:
+            from concurrent.futures import ThreadPoolExecutor
+
+            n_workers = min(
+                len(groups), int(os.environ.get("LC_FASTPATH_THREADS", "8"))
+            )
+            with ThreadPoolExecutor(max_workers=n_workers) as ex:
+                parts = list(ex.map(run_one, groups))
+        else:
+            parts = [run_one(groups[0])]
         out = pd.concat(parts, ignore_index=True)
         out["score"] = out["score"].round(ROUND_DECIMALS)
         out = out.sort_values(

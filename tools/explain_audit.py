@@ -44,6 +44,8 @@ CHECKS = {
     "take_ordered": "TakeOrderedAndProject",
     "cartesian": "CartesianProduct",
     "pushed_startswith": "StartsWith",
+    "window": "Window",
+    "explode": "Generate",
 }
 
 
@@ -153,6 +155,20 @@ def main() -> int:
         {"pushed_filter": False, "codegen": True, "exchange": False},
         "shard is a PARTITION column: the predicate prunes directories at "
         "planning time (PartitionFilters), never reaching row filters.",
+    )
+    sections.append(s); problems += p
+
+    s, p = audit(
+        "Bounded probe loop (A19 — closed-form window, r3)",
+        __import__(
+            "librecatastro_spark.ops.probe", fromlist=["bounded_probe_scan"]
+        ).bounded_probe_scan(docs.select("lang", "n_chars"), "lang", "n_chars"),
+        {"window": True, "explode": False},
+        "Probe-until-k-consecutive-misses is two window functions over the "
+        "PRESENT values (O(rows), one hash partition by key) — no "
+        "sequence()+explode materialization of the probe space, which at "
+        "100 TB would generate billions of phantom probe rows (Generate "
+        "absent).",
     )
     sections.append(s); problems += p
 
