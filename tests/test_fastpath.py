@@ -62,3 +62,13 @@ def test_fastpath_rank_identical(index, qi):
 
 def test_fastpath_nonempty(index):
     assert len(_local_rows(index, GOLDEN[0])) == 10
+
+
+def test_fastpath_threading_invariant(index, monkeypatch):
+    """Shard scoring runs on a thread pool (r3); the pool size must never
+    change results — 1 worker ≡ 8 workers on every golden shape."""
+    results = {}
+    for n in ("1", "8"):
+        monkeypatch.setenv("LC_FASTPATH_THREADS", n)
+        results[n] = [_local_rows(index, q) for q in GOLDEN]
+    assert results["1"] == results["8"]
