@@ -202,18 +202,25 @@ def _shard_topk_fn(
             ids = np.concatenate([s_ids, o_ids[sel]])
             w = np.concatenate([s_w, o_w[sel]])
             th = np.concatenate([s_th, o_th[sel]])
-            must_hashes = {hash(t) for t in terms}
-            dfagg = pd.DataFrame({"doc_id": ids, "w": w, "t": th})
-            # one posting row per (doc, term) ⇒ sum of the must indicator ==
-            # number of distinct must terms matched
-            dfagg["m"] = dfagg["t"].isin(must_hashes)
-            agg = dfagg.groupby("doc_id").agg(score=("w", "sum"), n=("m", "sum"))
-            agg = agg[agg["n"] == len(set(terms))] if require_all else agg[agg["n"] >= 1]
-            cand_ids = agg.index.to_numpy(dtype=np.int64)
-            keep = ok_mask(cand_ids)
-            out = pd.DataFrame(
-                {"doc_id": cand_ids[keep], "score": agg["score"].to_numpy()[keep]}
+            must_hashes = np.fromiter(
+                (hash(t) for t in set(terms)), dtype=np.int64
             )
+            # numpy aggregation (unique + bincount) instead of a pandas
+            # groupby: same sums, no factorize/lexsort machinery holding
+            # the GIL — this is what lets the coordinator's shard thread
+            # pool actually run concurrently. One posting row per
+            # (doc, term) ⇒ the must-indicator sum == number of distinct
+            # must terms matched.
+            uids, inv = np.unique(ids, return_inverse=True)
+            score = np.bincount(inv, weights=w, minlength=len(uids))
+            is_must = np.isin(th, must_hashes)
+            n = np.bincount(
+                inv, weights=is_must.astype(np.float64), minlength=len(uids)
+            )
+            good = n == len(set(terms)) if require_all else n >= 1
+            cand_ids = uids[good]
+            keep = ok_mask(cand_ids)
+            out_ids, out_scores = cand_ids[keep], score[good][keep]
         else:
             # ---- pass 1: θ from the rarest term, then block prune --------
             u_per_term = qb.groupby("term")["bound"].max()
@@ -231,26 +238,41 @@ def _shard_topk_fn(
             kept, pruned = qb[survive], qb[~survive]
             ids, w, _ = score_block_rows(kept)
             m = ok_mask(ids)
-            scores = pd.Series(w[m]).groupby(pd.Series(ids[m])).sum()
-            if len(pruned) and len(scores):
-                cand = np.sort(scores.index.to_numpy(dtype=np.int64))
+            # numpy aggregation (see the AND branch) — unique ids are
+            # sorted, so the pruned-block patch below can merge by
+            # searchsorted instead of a pandas aligned add
+            uids, inv = np.unique(ids[m], return_inverse=True)
+            sums = np.bincount(inv, weights=w[m], minlength=len(uids))
+            if len(pruned) and len(uids):
                 lo = pruned["first_doc_id"].to_numpy(dtype=np.int64)
                 hi = pruned["last_doc_id"].to_numpy(dtype=np.int64)
                 # a pruned block matters only if its id range holds a candidate
-                pos_lo = np.searchsorted(cand, lo, side="left")
-                pos_hi = np.searchsorted(cand, hi, side="right")
+                pos_lo = np.searchsorted(uids, lo, side="left")
+                pos_hi = np.searchsorted(uids, hi, side="right")
                 need = pos_hi > pos_lo
                 if need.any():
                     p_ids, p_w, _ = score_block_rows(pruned[need])
-                    sel = np.isin(p_ids, cand)
+                    sel = np.isin(p_ids, uids)
                     if sel.any():
-                        add = pd.Series(p_w[sel]).groupby(pd.Series(p_ids[sel])).sum()
-                        scores = scores.add(add, fill_value=0.0)
-            out = scores.reset_index()
-            out.columns = ["doc_id", "score"]
-        if len(out) > k:
-            out = out.sort_values(["score", "doc_id"], ascending=[False, True]).head(k)
-        return out.astype({"doc_id": "int64", "score": "float64"})
+                        a_ids, a_inv = np.unique(p_ids[sel], return_inverse=True)
+                        adds = np.bincount(
+                            a_inv, weights=p_w[sel], minlength=len(a_ids)
+                        )
+                        # every a_id is in uids by the sel mask above
+                        sums[np.searchsorted(uids, a_ids)] += adds
+            out_ids, out_scores = uids, sums
+        if len(out_ids) > k:
+            # top-k by (score desc, doc_id asc): lexsort's last key is
+            # primary; doc_id (already the unique-sorted minor order)
+            # breaks ties ascending
+            order = np.lexsort((out_ids, -out_scores))[:k]
+            out_ids, out_scores = out_ids[order], out_scores[order]
+        return pd.DataFrame(
+            {
+                "doc_id": out_ids.astype(np.int64, copy=False),
+                "score": out_scores.astype(np.float64, copy=False),
+            }
+        )
 
     return fn
 
@@ -291,6 +313,7 @@ class CompressedIndex:
         self.term_stats = load_term_stats(spark, out_dir)
         self._pads_postings = None
         self._pads_attrs = None
+        self._seek_handles = None
         self._df_local: dict[str, int] | None = None
         ts_dir = os.path.join(out_dir, "term_stats")
         try:
@@ -394,6 +417,126 @@ class CompressedIndex:
             ranked = ranked.offset(offset)
         return ranked.limit(k)
 
+    _SEEK_COLS = (
+        "term", "n_docs", "docs_enc", "tfs_enc", "dls_enc",
+        "block_max_w", "idf_build", "first_doc_id", "last_doc_id",
+    )
+
+    def _executor(self):
+        """Persistent coordinator thread pool, shared by the seek's
+        per-file reads and the per-shard scorers. Thread SPAWN on this VM
+        costs ~35 ms (the round-2 host memory-wall), so a per-query
+        ThreadPoolExecutor added ~0.2 s of pure thread creation to every
+        fast-path call; one long-lived pool per open index amortizes it
+        to zero. Pool size is read from LC_FASTPATH_THREADS at first use;
+        the pool never affects results (test_fastpath_threading_invariant),
+        only concurrency."""
+        want = int(os.environ.get("LC_FASTPATH_THREADS", "8"))
+        ex = getattr(self, "_pool", None)
+        if ex is None or self._pool_size != want:
+            if ex is not None:
+                ex.shutdown(wait=False)
+            from concurrent.futures import ThreadPoolExecutor
+
+            ex = ThreadPoolExecutor(max_workers=want)
+            self._pool = ex
+            self._pool_size = want
+        return ex
+
+    def _seek_blocks(self, wanted: list[str]) -> pd.DataFrame:
+        """Coordinator term-dictionary seek: posting files are term-sorted
+        (builder sorts ("shard", "term", ...) into the partitioned write),
+        so each file's row-group term min/max forms two ascending lists and
+        the row groups that can hold a term are exactly
+        [bisect_left(maxs, t), bisect_right(mins, t)). Footers and stats
+        are parsed ONCE per index open (the resident Lucene term dictionary
+        analog — ~1 ms/file); a query then reads only its own row groups
+        via ParquetFile.read_row_groups. Conservative by construction:
+        parquet stat truncation only widens [min, max], and a file whose
+        stats are missing or out of order (a legacy unsorted index) demotes
+        to reading all its row groups — never a missed posting."""
+        import bisect
+
+        import pyarrow as pa
+        import pyarrow.compute as pc
+        import pyarrow.parquet as pq
+
+        if self._seek_handles is None:
+            handles = []
+            post_dir = os.path.join(self.out_dir, "postings")
+            for entry in sorted(os.listdir(post_dir)):
+                if not entry.startswith("shard="):
+                    continue
+                shard = int(entry.split("=", 1)[1])
+                d = os.path.join(post_dir, entry)
+                for fname in sorted(os.listdir(d)):
+                    if not fname.endswith(".parquet"):
+                        continue
+                    pf = pq.ParquetFile(os.path.join(d, fname))
+                    md = pf.metadata
+                    mins: list[str] | None = []
+                    maxs: list[str] = []
+                    if md.num_row_groups:
+                        rg0 = md.row_group(0)
+                        tcol = next(
+                            j
+                            for j in range(rg0.num_columns)
+                            if rg0.column(j).path_in_schema == "term"
+                        )
+                        for i in range(md.num_row_groups):
+                            s = md.row_group(i).column(tcol).statistics
+                            if s is None or not s.has_min_max:
+                                mins = None  # no stats → scan whole file
+                                break
+                            mins.append(s.min)
+                            maxs.append(s.max)
+                    if mins is not None and (
+                        any(a > b for a, b in zip(mins, mins[1:]))
+                        or any(a > b for a, b in zip(maxs, maxs[1:]))
+                    ):
+                        mins = None  # not term-sorted → scan whole file
+                    handles.append((pf, shard, mins, maxs))
+            self._seek_handles = handles
+        value_set = pa.array(sorted(set(wanted)), pa.string())
+        cols = list(self._SEEK_COLS)
+
+        def read_one(handle):
+            pf, shard, mins, maxs = handle
+            if mins is None:
+                rgs = list(range(pf.metadata.num_row_groups))
+            else:
+                rgs = sorted(
+                    {
+                        i
+                        for t in wanted
+                        for i in range(
+                            bisect.bisect_left(maxs, t),
+                            bisect.bisect_right(mins, t),
+                        )
+                    }
+                )
+            if not rgs:
+                return None
+            tbl = pf.read_row_groups(rgs, columns=cols, use_threads=False)
+            tbl = tbl.filter(pc.is_in(tbl.column("term"), value_set=value_set))
+            if not tbl.num_rows:
+                return None
+            return tbl.append_column(
+                "shard", pa.array(np.full(tbl.num_rows, shard, dtype=np.int32))
+            )
+
+        # per-file reads fan out on the persistent pool (arrow IO +
+        # decompression release the GIL); use_threads=False inside keeps
+        # one decode per task instead of pool-on-pool thrash
+        tabs = [
+            t
+            for t in self._executor().map(read_one, self._seek_handles)
+            if t is not None
+        ]
+        if not tabs:
+            return pd.DataFrame(columns=["shard", *cols])
+        return pa.concat_tables(tabs).to_pandas()
+
     def search_local(
         self,
         text: str,
@@ -434,21 +577,12 @@ class CompressedIndex:
         if not terms:
             return _empty()
         wanted = terms + should_terms + must_not_terms
-        if getattr(self, "_pads_postings", None) is None:
+        if getattr(self, "_pads_attrs", None) is None:
             # dataset discovery (file listing + schema) once per index open
-            self._pads_postings = pads.dataset(
-                os.path.join(self.out_dir, "postings"), partitioning="hive"
-            )
             self._pads_attrs = pads.dataset(
                 os.path.join(self.out_dir, "attrs"), partitioning="hive"
             )
-        blocks = self._pads_postings.to_table(
-            columns=[
-                "shard", "term", "n_docs", "docs_enc", "tfs_enc", "dls_enc",
-                "block_max_w", "idf_build", "first_doc_id", "last_doc_id",
-            ],
-            filter=pc.field("term").isin(wanted),
-        ).to_pandas()
+        blocks = self._seek_blocks(wanted)
         attrs = None
         if filters or prefix:
             # predicates pushed into the pyarrow scan (row-group stats +
@@ -504,13 +638,7 @@ class CompressedIndex:
             return fn(bl)
 
         if len(groups) > 1:
-            from concurrent.futures import ThreadPoolExecutor
-
-            n_workers = min(
-                len(groups), int(os.environ.get("LC_FASTPATH_THREADS", "8"))
-            )
-            with ThreadPoolExecutor(max_workers=n_workers) as ex:
-                parts = list(ex.map(run_one, groups))
+            parts = list(self._executor().map(run_one, groups))
         else:
             parts = [run_one(groups[0])]
         out = pd.concat(parts, ignore_index=True)
