@@ -85,6 +85,14 @@ def _empty() -> pd.DataFrame:
     )
 
 
+def _impact(tfs: np.ndarray, dls: np.ndarray, avgdl: float) -> np.ndarray:
+    """Idf-independent BM25 factor per posting: score = idf * impact.
+    Factored out so the decoded-postings cache can precompute it once per
+    index generation and every scoring path multiplies by the SAME float
+    values — cached and uncached results stay bit-identical."""
+    return tfs * (K1 + 1.0) / (tfs + K1 * (1.0 - B + B * dls / avgdl))
+
+
 def _shard_topk_fn(
     terms: list[str],
     idfs: dict[str, float],
@@ -94,6 +102,8 @@ def _shard_topk_fn(
     must_not_terms: list[str],
     require_all: bool,
     should_terms: list[str] | None = None,
+    decoder=None,
+    dense_hint: int = 0,
 ):
     """Per-shard scorer factory. ``fn(blocks)`` for the blocks-only fast
     path; ``fn(blocks, allowed_docs)`` for filtered queries, where
@@ -101,7 +111,37 @@ def _shard_topk_fn(
     keyword/prefix predicates — the predicates themselves are evaluated
     upstream (Catalyst with Parquet pushdown on the distributed path,
     pyarrow scan filters on the coordinator path), never in pandas here.
-    All numpy/pandas batch ops — no per-row Python."""
+    All numpy/pandas batch ops — no per-row Python.
+
+    ``decoder`` (coordinator path only) substitutes the inline varbyte
+    decode with ``decoder(rows) -> (ids, impact)`` — the same doc ids and
+    the same idf-independent BM25 impacts (see ``_impact``) in the same
+    posting order, gathered from the index's decoded-postings cache. The
+    distributed path always passes None (executors are stateless per
+    query), so its results are byte-identical with or without the
+    cache."""
+    # dense doc-id spaces (the builder assigns shards by id range over
+    # n_docs, so ids are 0..N-ish) let per-doc sums run as one
+    # np.bincount over a dense array instead of np.unique's O(n log n)
+    # sort — same accumulation order (bincount adds in input order), so
+    # identical floats. Sparse/foreign id spaces fall back to unique.
+    dense_cap = min(4 * dense_hint, 1 << 25) if dense_hint else 0
+
+    def agg_sums(ids: np.ndarray, w: np.ndarray, w2: np.ndarray | None = None):
+        """(unique_ids, sum_w[, sum_w2]) grouped by doc id; BM25 weights
+        are strictly positive, so a dense bin is occupied iff its sum>0."""
+        if len(ids) and dense_cap and ids.min() >= 0 and int(ids.max()) < dense_cap:
+            acc = np.bincount(ids, weights=w)
+            uids = np.flatnonzero(acc)
+            if w2 is None:
+                return uids, acc[uids]
+            acc2 = np.bincount(ids, weights=w2, minlength=len(acc))
+            return uids, acc[uids], acc2[uids]
+        uids, inv = np.unique(ids, return_inverse=True)
+        sums = np.bincount(inv, weights=w, minlength=len(uids))
+        if w2 is None:
+            return uids, sums
+        return uids, sums, np.bincount(inv, weights=w2, minlength=len(uids))
 
     def fn(blocks: pd.DataFrame, attrs: pd.DataFrame | None = None) -> pd.DataFrame:
         if len(blocks) == 0:
@@ -115,14 +155,17 @@ def _shard_topk_fn(
         if must_not_terms:
             nb = blocks[blocks["term"].isin(must_not_terms)]
             if len(nb):
-                nc = nb["n_docs"].to_numpy(dtype=np.int64)
-                ns = np.zeros(len(nc), dtype=np.int64)
-                ns[1:] = np.cumsum(nc)[:-1]
-                nd = decode_varbyte(b"".join(nb["docs_enc"])).astype(np.int64)
-                ncum = np.cumsum(nd)
-                excluded = np.unique(
-                    ncum - np.repeat(ncum[ns] - nd[ns], nc)
-                )
+                if decoder is not None:
+                    excluded = np.unique(decoder(nb)[0])
+                else:
+                    nc = nb["n_docs"].to_numpy(dtype=np.int64)
+                    ns = np.zeros(len(nc), dtype=np.int64)
+                    ns[1:] = np.cumsum(nc)[:-1]
+                    nd = decode_varbyte(b"".join(nb["docs_enc"])).astype(np.int64)
+                    ncum = np.cumsum(nd)
+                    excluded = np.unique(
+                        ncum - np.repeat(ncum[ns] - nd[ns], nc)
+                    )
         score_terms = terms + [t for t in (should_terms or []) if t not in terms]
         qb = blocks[blocks["term"].isin(score_terms)]
         if len(qb) == 0:
@@ -136,7 +179,7 @@ def _shard_topk_fn(
                 m &= ~np.isin(ids, excluded)
             return m
 
-        def score_block_rows(rows: pd.DataFrame):
+        def score_block_rows(rows: pd.DataFrame, with_th: bool = False):
             """Decode + BM25-weight every posting of the given block rows in
             BULK: varbyte is self-delimiting, so the concatenation of many
             blocks' buffers decodes in ONE numpy pass; per-block delta
@@ -147,19 +190,29 @@ def _shard_topk_fn(
                 e = np.empty(0)
                 return e.astype(np.int64), e, e.astype(np.int64)
             counts = rows["n_docs"].to_numpy(dtype=np.int64)
-            starts = np.zeros(len(counts), dtype=np.int64)
-            starts[1:] = np.cumsum(counts)[:-1]
-            d = decode_varbyte(b"".join(rows["docs_enc"])).astype(np.int64)
-            # per-block absolute ids: cumsum of deltas minus the running
-            # total just before each block start (first delta is absolute)
-            c = np.cumsum(d)
-            base = c[starts] - d[starts]
-            ids = c - np.repeat(base, counts)
-            tfs = decode_varbyte(b"".join(rows["tfs_enc"])).astype(np.float64)
-            dls = decode_varbyte(b"".join(rows["dls_enc"])).astype(np.float64)
+            if decoder is not None:
+                # fb is the idf-independent BM25 impact, precomputed once
+                # per index generation in the decoded-postings cache
+                ids, fb = decoder(rows)
+            else:
+                starts = np.zeros(len(counts), dtype=np.int64)
+                starts[1:] = np.cumsum(counts)[:-1]
+                d = decode_varbyte(b"".join(rows["docs_enc"])).astype(np.int64)
+                # per-block absolute ids: cumsum of deltas minus the
+                # running total just before each block start (first delta
+                # is absolute)
+                c = np.cumsum(d)
+                base = c[starts] - d[starts]
+                ids = c - np.repeat(base, counts)
+                tfs = decode_varbyte(b"".join(rows["tfs_enc"])).astype(np.float64)
+                dls = decode_varbyte(b"".join(rows["dls_enc"])).astype(np.float64)
+                # same factoring as _impact (idf * fb), so cached and
+                # uncached paths produce bit-identical floats
+                fb = _impact(tfs, dls, avgdl)
             idf_b = rows["term"].map(idfs).to_numpy(dtype=np.float64)
-            idf = np.repeat(idf_b, counts)
-            w = idf * tfs * (K1 + 1.0) / (tfs + K1 * (1.0 - B + B * dls / avgdl))
+            w = np.repeat(idf_b, counts) * fb
+            if not with_th:
+                return ids, w, None
             th_b = np.fromiter(
                 (hash(t) for t in rows["term"]), dtype=np.int64, count=len(rows)
             )
@@ -189,7 +242,7 @@ def _shard_topk_fn(
             else:
                 seed_mask = qb["term"].isin(terms)
             seed_rows, other = qb[seed_mask], qb[~seed_mask]
-            s_ids, s_w, s_th = score_block_rows(seed_rows)
+            s_ids, s_w, s_th = score_block_rows(seed_rows, with_th=True)
             cand = np.unique(s_ids)
             pos_lo = np.searchsorted(
                 cand, other["first_doc_id"].to_numpy(dtype=np.int64), side="left"
@@ -197,7 +250,9 @@ def _shard_topk_fn(
             pos_hi = np.searchsorted(
                 cand, other["last_doc_id"].to_numpy(dtype=np.int64), side="right"
             )
-            o_ids, o_w, o_th = score_block_rows(other[pos_hi > pos_lo])
+            o_ids, o_w, o_th = score_block_rows(
+                other[pos_hi > pos_lo], with_th=True
+            )
             sel = np.isin(o_ids, cand)
             ids = np.concatenate([s_ids, o_ids[sel]])
             w = np.concatenate([s_w, o_w[sel]])
@@ -205,18 +260,12 @@ def _shard_topk_fn(
             must_hashes = np.fromiter(
                 (hash(t) for t in set(terms)), dtype=np.int64
             )
-            # numpy aggregation (unique + bincount) instead of a pandas
-            # groupby: same sums, no factorize/lexsort machinery holding
-            # the GIL — this is what lets the coordinator's shard thread
-            # pool actually run concurrently. One posting row per
-            # (doc, term) ⇒ the must-indicator sum == number of distinct
-            # must terms matched.
-            uids, inv = np.unique(ids, return_inverse=True)
-            score = np.bincount(inv, weights=w, minlength=len(uids))
+            # numpy aggregation instead of a pandas groupby: same sums, no
+            # factorize/lexsort machinery. One posting row per (doc, term)
+            # ⇒ the must-indicator sum == number of distinct must terms
+            # matched.
             is_must = np.isin(th, must_hashes)
-            n = np.bincount(
-                inv, weights=is_must.astype(np.float64), minlength=len(uids)
-            )
+            uids, score, n = agg_sums(ids, w, is_must.astype(np.float64))
             good = n == len(set(terms)) if require_all else n >= 1
             cand_ids = uids[good]
             keep = ok_mask(cand_ids)
@@ -238,11 +287,10 @@ def _shard_topk_fn(
             kept, pruned = qb[survive], qb[~survive]
             ids, w, _ = score_block_rows(kept)
             m = ok_mask(ids)
-            # numpy aggregation (see the AND branch) — unique ids are
-            # sorted, so the pruned-block patch below can merge by
+            # numpy aggregation (see the AND branch) — unique ids come
+            # back sorted, so the pruned-block patch below can merge by
             # searchsorted instead of a pandas aligned add
-            uids, inv = np.unique(ids[m], return_inverse=True)
-            sums = np.bincount(inv, weights=w[m], minlength=len(uids))
+            uids, sums = agg_sums(ids[m], w[m])
             if len(pruned) and len(uids):
                 lo = pruned["first_doc_id"].to_numpy(dtype=np.int64)
                 hi = pruned["last_doc_id"].to_numpy(dtype=np.int64)
@@ -254,13 +302,16 @@ def _shard_topk_fn(
                     p_ids, p_w, _ = score_block_rows(pruned[need])
                     sel = np.isin(p_ids, uids)
                     if sel.any():
-                        a_ids, a_inv = np.unique(p_ids[sel], return_inverse=True)
-                        adds = np.bincount(
-                            a_inv, weights=p_w[sel], minlength=len(a_ids)
-                        )
+                        a_ids, adds = agg_sums(p_ids[sel], p_w[sel])
                         # every a_id is in uids by the sel mask above
                         sums[np.searchsorted(uids, a_ids)] += adds
             out_ids, out_scores = uids, sums
+        # rank on the ROUNDED score — the same total order the global
+        # merge uses (search: F.round then orderBy; search_local: round
+        # then sort). Cutting on raw floats here while merging on rounded
+        # ones upstream would let a raw-score boundary disagree with a
+        # rounded tie, making per-shard and whole-index passes diverge.
+        out_scores = np.round(out_scores, ROUND_DECIMALS)
         if len(out_ids) > k:
             # top-k by (score desc, doc_id asc): lexsort's last key is
             # primary; doc_id (already the unique-sorted minor order)
@@ -314,6 +365,8 @@ class CompressedIndex:
         self._pads_postings = None
         self._pads_attrs = None
         self._seek_handles = None
+        self._dec_cache = None
+        self._dec_cache_bytes = 0
         self._df_local: dict[str, int] | None = None
         ts_dir = os.path.join(out_dir, "term_stats")
         try:
@@ -387,6 +440,7 @@ class CompressedIndex:
         fn = _shard_topk_fn(
             terms, idfs, self.meta.avgdl, local_k, bool(filters or prefix),
             must_not_terms, require_all, should_terms,
+            dense_hint=int(self.meta.n_docs),
         )
         if filters or prefix:
             # filter clauses stay in Catalyst: the predicate reaches the
@@ -537,6 +591,110 @@ class CompressedIndex:
             return pd.DataFrame(columns=["shard", *cols])
         return pa.concat_tables(tabs).to_pandas()
 
+    def _ensure_dec_entries(self, blocks: pd.DataFrame) -> None:
+        """Fill the decoded-postings cache for every (shard, term) present
+        in ``blocks``. The cache is the coordinator analog of Lucene's
+        hot-segment page cache: postings are immutable for an index
+        generation (refresh() clears it), so a term's varbyte streams are
+        decoded at most once per generation and every later query gathers
+        slices instead of re-decoding — on this host's memory-wall
+        ~0.4 s/query of decode for hot terms drops to ~0. LRU by bytes,
+        budget LC_POSTING_CACHE_MB (default 512; 0 disables); the current
+        query's working set is never evicted by its own fill."""
+        from collections import OrderedDict
+
+        if self._dec_cache is None:
+            self._dec_cache = OrderedDict()
+            self._dec_cache_bytes = 0
+        budget = int(os.environ.get("LC_POSTING_CACHE_MB", "512")) * (1 << 20)
+        pinned = set()
+        for (shard, term), sub in blocks.groupby(["shard", "term"], sort=False):
+            key = (int(shard), term)
+            pinned.add(key)
+            if key in self._dec_cache:
+                self._dec_cache.move_to_end(key)
+                continue
+            counts = sub["n_docs"].to_numpy(dtype=np.int64)
+            starts = np.zeros(len(counts), dtype=np.int64)
+            starts[1:] = np.cumsum(counts)[:-1]
+            d = decode_varbyte(b"".join(sub["docs_enc"])).astype(np.int64)
+            c = np.cumsum(d)
+            ids = c - np.repeat(c[starts] - d[starts], counts)
+            tfs = decode_varbyte(b"".join(sub["tfs_enc"])).astype(np.float64)
+            dls = decode_varbyte(b"".join(sub["dls_enc"])).astype(np.float64)
+            fb = _impact(tfs, dls, self.meta.avgdl)
+            firsts = sub["first_doc_id"].to_numpy(dtype=np.int64)
+            order = np.argsort(firsts, kind="stable")
+            ent = (firsts[order], starts[order], counts[order], ids, fb)
+            nbytes = ids.nbytes + fb.nbytes + 3 * firsts.nbytes
+            while (
+                self._dec_cache
+                and self._dec_cache_bytes + nbytes > budget
+                and any(k not in pinned for k in self._dec_cache)
+            ):
+                for k in self._dec_cache:  # oldest unpinned
+                    if k not in pinned:
+                        _, old_bytes = self._dec_cache.pop(k)
+                        self._dec_cache_bytes -= old_bytes
+                        break
+            self._dec_cache[key] = (ent, nbytes)
+            self._dec_cache_bytes += nbytes
+
+    def _make_decoder(self):
+        """Row-aligned gather from the decoded-postings cache: returns
+        ``decoder(rows) -> (ids, impact)`` emitting postings in exactly
+        the order the inline decode would (rows order, block order within
+        each row), so scoring is bit-identical with and without the cache.
+        Blocks are located by first_doc_id (unique per (shard, term):
+        salt sub-ranges are disjoint and block doc ranges are sorted).
+        A missing cache entry (evicted mid-fill by a pathologically small
+        budget) falls back to inline decode of just those rows."""
+        cache = self._dec_cache
+        avgdl = self.meta.avgdl
+
+        def inline(rows_sub: pd.DataFrame):
+            counts = rows_sub["n_docs"].to_numpy(dtype=np.int64)
+            starts = np.zeros(len(counts), dtype=np.int64)
+            starts[1:] = np.cumsum(counts)[:-1]
+            d = decode_varbyte(b"".join(rows_sub["docs_enc"])).astype(np.int64)
+            c = np.cumsum(d)
+            ids = c - np.repeat(c[starts] - d[starts], counts)
+            tfs = decode_varbyte(b"".join(rows_sub["tfs_enc"])).astype(np.float64)
+            dls = decode_varbyte(b"".join(rows_sub["dls_enc"])).astype(np.float64)
+            return ids, _impact(tfs, dls, avgdl)
+
+        def decoder(rows: pd.DataFrame):
+            fdi = rows["first_doc_id"].to_numpy(dtype=np.int64)
+            bcount = rows["n_docs"].to_numpy(dtype=np.int64)
+            total = int(bcount.sum())
+            out_ids = np.empty(total, dtype=np.int64)
+            out_fb = np.empty(total, dtype=np.float64)
+            ro = np.zeros(len(bcount), dtype=np.int64)
+            ro[1:] = np.cumsum(bcount)[:-1]
+            for (shard, term), m in rows.groupby(
+                ["shard", "term"], sort=False
+            ).indices.items():
+                hit = cache.get((int(shard), term))
+                cn = bcount[m]
+                tot = int(cn.sum())
+                within = np.arange(tot, dtype=np.int64) - np.repeat(
+                    np.cumsum(cn) - cn, cn
+                )
+                oidx = np.repeat(ro[m], cn) + within
+                if hit is None:
+                    i_ids, i_fb = inline(rows.iloc[m])
+                    out_ids[oidx] = i_ids
+                    out_fb[oidx] = i_fb
+                    continue
+                (firsts, starts, counts, ids, fb), _ = hit
+                pos = np.searchsorted(firsts, fdi[m])
+                gidx = np.repeat(starts[pos], cn) + within
+                out_ids[oidx] = ids[gidx]
+                out_fb[oidx] = fb[gidx]
+            return out_ids, out_fb
+
+        return decoder
+
     def search_local(
         self,
         text: str,
@@ -617,9 +775,14 @@ class CompressedIndex:
                 ).select(["shard", "doc_id"])
             attrs = tbl.to_pandas()
         local_k = k + offset
+        decoder = None
+        if len(blocks) and int(os.environ.get("LC_POSTING_CACHE_MB", "512")) > 0:
+            self._ensure_dec_entries(blocks)
+            decoder = self._make_decoder()
         fn = _shard_topk_fn(
             terms, idfs, self.meta.avgdl, local_k, bool(filters or prefix),
-            must_not_terms, require_all, should_terms,
+            must_not_terms, require_all, should_terms, decoder=decoder,
+            dense_hint=int(self.meta.n_docs),
         )
         # shard scorers run on a thread pool: the kernel is numpy bulk ops
         # (varbyte decode, BM25 math, searchsorted) that release the GIL,
@@ -627,20 +790,33 @@ class CompressedIndex:
         # concurrently — same fan-out an ES coordinator gets from its data
         # nodes, collapsed into one process. Result order is immaterial:
         # the final (score desc, doc_id asc) sort is a total order.
-        groups = list(blocks.groupby("shard", sort=False))
-        if not groups:
+        if not len(blocks):
             return _empty()
-
-        def run_one(item):
-            shard, bl = item
-            if filters or prefix:
-                return fn(bl, attrs[attrs["shard"] == shard])
-            return fn(bl)
-
-        if len(groups) > 1:
-            parts = list(self._executor().map(run_one, groups))
+        # one whole-index numpy pass instead of 16 per-shard passes: shards
+        # partition the doc-id space, so a doc's postings all live in one
+        # shard and per-doc sums are bit-identical either way — but one
+        # pass pays the pandas fixed costs once and prunes with the GLOBAL
+        # theta (strictly tighter than any per-shard theta). The
+        # distributed path keeps the per-shard split (that is what
+        # parallelizes it across executors); rank-identity between the two
+        # is asserted in bench.py and tests/test_fastpath.py.
+        if decoder is not None:
+            parts = [fn(blocks, attrs) if (filters or prefix) else fn(blocks)]
         else:
-            parts = [run_one(groups[0])]
+            # cache disabled: per-shard scoring on the pool (inline decode
+            # is the dominant cost and releases the GIL in bulk ufuncs)
+            groups = list(blocks.groupby("shard", sort=False))
+
+            def run_one(item):
+                shard, bl = item
+                if filters or prefix:
+                    return fn(bl, attrs[attrs["shard"] == shard])
+                return fn(bl)
+
+            if len(groups) > 1:
+                parts = list(self._executor().map(run_one, groups))
+            else:
+                parts = [run_one(groups[0])]
         out = pd.concat(parts, ignore_index=True)
         out["score"] = out["score"].round(ROUND_DECIMALS)
         out = out.sort_values(
