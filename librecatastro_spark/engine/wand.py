@@ -784,12 +784,6 @@ class CompressedIndex:
             must_not_terms, require_all, should_terms, decoder=decoder,
             dense_hint=int(self.meta.n_docs),
         )
-        # shard scorers run on a thread pool: the kernel is numpy bulk ops
-        # (varbyte decode, BM25 math, searchsorted) that release the GIL,
-        # so a coordinator with a few cores scores its 16 shards nearly
-        # concurrently — same fan-out an ES coordinator gets from its data
-        # nodes, collapsed into one process. Result order is immaterial:
-        # the final (score desc, doc_id asc) sort is a total order.
         if not len(blocks):
             return _empty()
         # one whole-index numpy pass instead of 16 per-shard passes: shards

@@ -72,3 +72,17 @@ def test_fastpath_threading_invariant(index, monkeypatch):
         monkeypatch.setenv("LC_FASTPATH_THREADS", n)
         results[n] = [_local_rows(index, q) for q in GOLDEN]
     assert results["1"] == results["8"]
+
+
+def test_fastpath_cache_invariant(index, monkeypatch):
+    """The decoded-postings cache must never change results: cache
+    disabled (LC_POSTING_CACHE_MB=0 — per-shard inline-decode path),
+    tiny (evicts mid-query, exercising the inline fallback), and default
+    all agree on every golden shape."""
+    results = {}
+    for mb in ("0", "1", "512"):
+        monkeypatch.setenv("LC_POSTING_CACHE_MB", mb)
+        index.refresh()  # drop any previously filled cache
+        results[mb] = [_local_rows(index, q) for q in GOLDEN]
+    assert results["0"] == results["512"]
+    assert results["1"] == results["512"]

@@ -165,3 +165,35 @@ def test_assign_term_ids_unique_dense_deterministic(spark):
     assert sorted(a.values()) == list(range(500))
     b = {r["term"]: r["tid"] for r in assign_term_ids(ts.repartition(17)).collect()}
     assert a == b
+
+
+def test_posting_files_term_sorted(built):
+    """Regression: the dynamic-partition parquet writer inserts its own
+    NON-STABLE shard sort when the explicit sort doesn't lead with the
+    partition column, silently scrambling term order inside every file
+    (and with it all row-group term-stats pruning — the term-dictionary
+    seek). Assert every postings file is term-sorted with monotone
+    row-group [min, max] term ranges."""
+    import pyarrow.parquet as pq
+
+    out, _ = built
+    files = glob.glob(os.path.join(out, "postings", "**", "*.parquet"),
+                      recursive=True)
+    assert files
+    for f in files:
+        md = pq.ParquetFile(f).metadata
+        rg0 = md.row_group(0)
+        tcol = next(
+            j for j in range(rg0.num_columns)
+            if rg0.column(j).path_in_schema == "term"
+        )
+        mins, maxs = [], []
+        for i in range(md.num_row_groups):
+            s = md.row_group(i).column(tcol).statistics
+            assert s is not None and s.has_min_max
+            mins.append(s.min)
+            maxs.append(s.max)
+        assert mins == sorted(mins), f
+        assert maxs == sorted(maxs), f
+        terms = pq.read_table(f, columns=["term"]).column("term").to_pylist()
+        assert terms == sorted(terms), f
