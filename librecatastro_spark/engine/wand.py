@@ -129,14 +129,21 @@ def _shard_topk_fn(
 
     def agg_sums(ids: np.ndarray, w: np.ndarray, w2: np.ndarray | None = None):
         """(unique_ids, sum_w[, sum_w2]) grouped by doc id; BM25 weights
-        are strictly positive, so a dense bin is occupied iff its sum>0."""
-        if len(ids) and dense_cap and ids.min() >= 0 and int(ids.max()) < dense_cap:
-            acc = np.bincount(ids, weights=w)
-            uids = np.flatnonzero(acc)
-            if w2 is None:
-                return uids, acc[uids]
-            acc2 = np.bincount(ids, weights=w2, minlength=len(acc))
-            return uids, acc[uids], acc2[uids]
+        are strictly positive, so a dense bin is occupied iff its sum>0.
+        Bins are offset by min(ids), so a per-shard call (distributed
+        path — ids span only the shard's contiguous range) allocates
+        O(shard span), not O(corpus)."""
+        if len(ids) and dense_cap:
+            lo = int(ids.min())
+            span = int(ids.max()) - lo + 1
+            if lo >= 0 and span <= dense_cap:
+                off = ids - lo
+                acc = np.bincount(off, weights=w, minlength=span)
+                nz = np.flatnonzero(acc)
+                if w2 is None:
+                    return nz + lo, acc[nz]
+                acc2 = np.bincount(off, weights=w2, minlength=span)
+                return nz + lo, acc[nz], acc2[nz]
         uids, inv = np.unique(ids, return_inverse=True)
         sums = np.bincount(inv, weights=w, minlength=len(uids))
         if w2 is None:
@@ -283,7 +290,14 @@ def _shard_topk_fn(
                     theta = float(np.partition(r_w, -k)[-k])
             sum_u = float(u_per_term.sum())
             others = sum_u - qb["term"].map(u_per_term).to_numpy()
-            survive = (qb["bound"].to_numpy() + others) >= theta
+            # prune with one rounding quantum of slack: a doc whose raw
+            # upper bound is below θ − 10^-R has ROUNDED score strictly
+            # below the rounded k-th result, so pruning is exact under the
+            # rounded total order the merge uses — per-shard and
+            # whole-index passes (whose θ differ) then agree even when a
+            # raw score straddles θ within rounding distance.
+            margin = 10.0 ** (-ROUND_DECIMALS)
+            survive = (qb["bound"].to_numpy() + others) >= theta - margin
             kept, pruned = qb[survive], qb[~survive]
             ids, w, _ = score_block_rows(kept)
             m = ok_mask(ids)
@@ -362,7 +376,6 @@ class CompressedIndex:
         self.postings = load_postings(spark, out_dir)
         self.attrs = load_attrs(spark, out_dir)
         self.term_stats = load_term_stats(spark, out_dir)
-        self._pads_postings = None
         self._pads_attrs = None
         self._seek_handles = None
         self._dec_cache = None
@@ -513,9 +526,10 @@ class CompressedIndex:
 
         import pyarrow as pa
         import pyarrow.compute as pc
-        import pyarrow.parquet as pq
 
         if self._seek_handles is None:
+            # stats only — no file handle is kept open (an index can have
+            # thousands of files; pinning one fd each would exhaust ulimit)
             handles = []
             post_dir = os.path.join(self.out_dir, "postings")
             for entry in sorted(os.listdir(post_dir)):
@@ -526,38 +540,43 @@ class CompressedIndex:
                 for fname in sorted(os.listdir(d)):
                     if not fname.endswith(".parquet"):
                         continue
-                    pf = pq.ParquetFile(os.path.join(d, fname))
-                    md = pf.metadata
-                    mins: list[str] | None = []
-                    maxs: list[str] = []
-                    if md.num_row_groups:
-                        rg0 = md.row_group(0)
-                        tcol = next(
-                            j
-                            for j in range(rg0.num_columns)
-                            if rg0.column(j).path_in_schema == "term"
-                        )
-                        for i in range(md.num_row_groups):
-                            s = md.row_group(i).column(tcol).statistics
-                            if s is None or not s.has_min_max:
-                                mins = None  # no stats → scan whole file
-                                break
-                            mins.append(s.min)
-                            maxs.append(s.max)
+                    path = os.path.join(d, fname)
+                    pf = pq.ParquetFile(path)
+                    try:
+                        md = pf.metadata
+                        n_rgs = md.num_row_groups
+                        mins: list[str] | None = []
+                        maxs: list[str] = []
+                        if n_rgs:
+                            rg0 = md.row_group(0)
+                            tcol = next(
+                                j
+                                for j in range(rg0.num_columns)
+                                if rg0.column(j).path_in_schema == "term"
+                            )
+                            for i in range(n_rgs):
+                                s = md.row_group(i).column(tcol).statistics
+                                if s is None or not s.has_min_max:
+                                    mins = None  # no stats → scan whole file
+                                    break
+                                mins.append(s.min)
+                                maxs.append(s.max)
+                    finally:
+                        pf.close()
                     if mins is not None and (
                         any(a > b for a, b in zip(mins, mins[1:]))
                         or any(a > b for a, b in zip(maxs, maxs[1:]))
                     ):
                         mins = None  # not term-sorted → scan whole file
-                    handles.append((pf, shard, mins, maxs))
+                    handles.append((path, n_rgs, shard, mins, maxs))
             self._seek_handles = handles
         value_set = pa.array(sorted(set(wanted)), pa.string())
         cols = list(self._SEEK_COLS)
 
         def read_one(handle):
-            pf, shard, mins, maxs = handle
+            path, n_rgs, shard, mins, maxs = handle
             if mins is None:
-                rgs = list(range(pf.metadata.num_row_groups))
+                rgs = list(range(n_rgs))
             else:
                 rgs = sorted(
                     {
@@ -571,7 +590,11 @@ class CompressedIndex:
                 )
             if not rgs:
                 return None
-            tbl = pf.read_row_groups(rgs, columns=cols, use_threads=False)
+            pf = pq.ParquetFile(path)
+            try:
+                tbl = pf.read_row_groups(rgs, columns=cols, use_threads=False)
+            finally:
+                pf.close()
             tbl = tbl.filter(pc.is_in(tbl.column("term"), value_set=value_set))
             if not tbl.num_rows:
                 return None
@@ -591,29 +614,39 @@ class CompressedIndex:
             return pd.DataFrame(columns=["shard", *cols])
         return pa.concat_tables(tabs).to_pandas()
 
-    def _ensure_dec_entries(self, blocks: pd.DataFrame) -> None:
-        """Fill the decoded-postings cache for every (shard, term) present
-        in ``blocks``. The cache is the coordinator analog of Lucene's
-        hot-segment page cache: postings are immutable for an index
-        generation (refresh() clears it), so a term's varbyte streams are
-        decoded at most once per generation and every later query gathers
-        slices instead of re-decoding — on this host's memory-wall
-        ~0.4 s/query of decode for hot terms drops to ~0. LRU by bytes,
-        budget LC_POSTING_CACHE_MB (default 512; 0 disables); the current
-        query's working set is never evicted by its own fill."""
+    def _make_decoder(self, blocks: pd.DataFrame):
+        """Decoded-postings cache + row-aligned gather. Returns
+        ``decoder(rows) -> (ids, impact)`` emitting postings in exactly
+        the order the inline decode would (rows order, block order within
+        each row), so scoring is bit-identical with and without the cache.
+
+        The cache is the coordinator analog of Lucene's hot-segment page
+        cache: postings are immutable for an index generation (refresh()
+        clears it), so a (shard, term)'s varbyte streams decode at most
+        once per generation; later queries gather slices. Entries fill
+        LAZILY, only when the scorer actually asks for ≥half the term's
+        postings — a selective AND that decodes 0.5% of a hot term via
+        intersection pruning must NOT pay (or pin) the full decode, so
+        small requests decode inline and cache nothing. Blocks are
+        located by first_doc_id (unique per (shard, term): salt
+        sub-ranges are disjoint and block doc ranges are sorted). LRU by
+        bytes, budget LC_POSTING_CACHE_MB (default 512; 0 disables);
+        entries touched by the current query are pinned against its own
+        eviction, and an entry that alone exceeds the budget is served
+        inline rather than cached."""
         from collections import OrderedDict
 
         if self._dec_cache is None:
             self._dec_cache = OrderedDict()
             self._dec_cache_bytes = 0
+        cache = self._dec_cache
+        avgdl = self.meta.avgdl
         budget = int(os.environ.get("LC_POSTING_CACHE_MB", "512")) * (1 << 20)
-        pinned = set()
-        for (shard, term), sub in blocks.groupby(["shard", "term"], sort=False):
-            key = (int(shard), term)
-            pinned.add(key)
-            if key in self._dec_cache:
-                self._dec_cache.move_to_end(key)
-                continue
+        full_idx = blocks.groupby(["shard", "term"], sort=False).indices
+        all_counts = blocks["n_docs"].to_numpy(dtype=np.int64)
+        pinned: set = set()
+
+        def raw_decode(sub: pd.DataFrame):
             counts = sub["n_docs"].to_numpy(dtype=np.int64)
             starts = np.zeros(len(counts), dtype=np.int64)
             starts[1:] = np.cumsum(counts)[:-1]
@@ -622,46 +655,29 @@ class CompressedIndex:
             ids = c - np.repeat(c[starts] - d[starts], counts)
             tfs = decode_varbyte(b"".join(sub["tfs_enc"])).astype(np.float64)
             dls = decode_varbyte(b"".join(sub["dls_enc"])).astype(np.float64)
-            fb = _impact(tfs, dls, self.meta.avgdl)
+            return starts, ids, _impact(tfs, dls, avgdl)
+
+        def fill(key, gkey) -> tuple | None:
+            """Decode the FULL (shard, term) block set into a cache entry;
+            an entry that alone exceeds the whole budget is returned for
+            this query's use but not cached."""
+            sub = blocks.iloc[full_idx[gkey]]
+            starts, ids, fb = raw_decode(sub)
             firsts = sub["first_doc_id"].to_numpy(dtype=np.int64)
             order = np.argsort(firsts, kind="stable")
-            ent = (firsts[order], starts[order], counts[order], ids, fb)
-            nbytes = ids.nbytes + fb.nbytes + 3 * firsts.nbytes
-            while (
-                self._dec_cache
-                and self._dec_cache_bytes + nbytes > budget
-                and any(k not in pinned for k in self._dec_cache)
-            ):
-                for k in self._dec_cache:  # oldest unpinned
-                    if k not in pinned:
-                        _, old_bytes = self._dec_cache.pop(k)
-                        self._dec_cache_bytes -= old_bytes
-                        break
-            self._dec_cache[key] = (ent, nbytes)
+            ent = (firsts[order], starts[order], ids, fb)
+            nbytes = ids.nbytes + fb.nbytes + 2 * firsts.nbytes
+            if nbytes > budget:
+                return ent  # serve from it this query, but don't cache
+            while cache and self._dec_cache_bytes + nbytes > budget:
+                victim = next((k for k in cache if k not in pinned), None)
+                if victim is None:
+                    break
+                _, old_bytes = cache.pop(victim)
+                self._dec_cache_bytes -= old_bytes
+            cache[key] = (ent, nbytes)
             self._dec_cache_bytes += nbytes
-
-    def _make_decoder(self):
-        """Row-aligned gather from the decoded-postings cache: returns
-        ``decoder(rows) -> (ids, impact)`` emitting postings in exactly
-        the order the inline decode would (rows order, block order within
-        each row), so scoring is bit-identical with and without the cache.
-        Blocks are located by first_doc_id (unique per (shard, term):
-        salt sub-ranges are disjoint and block doc ranges are sorted).
-        A missing cache entry (evicted mid-fill by a pathologically small
-        budget) falls back to inline decode of just those rows."""
-        cache = self._dec_cache
-        avgdl = self.meta.avgdl
-
-        def inline(rows_sub: pd.DataFrame):
-            counts = rows_sub["n_docs"].to_numpy(dtype=np.int64)
-            starts = np.zeros(len(counts), dtype=np.int64)
-            starts[1:] = np.cumsum(counts)[:-1]
-            d = decode_varbyte(b"".join(rows_sub["docs_enc"])).astype(np.int64)
-            c = np.cumsum(d)
-            ids = c - np.repeat(c[starts] - d[starts], counts)
-            tfs = decode_varbyte(b"".join(rows_sub["tfs_enc"])).astype(np.float64)
-            dls = decode_varbyte(b"".join(rows_sub["dls_enc"])).astype(np.float64)
-            return ids, _impact(tfs, dls, avgdl)
+            return ent
 
         def decoder(rows: pd.DataFrame):
             fdi = rows["first_doc_id"].to_numpy(dtype=np.int64)
@@ -671,22 +687,33 @@ class CompressedIndex:
             out_fb = np.empty(total, dtype=np.float64)
             ro = np.zeros(len(bcount), dtype=np.int64)
             ro[1:] = np.cumsum(bcount)[:-1]
-            for (shard, term), m in rows.groupby(
+            for gkey, m in rows.groupby(
                 ["shard", "term"], sort=False
             ).indices.items():
-                hit = cache.get((int(shard), term))
+                key = (int(gkey[0]), gkey[1])
                 cn = bcount[m]
                 tot = int(cn.sum())
                 within = np.arange(tot, dtype=np.int64) - np.repeat(
                     np.cumsum(cn) - cn, cn
                 )
                 oidx = np.repeat(ro[m], cn) + within
-                if hit is None:
-                    i_ids, i_fb = inline(rows.iloc[m])
-                    out_ids[oidx] = i_ids
-                    out_fb[oidx] = i_fb
-                    continue
-                (firsts, starts, counts, ids, fb), _ = hit
+                hit = cache.get(key)
+                if hit is not None:
+                    cache.move_to_end(key)
+                    ent = hit[0]
+                else:
+                    term_total = int(all_counts[full_idx[gkey]].sum())
+                    if 2 * tot < term_total:
+                        # small slice of a big term (intersection-pruned
+                        # AND, must_not probe): decode inline, keep the
+                        # pruning win, don't fault the whole term in
+                        _, i_ids, i_fb = raw_decode(rows.iloc[m])
+                        out_ids[oidx] = i_ids
+                        out_fb[oidx] = i_fb
+                        continue
+                    ent = fill(key, gkey)
+                pinned.add(key)
+                firsts, starts, ids, fb = ent
                 pos = np.searchsorted(firsts, fdi[m])
                 gidx = np.repeat(starts[pos], cn) + within
                 out_ids[oidx] = ids[gidx]
@@ -777,8 +804,7 @@ class CompressedIndex:
         local_k = k + offset
         decoder = None
         if len(blocks) and int(os.environ.get("LC_POSTING_CACHE_MB", "512")) > 0:
-            self._ensure_dec_entries(blocks)
-            decoder = self._make_decoder()
+            decoder = self._make_decoder(blocks)
         fn = _shard_topk_fn(
             terms, idfs, self.meta.avgdl, local_k, bool(filters or prefix),
             must_not_terms, require_all, should_terms, decoder=decoder,

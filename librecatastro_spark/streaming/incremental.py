@@ -331,9 +331,13 @@ def _append_batch(
     new_attrs = fresh.select("doc_id", *meta.attr_cols).withColumn(
         "shard", shard_expr
     )
-    new_attrs.write.mode("append").partitionBy("shard").parquet(
-        os.path.join(out_dir, "attrs")
-    )
+    # sort leads with the partition column (the writer otherwise inserts
+    # its own non-stable shard sort), keeping the base build's invariant —
+    # every attrs file has monotone doc_id row-group stats — true across
+    # appends too
+    new_attrs.sortWithinPartitions("shard", "doc_id").write.mode(
+        "append"
+    ).partitionBy("shard").parquet(os.path.join(out_dir, "attrs"))
     _crash_hook(_fail_after, "attrs")
 
     os.remove(wal_path)  # COMMIT — the batch is now fully visible

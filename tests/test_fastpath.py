@@ -77,8 +77,11 @@ def test_fastpath_threading_invariant(index, monkeypatch):
 def test_fastpath_cache_invariant(index, monkeypatch):
     """The decoded-postings cache must never change results: cache
     disabled (LC_POSTING_CACHE_MB=0 — per-shard inline-decode path),
-    tiny (evicts mid-query, exercising the inline fallback), and default
-    all agree on every golden shape."""
+    tiny (every fill exceeds the budget, so entries are served uncached
+    and evicted across queries), and default all agree on every golden
+    shape. The AND/filtered golden queries additionally exercise the
+    small-slice inline path (requests covering <half a term's postings
+    bypass the cache)."""
     results = {}
     for mb in ("0", "1", "512"):
         monkeypatch.setenv("LC_POSTING_CACHE_MB", mb)
