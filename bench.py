@@ -39,7 +39,7 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-from librecatastro_spark.corpus import assign_doc_ids, generate_corpus
+from librecatastro_spark.corpus import materialize_corpus
 from librecatastro_spark.engine.wand import CompressedIndex
 from librecatastro_spark.index.builder import build_index
 from librecatastro_spark.session import get_spark
@@ -80,18 +80,23 @@ def main() -> None:
     # byte-identical at any core count
     corpus_dir = os.environ.get("BENCH_CORPUS_DIR") or os.path.join(work, "corpus")
     if not os.path.isdir(corpus_dir):
-        docs = assign_doc_ids(generate_corpus(spark, n_docs, partitions=cores * 2))
-        docs.write.mode("overwrite").parquet(corpus_dir)
+        materialize_corpus(spark, n_docs, corpus_dir)
     # size the scan splits so stage 1 (CPU-bound Python tokenize) runs in
-    # ≥4 full waves with no repartition shuffle: split ≈ bytes/(4·cores).
-    # This is the knob a production job sets per corpus; the builder's
-    # repartitionByRange fallback would otherwise shuffle the full corpus.
+    # ≥4 full waves with no repartition shuffle: split ≈ bytes/(4·cores),
+    # CAPPED AT 32 MB — the cap bounds per-task tokenize+sort volume (the
+    # staged partitionBy write sorts each task's full output; at 128 MB
+    # splits that sort spilled 27.8 GB at the 1.6M-doc corpus and its
+    # non-CPU wall grew superlinearly with corpus size, only at the
+    # higher parallelism level where per-task execution memory is 1/C of
+    # the pool). This is the knob a production job sets per corpus; the
+    # builder's repartitionByRange fallback would otherwise shuffle the
+    # full corpus.
     disk_bytes = sum(
         os.path.getsize(os.path.join(corpus_dir, f))
         for f in os.listdir(corpus_dir)
         if f.endswith(".parquet")
     )
-    split = max(1 << 20, min(128 << 20, disk_bytes // (4 * cores) + 1))
+    split = max(1 << 20, min(32 << 20, disk_bytes // (4 * cores) + 1))
     spark.conf.set("spark.sql.files.maxPartitionBytes", str(split))
     spark.conf.set("spark.sql.files.openCostInBytes", str(64 << 10))
     docs = spark.read.parquet(corpus_dir)
@@ -111,6 +116,10 @@ def main() -> None:
         shards_per_job=N_SHARDS, resume=False,
     )
     build_sec = time.time() - t0
+
+    # query phase reads the (term-pruned) posting blocks — restore the
+    # default split so short scans aren't chopped into needless tasks
+    spark.conf.set("spark.sql.files.maxPartitionBytes", str(128 << 20))
 
     index = CompressedIndex(spark, idx_dir)
     per_query: dict[str, float] = {}

@@ -183,3 +183,38 @@ def assign_doc_ids(
         df.withColumn("doc_id", (off_expr + F.row_number().over(w) - F.lit(1)).cast("long"))
         .drop("_sha", "_bucket")
     )
+
+
+def materialize_corpus(
+    spark: SparkSession,
+    n_docs: int,
+    path: str,
+    seed: int = 42,
+    target_file_bytes: int = 24 << 20,
+) -> None:
+    """Generate, id-assign, and write the corpus with BOUNDED-SIZE files.
+
+    File layout is correctness-neutral (row values and doc_ids are pure
+    functions of the counter) but performance-critical: a corpus written
+    as few giant single-row-group parquet files is UNSPLITTABLE — Spark
+    cannot split below row-group granularity — so per-task volume in the
+    index build grows linearly with corpus size and falls off the
+    executor-memory sort-spill cliff exactly at the higher parallelism
+    level (each of C concurrent tasks gets ~1/C of the execution-memory
+    pool). Measured on the 1.6M-doc bench corpus written as 32 × 265 MB
+    single-row-group files: the tokenize+staged-write stage spilled
+    27.8 GB and spent 629 s of non-CPU wall at local[8] vs 132 s at the
+    800k corpus — the superlinear term that capped build-scaling
+    efficiency at 0.585.
+
+    The north rule's input is a 10^12-file Iceberg table — i.e. millions
+    of bounded objects; this writes the same shape at sandbox scale:
+    ~24 MB files, range-partitioned by doc_id so each file covers one
+    contiguous doc-id slice (→ lands in ~1 shard directory in the
+    builder's partitioned attrs/staged writes, making the writer-required
+    sort on "shard" near-constant-key).
+    """
+    docs = assign_doc_ids(generate_corpus(spark, n_docs, seed=seed))
+    # ~2.9 KB/doc on disk (snappy parquet, measured at 800k/1.6M corpora)
+    n_files = max(8, int(n_docs * 2900) // target_file_bytes + 1)
+    docs.repartitionByRange(n_files, "doc_id").write.mode("overwrite").parquet(path)

@@ -137,6 +137,31 @@ def _small_arrow_batches(spark: SparkSession, rows: int = 512):
     finally:
         spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", prev)
 
+
+@contextmanager
+def _staged_read_splits(spark: SparkSession, split_bytes: int = 16 << 20):
+    """Bound scan-split size for reads of the staged postings.
+
+    Staged posting rows decompress ~5-8× from snappy parquet to unsafe
+    rows, so at the session-default 128 MB split one map task of the
+    stage-2 shuffle holds ~700 MB of rows; the shuffle writer then spills
+    (measured at the 1.6M-doc bench corpus: 41 GB memoryBytesSpilled
+    across only 10 map tasks, which also left a 10-tasks-on-8-cores
+    ragged wave). 16 MB splits bound per-task decompressed volume to
+    ~100 MB REGARDLESS of corpus size — the bound scales with data, not
+    with the cluster, and the extra task-launch overhead is amortized by
+    worker reuse. Scan splits are decided at job-execution time from the
+    live session conf, so the scope must cover the ACTIONS, not just the
+    read() call.
+    """
+    key = "spark.sql.files.maxPartitionBytes"
+    prev = spark.conf.get(key, str(128 << 20))
+    spark.conf.set(key, str(split_bytes))
+    try:
+        yield
+    finally:
+        spark.conf.set(key, prev)
+
 def _widen_for_tokenize(spark: SparkSession, docs: DataFrame, id_col: str):
     """The Python tokenizer costs ~10 s per 128 MB task: a small corpus
     packed into few scan partitions would serialize stage 1, and a task
@@ -400,11 +425,12 @@ def _build_index(
         # layout: appends add delta=<n> dirs of BATCH-vocabulary size (see
         # streaming/incremental.py) and readers aggregate on read, so no
         # append ever rewrites the global vocabulary
-        staged_r.groupBy("term").agg(
-            F.count(F.lit(1)).alias("df"), F.sum("tf").alias("cf")
-        ).write.mode("overwrite").parquet(
-            os.path.join(out_dir, "term_stats", "delta=0")
-        )
+        with _staged_read_splits(spark):
+            staged_r.groupBy("term").agg(
+                F.count(F.lit(1)).alias("df"), F.sum("tf").alias("cf")
+            ).write.mode("overwrite").parquet(
+                os.path.join(out_dir, "term_stats", "delta=0")
+            )
         agg_row = load_term_stats(spark, out_dir).agg(
             F.sum("cf").alias("total_cf"),
             # how many terms exceed the salt threshold — recorded in the
@@ -449,101 +475,125 @@ def _build_index(
     t_tids0 = time.time()
     tids = assign_term_ids(tstats).cache()
     n_terms = tids.count()
+    # total staged posting rows = Σ df — already aggregated in term_stats,
+    # so sizing the stage-2 shuffle needs no pass over the staged data
+    staged_rows = tstats.agg(F.sum("df").alias("r")).collect()[0]["r"] or 0
     sec_tids = round(time.time() - t_tids0, 3)
-    shard_span = meta.n_docs / meta.n_shards
-    for lo in range(0, meta.n_shards, shards_per_job):
-        shards = list(range(lo, min(lo + shards_per_job, meta.n_shards)))
-        unit = f"shards_{shards[0]}_{shards[-1]}"
-        if unit in done:
-            continue
-        t0 = time.time()
-        # df-per-term is small (vocabulary-sized) → broadcast, no shuffle.
-        # tid replaces the term STRING for everything python-side
-        # (assign_term_ids docstring has the numbers); the join projects
-        # the string away immediately after.
-        part = staged.where(F.col("shard").isin(shards)).join(
-            F.broadcast(tids.select("term", "df", "tid")), "term"
-        ).drop("term")
-        # salt hot terms by doc-id sub-range within the shard: per-salt
-        # groups are disjoint, sorted ranges, so blocks need no re-merge.
-        rel = F.col("doc_id") - F.col("shard") * F.lit(shard_span)
-        salt = F.when(
-            F.col("df") > meta.salt_threshold,
-            F.least(
-                F.lit(meta.n_salts - 1),
-                F.floor(rel * meta.n_salts / F.lit(shard_span)).cast("int"),
-            ),
-        ).otherwise(F.lit(0))
-        part = part.withColumn("salt", salt)
-        # bucket-coarsened grouping: (tid, salt) runs hash into n_buckets
-        # groups per shard, so the grouped-map pays Arrow exchange overhead
-        # per BUCKET (hundreds), not per TERM (millions at scale), while
-        # salted hot terms still spread across buckets
-        part = part.withColumn(
-            "tbucket",
-            F.pmod(F.xxhash64("tid", "salt"), F.lit(meta.n_buckets)).cast("int"),
-        )
-        blocks_tid = part.groupBy("shard", "tbucket").applyInPandas(
-            _bucket_builder(meta.block_size, float(meta.n_docs), meta.avgdl),
-            schema=BLOCK_SCHEMA_TID,
-        )
-        # re-attach term strings JVM-side at BLOCK granularity (~1% of the
-        # posting rows; unhinted join — AQE broadcasts the vocab when it
-        # fits, sort-merges when a 100 TB vocabulary does not)
-        blocks = blocks_tid.join(tids.select("tid", "term"), "tid").drop("tid")
-        # one job per group: dynamic partition overwrite replaces only the
-        # shard dirs this group produced (idempotent re-run of the unit)
-        prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "STATIC")
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "DYNAMIC")
-        try:
-            # The encode work runs at full shuffle width in the grouped-map
-            # stage; the repartition AFTER it only consolidates the WRITE so
-            # each shard directory gets a few term-sorted files instead of
-            # O(tasks) fragments (502 tiny files cost ~1 s of footer opens
-            # per query — measured). The exchange moves only encoded blocks
-            # (~3% of corpus bytes) — the Lucene segment-merge analog.
-            # Write width = cores (not n_shards): capping it at n_shards
-            # left (cores - n_shards) threads idle through the whole
-            # encode+write tail, the main scaling-efficiency leak found in
-            # round 1. wslice carves each shard into contiguous tbucket
-            # ranges, so files stay term-clustered; small row groups then
-            # give tight per-group term min/max, so a term lookup reads
-            # only its own row groups in BOTH pyarrow (fast path) and
-            # Spark scans — the term-dictionary seek.
-            files_per_shard = max(
-                1, spark.sparkContext.defaultParallelism // len(shards)
+    with _staged_read_splits(spark):
+        shard_span = meta.n_docs / meta.n_shards
+        for lo in range(0, meta.n_shards, shards_per_job):
+            shards = list(range(lo, min(lo + shards_per_job, meta.n_shards)))
+            unit = f"shards_{shards[0]}_{shards[-1]}"
+            if unit in done:
+                continue
+            t0 = time.time()
+            # df-per-term is small (vocabulary-sized) → broadcast, no shuffle.
+            # tid replaces the term STRING for everything python-side
+            # (assign_term_ids docstring has the numbers); the join projects
+            # the string away immediately after.
+            part = staged.where(F.col("shard").isin(shards)).join(
+                F.broadcast(tids.select("term", "df", "tid")), "term"
+            ).drop("term")
+            # salt hot terms by doc-id sub-range within the shard: per-salt
+            # groups are disjoint, sorted ranges, so blocks need no re-merge.
+            rel = F.col("doc_id") - F.col("shard") * F.lit(shard_span)
+            salt = F.when(
+                F.col("df") > meta.salt_threshold,
+                F.least(
+                    F.lit(meta.n_salts - 1),
+                    F.floor(rel * meta.n_salts / F.lit(shard_span)).cast("int"),
+                ),
+            ).otherwise(F.lit(0))
+            part = part.withColumn("salt", salt)
+            # bucket-coarsened grouping: (tid, salt) runs hash into n_buckets
+            # groups per shard, so the grouped-map pays Arrow exchange overhead
+            # per BUCKET (hundreds), not per TERM (millions at scale), while
+            # salted hot terms still spread across buckets
+            part = part.withColumn(
+                "tbucket",
+                F.pmod(F.xxhash64("tid", "salt"), F.lit(meta.n_buckets)).cast("int"),
             )
-            # tbucket rides along in the grouped-map output, so the write
-            # slice needs no re-hash
-            wslice = F.floor(
-                F.col("tbucket") * files_per_shard / F.lit(meta.n_buckets)
-            ).cast("int")
-            # the sort MUST lead with the dynamic-partition column: the
-            # parquet writer requires its input ordered by "shard" and
-            # inserts its own NON-STABLE sort when the incoming ordering
-            # doesn't already satisfy that — which silently scrambled the
-            # term order inside every file (row-group term min/max spanned
-            # the whole vocabulary; measured 0.4-0.7 s/query of useless
-            # decompression on the 800 k-doc index). Leading with "shard"
-            # makes the writer reuse this sort, keeping files term-sorted.
-            (
-                blocks.withColumn("wslice", wslice)
-                .repartition(len(shards) * files_per_shard, "shard", "wslice")
-                .sortWithinPartitions("shard", "term", "salt", "block_seq")
-                .drop("wslice", "tbucket")
-                .write.mode("overwrite")
-                .option("parquet.block.size", str(1 << 20))
-                .partitionBy("shard")
-                .parquet(os.path.join(out_dir, "postings"))
+            # Size the grouped-map shuffle by DATA VOLUME, never by core count:
+            # with spark.sql.shuffle.partitions = cores (the bench/cluster
+            # default), each shuffle partition holds corpus/cores bytes, so the
+            # sort-based grouped-map read crosses its spill threshold as soon as
+            # the corpus — not the cluster — grows (measured: stage 2 went
+            # 108 s → 288 s for a 2× corpus at local[8], 2.67× superlinear,
+            # while the same 2× corpus at local[2] scaled exactly 2× because
+            # its partitions were past the cliff at both sizes). An explicit
+            # hash repartition on the exact group keys replaces (not precedes)
+            # the groupBy exchange — ClusteredDistribution(shard, tbucket) is
+            # already satisfied, so the plan still has ONE shuffle — and AQE
+            # never coalesces a user-specified partition count back up into the
+            # spill regime. 48 B ≈ unsafe-row width of the six numeric columns.
+            rows_job = staged_rows * len(shards) / max(1, meta.n_shards)
+            n_parts = max(
+                2 * spark.sparkContext.defaultParallelism,
+                math.ceil(rows_job * 48 / (96 << 20)),
             )
-        finally:
-            spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
-        _write_manifest(
-            out_dir, unit, shards=shards, secs=time.time() - t0,
-            sec_tids=sec_tids, n_terms=n_terms,
-        )
-        sec_tids = 0.0  # attributed once, to the first unit built
-    tids.unpersist()
+            blocks_tid = part.repartition(
+                n_parts, "shard", "tbucket"
+            ).groupBy("shard", "tbucket").applyInPandas(
+                _bucket_builder(meta.block_size, float(meta.n_docs), meta.avgdl),
+                schema=BLOCK_SCHEMA_TID,
+            )
+            # re-attach term strings JVM-side at BLOCK granularity (~1% of the
+            # posting rows; unhinted join — AQE broadcasts the vocab when it
+            # fits, sort-merges when a 100 TB vocabulary does not)
+            blocks = blocks_tid.join(tids.select("tid", "term"), "tid").drop("tid")
+            # one job per group: dynamic partition overwrite replaces only the
+            # shard dirs this group produced (idempotent re-run of the unit)
+            prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "STATIC")
+            spark.conf.set("spark.sql.sources.partitionOverwriteMode", "DYNAMIC")
+            try:
+                # The encode work runs at full shuffle width in the grouped-map
+                # stage; the repartition AFTER it only consolidates the WRITE so
+                # each shard directory gets a few term-sorted files instead of
+                # O(tasks) fragments (502 tiny files cost ~1 s of footer opens
+                # per query — measured). The exchange moves only encoded blocks
+                # (~3% of corpus bytes) — the Lucene segment-merge analog.
+                # Write width = cores (not n_shards): capping it at n_shards
+                # left (cores - n_shards) threads idle through the whole
+                # encode+write tail, the main scaling-efficiency leak found in
+                # round 1. wslice carves each shard into contiguous tbucket
+                # ranges, so files stay term-clustered; small row groups then
+                # give tight per-group term min/max, so a term lookup reads
+                # only its own row groups in BOTH pyarrow (fast path) and
+                # Spark scans — the term-dictionary seek.
+                files_per_shard = max(
+                    1, spark.sparkContext.defaultParallelism // len(shards)
+                )
+                # tbucket rides along in the grouped-map output, so the write
+                # slice needs no re-hash
+                wslice = F.floor(
+                    F.col("tbucket") * files_per_shard / F.lit(meta.n_buckets)
+                ).cast("int")
+                # the sort MUST lead with the dynamic-partition column: the
+                # parquet writer requires its input ordered by "shard" and
+                # inserts its own NON-STABLE sort when the incoming ordering
+                # doesn't already satisfy that — which silently scrambled the
+                # term order inside every file (row-group term min/max spanned
+                # the whole vocabulary; measured 0.4-0.7 s/query of useless
+                # decompression on the 800 k-doc index). Leading with "shard"
+                # makes the writer reuse this sort, keeping files term-sorted.
+                (
+                    blocks.withColumn("wslice", wslice)
+                    .repartition(len(shards) * files_per_shard, "shard", "wslice")
+                    .sortWithinPartitions("shard", "term", "salt", "block_seq")
+                    .drop("wslice", "tbucket")
+                    .write.mode("overwrite")
+                    .option("parquet.block.size", str(1 << 20))
+                    .partitionBy("shard")
+                    .parquet(os.path.join(out_dir, "postings"))
+                )
+            finally:
+                spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+            _write_manifest(
+                out_dir, unit, shards=shards, secs=time.time() - t0,
+                sec_tids=sec_tids, n_terms=n_terms,
+            )
+            sec_tids = 0.0  # attributed once, to the first unit built
+        tids.unpersist()
     return meta
 
 

@@ -42,10 +42,9 @@ def run_once(cores: int, sf_dir: str, runs: int) -> dict:
         gen = (
             "import sys; sys.path.insert(0, %r); "
             "from librecatastro_spark.session import get_spark; "
-            "from librecatastro_spark.corpus import assign_doc_ids, generate_corpus; "
+            "from librecatastro_spark.corpus import materialize_corpus; "
             "s = get_spark('gen', cores=32, shuffle_partitions=32); "
-            "assign_doc_ids(generate_corpus(s, %d, partitions=64))"
-            ".write.mode('overwrite').parquet(%r)"
+            "materialize_corpus(s, %d, %r)"
             % (REPO, int(env["BENCH_GEN_DOCS"]), env["BENCH_CORPUS_DIR"])
         )
         subprocess.run([sys.executable, "-c", gen], check=True, timeout=3600)
