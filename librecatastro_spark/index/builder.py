@@ -139,7 +139,7 @@ def _small_arrow_batches(spark: SparkSession, rows: int = 512):
 
 
 @contextmanager
-def _staged_read_splits(spark: SparkSession, split_bytes: int = 16 << 20):
+def _staged_read_splits(spark: SparkSession, split_bytes: int | None = None):
     """Bound scan-split size for reads of the staged postings.
 
     Staged posting rows decompress ~5-8× from snappy parquet to unsafe
@@ -154,6 +154,8 @@ def _staged_read_splits(spark: SparkSession, split_bytes: int = 16 << 20):
     live session conf, so the scope must cover the ACTIONS, not just the
     read() call.
     """
+    if split_bytes is None:
+        split_bytes = int(os.environ.get("LC_STAGED_SPLIT_MB", "8")) << 20
     key = "spark.sql.files.maxPartitionBytes"
     prev = spark.conf.get(key, str(128 << 20))
     spark.conf.set(key, str(split_bytes))
