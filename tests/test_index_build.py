@@ -197,3 +197,33 @@ def test_posting_files_term_sorted(built):
         assert maxs == sorted(maxs), f
         terms = pq.read_table(f, columns=["term"]).column("term").to_pylist()
         assert terms == sorted(terms), f
+
+
+def test_materialize_corpus_layout_and_values(spark, tmp_path):
+    """materialize_corpus writes bounded-size files WITHOUT changing any
+    row value or doc_id vs the in-memory generation path (file layout is
+    performance-only: unsplittable giant row groups caused the stage-1
+    sort-spill cliff — see materialize_corpus docstring)."""
+    from librecatastro_spark.corpus import (
+        assign_doc_ids,
+        generate_corpus,
+        materialize_corpus,
+    )
+
+    out = str(tmp_path / "corpus")
+    materialize_corpus(spark, 500, out, target_file_bytes=64 << 10)
+    files = glob.glob(os.path.join(out, "*.parquet"))
+    # bounded-size layout: many small files, none a giant unsplittable blob
+    assert len(files) >= 8
+    assert max(os.path.getsize(f) for f in files) < (64 << 10) * 8
+    got = {
+        (r["doc_id"], r["content_sha256"])
+        for r in spark.read.parquet(out).select("doc_id", "content_sha256").collect()
+    }
+    want = {
+        (r["doc_id"], r["content_sha256"])
+        for r in assign_doc_ids(generate_corpus(spark, 500))
+        .select("doc_id", "content_sha256")
+        .collect()
+    }
+    assert got == want and len(got) == 500
