@@ -452,6 +452,20 @@ def embedding_near_dup_pairs(
     candidate) then exact cosine verify. Scale path for all-pairs dedup."""
     emb = F.col(vec_col).cast("array<double>")
     dim_row = vectors.select(F.size(vec_col).alias("d")).limit(1).collect()
+    if not dim_row:  # empty input → empty pairs, same as brute force
+        from pyspark.sql import types as T
+
+        idt = vectors.schema[id_col].dataType
+        return vectors.sparkSession.createDataFrame(
+            [],
+            T.StructType(
+                [
+                    T.StructField("vec_a", idt),
+                    T.StructField("vec_b", idt),
+                    T.StructField("cosine", T.DoubleType()),
+                ]
+            ),
+        )
     planes = _planes(int(dim_row[0]["d"]), n_planes, seed)
     b = vectors.select(
         F.col(id_col).alias("vec_id"), emb.alias("v"),

@@ -156,6 +156,17 @@ def test_embedding_near_dup_banded_empty_input(spark):
     assert out.count() == 0
 
 
+def test_embedding_near_dup_pairs_empty_input(spark):
+    from librecatastro_spark.ops.similarity import embedding_near_dup_pairs
+
+    emb = spark.createDataFrame(
+        [], "vec_id long, embedding array<float>"
+    )
+    out = embedding_near_dup_pairs(emb, 0.4)
+    assert out.columns == ["vec_a", "vec_b", "cosine"]
+    assert out.count() == 0
+
+
 def test_embedding_near_dup_banded_no_cartesian(spark):
     import os
 
