@@ -37,7 +37,8 @@ def main(argv: list[str] | None = None) -> int:
     sub = ap.add_subparsers(dest="cmd", required=True)
 
     b = sub.add_parser("build", help="build (or resume) the inverted index")
-    b.add_argument("--input", required=True)
+    b.add_argument("--input", required=True,
+                   help="parquet path or catalog table (see iotable.py)")
     b.add_argument("--out", required=True)
     b.add_argument("--id-col", default="doc_id")
     b.add_argument("--text-col", default="text")
@@ -79,6 +80,7 @@ def main(argv: list[str] | None = None) -> int:
 
     from pyspark.sql import functions as F
 
+    from .iotable import read_docs_table
     from .session import get_spark
 
     spark = get_spark("librecatastro_spark", cores=args.cores)
@@ -86,7 +88,7 @@ def main(argv: list[str] | None = None) -> int:
     if args.cmd == "build":
         from .index.builder import build_index
 
-        docs = spark.read.parquet(args.input)
+        docs = read_docs_table(spark, args.input)
         meta = build_index(
             spark, docs, args.out, id_col=args.id_col, text_col=args.text_col,
             attr_cols=tuple(c for c in args.attr_cols.split(",") if c),
@@ -101,7 +103,7 @@ def main(argv: list[str] | None = None) -> int:
         from .streaming.incremental import append_batch
 
         added = append_batch(
-            spark, args.index, spark.read.parquet(args.input),
+            spark, args.index, read_docs_table(spark, args.input),
             id_col=args.id_col, text_col=args.text_col,
         )
         print(json.dumps({"docs_added": added, "index": args.index}))
@@ -128,7 +130,7 @@ def main(argv: list[str] | None = None) -> int:
     if args.cmd == "health":
         from .analyzer import tokenize_expr
 
-        docs = spark.read.parquet(args.input)
+        docs = read_docs_table(spark, args.input)
         row = docs.agg(
             F.count(F.lit(1)).alias("n_docs"),
             F.countDistinct("lang").alias("n_langs"),
@@ -141,7 +143,7 @@ def main(argv: list[str] | None = None) -> int:
     if args.cmd == "verify":
         from .index.builder import load_attrs
 
-        docs = spark.read.parquet(args.input).select(
+        docs = read_docs_table(spark, args.input).select(
             F.col(args.id_col).alias("doc_id"),
             F.sha2(F.col(args.text_col), 256).alias("sha_corpus"),
         )
