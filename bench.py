@@ -39,7 +39,7 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-from librecatastro_spark.corpus import materialize_corpus
+from librecatastro_spark.corpus import corpus_cache_valid, materialize_corpus
 from librecatastro_spark.engine.wand import CompressedIndex
 from librecatastro_spark.index.builder import build_index
 from librecatastro_spark.session import get_spark
@@ -79,7 +79,14 @@ def main() -> None:
     # sound because generation is a pure function of (n_docs, seed),
     # byte-identical at any core count
     corpus_dir = os.environ.get("BENCH_CORPUS_DIR") or os.path.join(work, "corpus")
-    if not os.path.isdir(corpus_dir):
+    # versioned cache check — a dir materialized by an older generator (or
+    # at a different BENCH_GEN_DOCS/seed) is regenerated, never reused: a
+    # stale corpus changes what the queries measure without any error
+    # (e.g. pre-uid corpora turn q_must_selective into a plain hot query)
+    if not corpus_cache_valid(corpus_dir, n_docs):
+        if os.path.isdir(corpus_dir):
+            print(f"# stale corpus cache at {corpus_dir} — regenerating",
+                  file=sys.stderr)
         materialize_corpus(spark, n_docs, corpus_dir)
     # size the scan splits so stage 1 (CPU-bound Python tokenize) runs in
     # ≥4 full waves with no repartition shuffle: split ≈ bytes/(4·cores),

@@ -34,6 +34,8 @@ ids at local[8] and local[32].
 
 from __future__ import annotations
 
+import json
+import os
 from collections.abc import Iterator
 
 import numpy as np
@@ -42,6 +44,15 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 # ---------------------------------------------------------------- vocab --
+
+# Bump whenever generated CONTENT changes for the same (n_docs, seed) —
+# e.g. vocabulary edits, the uid-token tail, doc-id assignment. Consumers
+# that cache a materialized corpus (bench.py's BENCH_CORPUS_DIR) compare
+# this against the on-disk manifest and regenerate on mismatch, so a
+# corpus cached by older code can never silently feed a newer bench (a
+# pre-uid corpus would, e.g., degrade q_must_selective to a plain
+# hot-term query because the uid term's df would be 0).
+CORPUS_VERSION = 3
 
 LANGS = ["py", "java", "scala", "js", "go", "rs"]
 
@@ -218,3 +229,31 @@ def materialize_corpus(
     # ~2.9 KB/doc on disk (snappy parquet, measured at 800k/1.6M corpora)
     n_files = max(8, int(n_docs * 2900) // target_file_bytes + 1)
     docs.repartitionByRange(n_files, "doc_id").write.mode("overwrite").parquet(path)
+    # manifest LAST: a crash mid-write leaves no manifest, so the cache
+    # check below treats the directory as stale and regenerates
+    with open(os.path.join(path, _MANIFEST_NAME), "w") as fh:
+        json.dump(
+            {"corpus_version": CORPUS_VERSION, "n_docs": n_docs, "seed": seed},
+            fh,
+        )
+
+
+_MANIFEST_NAME = "_corpus_manifest.json"
+
+
+def corpus_cache_valid(path: str, n_docs: int, seed: int = 42) -> bool:
+    """True iff ``path`` holds a corpus materialized by THIS generator
+    version with exactly (n_docs, seed). Anything else — no manifest
+    (pre-versioning or partially written), different version, different
+    size — is stale and must be regenerated: row content is a pure
+    function of (version, n_docs, seed) and of nothing else."""
+    try:
+        with open(os.path.join(path, _MANIFEST_NAME)) as fh:
+            m = json.load(fh)
+    except (OSError, ValueError):
+        return False
+    return (
+        m.get("corpus_version") == CORPUS_VERSION
+        and m.get("n_docs") == n_docs
+        and m.get("seed") == seed
+    )

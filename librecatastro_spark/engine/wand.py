@@ -299,6 +299,17 @@ def _shard_topk_fn(
             margin = 10.0 ** (-ROUND_DECIMALS)
             survive = (qb["bound"].to_numpy() + others) >= theta - margin
             kept, pruned = qb[survive], qb[~survive]
+            # canonical per-doc accumulation order: a doc has at most ONE
+            # posting per term (salt sub-ranges are disjoint), so decoding
+            # block rows in lexicographic term order makes every doc's
+            # float sum associate over its terms identically on EVERY
+            # path. The per-shard and whole-index passes prune with
+            # different θ — without a canonical order, a doc whose
+            # kept/pruned split differs between the two would sum in a
+            # different order, drift by an ulp, and could flip a
+            # ROUND_DECIMALS rounding boundary that the rank-identity
+            # asserts (bench.py, tests/test_fastpath.py) compare at.
+            kept = kept.sort_values(["term", "first_doc_id"], kind="stable")
             ids, w, _ = score_block_rows(kept)
             m = ok_mask(ids)
             # numpy aggregation (see the AND branch) — unique ids come
@@ -313,12 +324,42 @@ def _shard_topk_fn(
                 pos_hi = np.searchsorted(uids, hi, side="right")
                 need = pos_hi > pos_lo
                 if need.any():
-                    p_ids, p_w, _ = score_block_rows(pruned[need])
+                    p_rows = pruned[need].sort_values(
+                        ["term", "first_doc_id"], kind="stable"
+                    )
+                    p_ids, p_w, _ = score_block_rows(p_rows)
                     sel = np.isin(p_ids, uids)
                     if sel.any():
-                        a_ids, adds = agg_sums(p_ids[sel], p_w[sel])
-                        # every a_id is in uids by the sel mask above
-                        sums[np.searchsorted(uids, a_ids)] += adds
+                        # recompute each patched doc's sum FROM SCRATCH in
+                        # the same canonical term order the kept-only sums
+                        # used — adding the patch on top of the kept
+                        # partial (`sums += adds`) would associate the
+                        # floats by the θ-dependent kept/pruned split,
+                        # which differs between passes (see above). A
+                        # patched doc's full posting set is always
+                        # kept ∪ this patch: any pruned block holding a
+                        # candidate is in `need` by the range test.
+                        patched = np.unique(p_ids[sel])
+                        tcode = {
+                            t: i
+                            for i, t in enumerate(sorted(set(score_terms)))
+                        }
+                        k_tk = np.repeat(
+                            kept["term"].map(tcode).to_numpy(dtype=np.int64),
+                            kept["n_docs"].to_numpy(dtype=np.int64),
+                        )
+                        p_tk = np.repeat(
+                            p_rows["term"].map(tcode).to_numpy(dtype=np.int64),
+                            p_rows["n_docs"].to_numpy(dtype=np.int64),
+                        )
+                        mk = np.isin(ids, patched)
+                        cat_ids = np.concatenate([ids[mk], p_ids[sel]])
+                        cat_w = np.concatenate([w[mk], p_w[sel]])
+                        cat_tk = np.concatenate([k_tk[mk], p_tk[sel]])
+                        order = np.lexsort((cat_tk, cat_ids))
+                        r_uids, r_sums = agg_sums(cat_ids[order], cat_w[order])
+                        # every r_uid is in uids by the sel mask above
+                        sums[np.searchsorted(uids, r_uids)] = r_sums
             out_ids, out_scores = uids, sums
         # rank on the ROUNDED score — the same total order the global
         # merge uses (search: F.round then orderBy; search_local: round
@@ -381,23 +422,23 @@ class CompressedIndex:
         self._dec_cache = None
         self._dec_cache_bytes = 0
         self._df_local: dict[str, int] | None = None
-        ts_dir = os.path.join(out_dir, "term_stats")
         try:
-            from ..index.builder import stats_delta_dirs
+            from ..index.builder import term_stats_sources
 
-            dirs = stats_delta_dirs(out_dir) or [ts_dir]
+            srcs, merge = term_stats_sources(out_dir)
             files = [
-                os.path.join(d, f)
-                for d in dirs
-                for f in os.listdir(d)
+                os.path.join(s, f)
+                for s in srcs
+                if os.path.isdir(s)
+                for f in os.listdir(s)
                 if f.endswith(".parquet")
-            ]
+            ] + [s for s in srcs if not os.path.isdir(s)]
             size = sum(os.path.getsize(f) for f in files)
             if size <= self._LOCAL_TERMSTATS_BYTES and files:
                 import pyarrow.dataset as pads
 
                 tbl = pads.dataset(files).to_table(columns=["term", "df"])
-                if len(dirs) > 1:  # merge stats deltas (post-append)
+                if merge:  # stats deltas present (post-append)
                     tbl = tbl.group_by("term").aggregate([("df", "sum")])
                     tbl = tbl.rename_columns(["term", "df"])
                 self._df_local = dict(
@@ -814,12 +855,14 @@ class CompressedIndex:
             return _empty()
         # one whole-index numpy pass instead of 16 per-shard passes: shards
         # partition the doc-id space, so a doc's postings all live in one
-        # shard and per-doc sums are bit-identical either way — but one
-        # pass pays the pandas fixed costs once and prunes with the GLOBAL
-        # theta (strictly tighter than any per-shard theta). The
-        # distributed path keeps the per-shard split (that is what
-        # parallelizes it across executors); rank-identity between the two
-        # is asserted in bench.py and tests/test_fastpath.py.
+        # shard, and the scorer accumulates every doc's sum in canonical
+        # term order (see _shard_topk_fn) — bit-identical either way, even
+        # though this pass prunes with the GLOBAL theta (strictly tighter
+        # than any per-shard theta, so the kept/pruned split differs). One
+        # pass pays the pandas fixed costs once. The distributed path
+        # keeps the per-shard split (that is what parallelizes it across
+        # executors); rank-identity between the two is asserted in
+        # bench.py and tests/test_fastpath.py.
         if decoder is not None:
             parts = [fn(blocks, attrs) if (filters or prefix) else fn(blocks)]
         else:

@@ -147,12 +147,14 @@ def _staged_read_splits(spark: SparkSession, split_bytes: int | None = None):
     stage-2 shuffle holds ~700 MB of rows; the shuffle writer then spills
     (measured at the 1.6M-doc bench corpus: 41 GB memoryBytesSpilled
     across only 10 map tasks, which also left a 10-tasks-on-8-cores
-    ragged wave). 16 MB splits bound per-task decompressed volume to
-    ~100 MB REGARDLESS of corpus size — the bound scales with data, not
-    with the cluster, and the extra task-launch overhead is amortized by
-    worker reuse. Scan splits are decided at job-execution time from the
-    live session conf, so the scope must cover the ACTIONS, not just the
-    read() call.
+    ragged wave). Small splits bound per-task decompressed volume
+    REGARDLESS of corpus size — the bound scales with data, not with the
+    cluster, and the extra task-launch overhead is amortized by worker
+    reuse. The shipped default is 8 MB (LC_STAGED_SPLIT_MB below; ~50 MB
+    decompressed per task — the setting the 1.6M-doc zero-spill result
+    was measured at). Scan splits are decided at job-execution time from
+    the live session conf, so the scope must cover the ACTIONS, not just
+    the read() call.
     """
     if split_bytes is None:
         split_bytes = int(os.environ.get("LC_STAGED_SPLIT_MB", "8")) << 20
@@ -633,17 +635,91 @@ def stats_delta_dirs(out_dir: str) -> list[str]:
     return [p for _, p in sorted(out)]
 
 
-def load_term_stats(spark: SparkSession, out_dir: str) -> DataFrame:
-    """Aggregated (term, df, cf) over every stats delta. With a single
-    delta (every batch-built index) this is a plain scan — no extra
-    shuffle on the build/bench path; the merge groupBy only appears once
-    appends have added deltas, and is vocabulary-sized either way."""
+# temp dir an in-flight flat→delta migration stages files in; skipped by
+# stats_delta_dirs (no "delta=" prefix) and by parquet readers ("_" prefix)
+_FLAT_MIG_TMP = "_delta0_tmp"
+
+
+def _flat_stats_files(ts: str) -> list[str]:
+    """Parquet data files sitting DIRECTLY in ``ts`` — the pre-delta flat
+    layout, or the not-yet-moved remainder of an interrupted
+    migrate_flat_stats run."""
+    if not os.path.isdir(ts):
+        return []
+    return sorted(
+        os.path.join(ts, f)
+        for f in os.listdir(ts)
+        if f.endswith(".parquet") and not f.startswith((".", "_"))
+    )
+
+
+def term_stats_sources(out_dir: str) -> tuple[list[str], bool]:
+    """Every location holding term-stats rows, plus whether reading them
+    needs an additive df/cf merge. Three layouts are possible: pure flat
+    (legacy, pre-delta indexes), pure delta (current), and the transient
+    mix an interrupted migrate_flat_stats leaves (flat remainder +
+    _delta0_tmp + deltas). The three file sets are DISJOINT — migration
+    renames each file exactly once, never copies — so summing df/cf
+    across all of them is exact in every intermediate state."""
+    ts = os.path.join(out_dir, "term_stats")
     deltas = stats_delta_dirs(out_dir)
-    if not deltas:  # pre-delta flat layout (legacy indexes)
-        return spark.read.parquet(os.path.join(out_dir, "term_stats"))
-    if len(deltas) == 1:
-        return spark.read.parquet(deltas[0])
-    df = spark.read.parquet(*deltas)
+    flat = _flat_stats_files(ts)
+    tmp_files = _flat_stats_files(os.path.join(ts, _FLAT_MIG_TMP))
+    srcs = flat + tmp_files + deltas
+    if not srcs:  # empty/odd layout: let the reader raise its own error
+        return [ts], False
+    n_gens = len(deltas) + (1 if flat else 0) + (1 if tmp_files else 0)
+    return srcs, n_gens > 1
+
+
+def migrate_flat_stats(out_dir: str) -> bool:
+    """Fold a legacy flat term_stats layout (term_stats/*.parquet, written
+    before the delta layout existed) into term_stats/delta=0, so appends
+    can add delta=N partitions without orphaning the base vocabulary (an
+    un-migrated flat base next to delta=1 would vanish from delta-only
+    readers). Idempotent and crash-resumable: each file moves by atomic
+    rename into _delta0_tmp, which renames into place last; a re-run
+    completes any interrupted state, and term_stats_sources reads
+    flat ∪ tmp ∪ deltas additively in the interim, so stats stay exact at
+    every crash point. Returns True if anything moved."""
+    ts = os.path.join(out_dir, "term_stats")
+    if not os.path.isdir(ts):
+        return False
+    tmp = os.path.join(ts, _FLAT_MIG_TMP)
+    flat = [
+        f for f in os.listdir(ts)
+        if not f.startswith("delta=") and f != _FLAT_MIG_TMP
+    ]
+    moved = False
+    if flat:
+        os.makedirs(tmp, exist_ok=True)
+        for f in flat:  # data files plus markers (_SUCCESS, .crc)
+            os.rename(os.path.join(ts, f), os.path.join(tmp, f))
+        moved = True
+    if os.path.isdir(tmp):
+        dest = os.path.join(ts, "delta=0")
+        if os.path.isdir(dest):
+            # only reachable from a partial prior migration that raced a
+            # delta-layout write; part-file names are unique per write
+            for f in os.listdir(tmp):
+                os.replace(os.path.join(tmp, f), os.path.join(dest, f))
+            os.rmdir(tmp)
+        else:
+            os.rename(tmp, dest)
+        moved = True
+    return moved
+
+
+def load_term_stats(spark: SparkSession, out_dir: str) -> DataFrame:
+    """Aggregated (term, df, cf) over every stats source. With a single
+    generation (every batch-built index) this is a plain scan — no extra
+    shuffle on the build/bench path; the merge groupBy only appears once
+    appends have added deltas (or mid flat→delta migration), and is
+    vocabulary-sized either way."""
+    srcs, merge = term_stats_sources(out_dir)
+    df = spark.read.parquet(*srcs)
+    if not merge:
+        return df
     return df.groupBy("term").agg(F.sum("df").alias("df"), F.sum("cf").alias("cf"))
 
 

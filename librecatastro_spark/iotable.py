@@ -45,14 +45,20 @@ _URI_SCHEMES = ("file:", "hdfs:", "s3:", "s3a:", "gs:", "abfs:", "wasb:")
 
 def is_path_ref(ref: str) -> bool:
     """True if ``ref`` names a filesystem location rather than a catalog
-    table: any path separator, URI scheme, relative-dir prefix, or a
-    ``.parquet`` suffix."""
+    table: any path separator, URI scheme, relative-dir prefix, a
+    ``.parquet`` suffix — or a bare name that EXISTS as a local file or
+    directory. The existence check keeps cwd-relative invocations like
+    ``build --input mycorpus`` working (they read parquet, as they did
+    before the catalog seam existed); a bare name with no local presence
+    is a catalog identifier. Catalog names that collide with a local
+    directory can always disambiguate as ``catalog.db.table``."""
     return (
         os.sep in ref
         or "/" in ref
         or ref.startswith(_URI_SCHEMES)
         or ref.startswith((".", "~"))
         or ref.endswith(".parquet")
+        or os.path.exists(ref)
     )
 
 

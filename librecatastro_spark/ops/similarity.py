@@ -283,6 +283,25 @@ ORDER BY cosine DESC, vec_id ASC LIMIT {k}
 """
 
 
+def _empty_pairs(vectors: DataFrame, id_col: str) -> DataFrame:
+    """Empty (vec_a, vec_b, cosine) frame with the id column's type —
+    what every pair-producing near-dup path returns on empty input (the
+    LSH paths can't even size their hyperplanes without a first row)."""
+    from pyspark.sql import types as T
+
+    idt = vectors.schema[id_col].dataType
+    return vectors.sparkSession.createDataFrame(
+        [],
+        T.StructType(
+            [
+                T.StructField("vec_a", idt),
+                T.StructField("vec_b", idt),
+                T.StructField("cosine", T.DoubleType()),
+            ]
+        ),
+    )
+
+
 def _band_exprs(vec_col: Column, planes: np.ndarray, bands: int) -> list[Column]:
     """Band values from hyperplane sign bits: n_planes bits split into
     `bands` contiguous groups of r = n_planes // bands bits each."""
@@ -336,19 +355,7 @@ def embedding_near_dup_banded(
     emb = F.col(vec_col).cast("array<double>")
     dim_row = vectors.select(F.size(vec_col).alias("d")).limit(1).collect()
     if not dim_row:  # empty input → empty pairs, same as brute force
-        from pyspark.sql import types as T
-
-        idt = vectors.schema[id_col].dataType
-        return vectors.sparkSession.createDataFrame(
-            [],
-            T.StructType(
-                [
-                    T.StructField("vec_a", idt),
-                    T.StructField("vec_b", idt),
-                    T.StructField("cosine", T.DoubleType()),
-                ]
-            ),
-        )
+        return _empty_pairs(vectors, id_col)
     planes = _planes(int(dim_row[0]["d"]), n_planes, seed)
     base = vectors.select(F.col(id_col).alias("vec_id"), emb.alias("v"))
     keyed = vectors.select(
@@ -453,19 +460,7 @@ def embedding_near_dup_pairs(
     emb = F.col(vec_col).cast("array<double>")
     dim_row = vectors.select(F.size(vec_col).alias("d")).limit(1).collect()
     if not dim_row:  # empty input → empty pairs, same as brute force
-        from pyspark.sql import types as T
-
-        idt = vectors.schema[id_col].dataType
-        return vectors.sparkSession.createDataFrame(
-            [],
-            T.StructType(
-                [
-                    T.StructField("vec_a", idt),
-                    T.StructField("vec_b", idt),
-                    T.StructField("cosine", T.DoubleType()),
-                ]
-            ),
-        )
+        return _empty_pairs(vectors, id_col)
     planes = _planes(int(dim_row[0]["d"]), n_planes, seed)
     b = vectors.select(
         F.col(id_col).alias("vec_id"), emb.alias("v"),

@@ -56,6 +56,7 @@ from ..index.builder import (
     IndexMeta,
     load_attrs,
     load_term_stats,
+    migrate_flat_stats,
     read_meta,
     stats_delta_dirs,
 )
@@ -249,6 +250,14 @@ def _append_batch(
         touched = sorted(
             r["shard"] for r in staged_new.select("shard").distinct().collect()
         )
+
+    # normalize a legacy flat stats layout into delta=0 BEFORE minting a
+    # delta id: writing delta=1 next to an un-migrated flat base would
+    # make delta-only readers drop the entire pre-existing vocabulary
+    # (and _rebuild_shards' term-id join would then silently delete every
+    # old-vocabulary posting from the touched shards). Idempotent,
+    # crash-resumable, pre-WAL by design — it mutates layout, not content.
+    migrate_flat_stats(out_dir)
 
     # ---- write-ahead intent record: snapshot of everything this batch
     # will touch, written before the first index mutation; deleting it is

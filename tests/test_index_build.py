@@ -227,3 +227,36 @@ def test_materialize_corpus_layout_and_values(spark, tmp_path):
         .collect()
     }
     assert got == want and len(got) == 500
+
+
+def test_corpus_cache_manifest_validation(spark, tmp_path):
+    """A cached corpus dir is only reusable when its manifest matches the
+    current generator version AND the exact (n_docs, seed) — anything
+    else (pre-versioning dir, different size, partial write) is stale;
+    a silently reused stale corpus changes what the bench queries measure
+    without any error (e.g. a pre-uid corpus zeroes q_must_selective's
+    uid term df)."""
+    import json as _json
+
+    from librecatastro_spark.corpus import (
+        CORPUS_VERSION,
+        corpus_cache_valid,
+        materialize_corpus,
+    )
+
+    out = str(tmp_path / "ccorpus")
+    assert corpus_cache_valid(out, 300) is False  # nothing there yet
+    materialize_corpus(spark, 300, out, target_file_bytes=64 << 10)
+    assert corpus_cache_valid(out, 300) is True
+    assert corpus_cache_valid(out, 400) is False  # different size
+    assert corpus_cache_valid(out, 300, seed=7) is False  # different seed
+    mpath = os.path.join(out, "_corpus_manifest.json")
+    with open(mpath) as fh:
+        m = _json.load(fh)
+    assert m["corpus_version"] == CORPUS_VERSION
+    m["corpus_version"] -= 1  # corpus written by an older generator
+    with open(mpath, "w") as fh:
+        _json.dump(m, fh)
+    assert corpus_cache_valid(out, 300) is False
+    os.remove(mpath)  # pre-versioning / crashed-mid-write dir
+    assert corpus_cache_valid(out, 300) is False

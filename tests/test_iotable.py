@@ -49,3 +49,14 @@ def test_read_docs_table_both_modes(spark, tmp_path):
         assert got == want
     finally:
         spark.catalog.dropTempView("iotable_docs_view")
+
+
+def test_bare_name_that_exists_locally_is_a_path(tmp_path, monkeypatch):
+    """A bare name with no separator reads as parquet when it exists on
+    the local filesystem (cwd-relative CLI invocations like
+    ``build --input mycorpus`` predate the catalog seam and must keep
+    working); with no local presence it stays a catalog identifier."""
+    monkeypatch.chdir(tmp_path)
+    assert is_path_ref("mycorpus") is False  # nothing on disk → catalog
+    (tmp_path / "mycorpus").mkdir()
+    assert is_path_ref("mycorpus") is True  # local dir → filesystem path

@@ -325,3 +325,85 @@ def test_stats_compaction_preserves_stats_and_results(spark, corpus, tmp_path):
     assert rows(idx.search("def return import", k=10)) == rows(
         exact.search("def return import", k=10)
     )
+
+
+def _flatten_to_legacy_layout(out: str) -> None:
+    """Rewrite term_stats as the pre-delta FLAT layout (files directly in
+    term_stats/, no delta= dirs) — what indexes built before the delta
+    layout shipped look like on disk."""
+    import shutil
+
+    ts = os.path.join(out, "term_stats")
+    d0 = os.path.join(ts, "delta=0")
+    assert os.path.isdir(d0), "expected a delta-layout index to de-migrate"
+    for f in os.listdir(d0):
+        os.rename(os.path.join(d0, f), os.path.join(ts, f))
+    os.rmdir(d0)
+    shutil.rmtree(os.path.join(ts, "_delta0_tmp"), ignore_errors=True)
+
+
+def test_append_onto_legacy_flat_stats_layout(spark, corpus, tmp_path):
+    """Appending to a pre-delta index (flat term_stats/*.parquet) must
+    migrate the flat base into delta=0 first — without the migration,
+    delta-only readers would silently drop the ENTIRE pre-existing
+    vocabulary and the touched-shard rebuild would delete every
+    old-vocabulary posting from those shards."""
+    from librecatastro_spark.index.builder import stats_delta_dirs
+
+    out = str(tmp_path / "legacy_idx")
+    first = corpus.where(F.col("doc_id") < 200)
+    rest = corpus.where(F.col("doc_id") >= 200)
+    build_index(spark, first, out, attr_cols=ATTRS, n_shards=4, block_size=16,
+                salt_threshold=100, n_salts=4)
+    _flatten_to_legacy_layout(out)
+    # sanity: legacy layout reads correctly pre-append
+    assert load_term_stats(spark, out).where(F.col("term") == "def").count() == 1
+
+    assert append_batch(spark, out, rest, id_col="doc_id",
+                        text_col="content") == 60
+    dirs = [os.path.basename(d) for d in stats_delta_dirs(out)]
+    assert dirs == ["delta=0", "delta=1"], dirs
+
+    exact = ExactBM25(corpus, attr_cols=ATTRS)
+    idx = CompressedIndex(spark, out)
+    # old-vocabulary terms must still hit docs in the rebuilt shards
+    for q in ["def return import", "spark session", "id0003"]:
+        assert rows(idx.search(q, k=10)) == rows(exact.search(q, k=10)), q
+    assert idx.meta.n_docs == 260
+
+
+def test_term_stats_reads_exact_mid_migration(spark, corpus, tmp_path):
+    """Every intermediate state of the flat→delta migration (flat
+    remainder + _delta0_tmp + deltas) reads to the same stats — the file
+    sets are disjoint, so the additive merge is exact at any crash point."""
+    from librecatastro_spark.index.builder import (
+        load_term_stats,
+        migrate_flat_stats,
+    )
+
+    out = str(tmp_path / "midmig_idx")
+    build_index(spark, corpus.where(F.col("doc_id") < 200), out,
+                attr_cols=ATTRS, n_shards=4, block_size=16,
+                salt_threshold=100, n_salts=4)
+    want = {r["term"]: (r["df"], r["cf"])
+            for r in load_term_stats(spark, out).collect()}
+    _flatten_to_legacy_layout(out)
+    ts = os.path.join(out, "term_stats")
+    # simulate a crash mid-migration: HALF the files moved into the tmp dir
+    tmp = os.path.join(ts, "_delta0_tmp")
+    os.makedirs(tmp)
+    parts = sorted(f for f in os.listdir(ts)
+                   if f.endswith(".parquet") and not f.startswith((".", "_")))
+    for f in parts[: max(1, len(parts) // 2)]:
+        os.rename(os.path.join(ts, f), os.path.join(tmp, f))
+    got = {r["term"]: (r["df"], r["cf"])
+           for r in load_term_stats(spark, out).collect()}
+    assert got == want
+    # re-running the migration completes it; stats unchanged
+    assert migrate_flat_stats(out) is True
+    spark.catalog.refreshByPath(ts)
+    assert os.path.isdir(os.path.join(ts, "delta=0"))
+    assert not os.path.isdir(tmp)
+    got2 = {r["term"]: (r["df"], r["cf"])
+            for r in load_term_stats(spark, out).collect()}
+    assert got2 == want

@@ -38,7 +38,12 @@ def run_once(cores: int, sf_dir: str, runs: int) -> dict:
         "BENCH_CORPUS_DIR",
         f"/tmp/lc_bench_corpus_{env['BENCH_GEN_DOCS']}",
     )
-    if not os.path.isdir(env["BENCH_CORPUS_DIR"]):
+    sys.path.insert(0, REPO)
+    from librecatastro_spark.corpus import corpus_cache_valid
+
+    if not corpus_cache_valid(
+        env["BENCH_CORPUS_DIR"], int(env["BENCH_GEN_DOCS"])
+    ):
         gen = (
             "import sys; sys.path.insert(0, %r); "
             "from librecatastro_spark.session import get_spark; "
