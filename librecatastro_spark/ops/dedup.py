@@ -333,6 +333,31 @@ def simhash64_udf(texts: pd.Series) -> pd.Series:
     return pd.Series(out)
 
 
+def simhash_band_keys(sh_col: str | Column, bands: int) -> Column:
+    """Array of (band, key) structs splitting a signed 64-bit simhash
+    into ``bands`` contiguous bit chunks. Chunk extraction must be
+    bitwiseAND, not ``%``: band 0's operand is the UNSHIFTED signed
+    long, and Spark's % keeps the dividend's sign — two docs agreeing
+    on the low bits but differing in bit 63 would get different band-0
+    keys (L vs -(2^width − L)), so a pair whose ONLY agreeing band is
+    band 0 was silently missed, breaking simhash_near_pairs' pigeonhole
+    exact-recall guarantee (observed at sf0.1: a hamming-7 pair at
+    bands=8 whose 7 diffs included bit 63)."""
+    width = 64 // bands
+    mask = (1 << width) - 1
+    return F.array(
+        *[
+            F.struct(
+                F.lit(bi).alias("band"),
+                F.shiftrightunsigned(sh_col, bi * width)
+                .bitwiseAND(F.lit(mask))
+                .alias("key"),
+            )
+            for bi in range(bands)
+        ]
+    )
+
+
 def simhash_near_pairs(
     docs: DataFrame,
     id_col: str = "doc_id",
@@ -344,14 +369,7 @@ def simhash_near_pairs(
     pairs within ≤ max_hamming differ in < bands chunks, so they collide
     on ≥1 exact chunk (pigeonhole, exact recall for max_hamming < bands)."""
     sh = docs.select(F.col(id_col).alias("doc_id"), simhash64_udf(F.col(text_col)).alias("sh"))
-    width = 64 // bands
-    mask = (1 << width) - 1
-    chunks = F.array(
-        *[
-            F.struct(F.lit(bi).alias("band"), ((F.shiftrightunsigned("sh", bi * width)) % F.lit(mask + 1)).alias("key"))
-            for bi in range(bands)
-        ]
-    )
+    chunks = simhash_band_keys("sh", bands)
     bucketed = sh.select("doc_id", "sh", F.explode(chunks).alias("c")).select(
         "doc_id", "sh", F.col("c.band").alias("band"), F.col("c.key").alias("key")
     )

@@ -117,3 +117,56 @@ def test_lang_id_and_quality(spark):
     assert rows[0]["lang"] == "en"
     assert rows[1]["lang"] == "unk"
     assert 0.0 <= rows[1]["q"] <= 1.0
+
+
+def test_simhash_band_keys_sign_safe(spark):
+    """Band-0 keys must be the raw low bits even when the signed 64-bit
+    simhash is negative (bit 63 set) — extracting with `%` instead of
+    bitwiseAND gave sign-carrying keys, so a pair agreeing ONLY on band 0
+    across the sign boundary never collided (missed-pair bug found at
+    sf0.1, hamming 7, bands=8)."""
+    from librecatastro_spark.ops.dedup import simhash_band_keys
+
+    lo = 0x3A  # shared low byte
+    neg = -(1 << 63) | lo          # bit 63 set → negative long
+    pos = lo                        # bit 63 clear
+    df = spark.createDataFrame([(neg,), (pos,)], "sh long")
+    rows = df.select(
+        F.explode(simhash_band_keys("sh", 8)).alias("c")
+    ).select(F.col("c.band").alias("band"), F.col("c.key").alias("key"))
+    keys = {}
+    for r in rows.collect():
+        keys.setdefault(r["band"], []).append(r["key"])
+    # band 0: identical low byte → identical non-negative key
+    assert keys[0][0] == keys[0][1] == lo
+    # every key is within [0, 2^width)
+    assert all(0 <= k < 256 for ks in keys.values() for k in ks)
+    # band 7 differs (bit 63): 0x80 vs 0x00
+    assert sorted(keys[7]) == [0, 128]
+
+
+def test_simhash_near_pairs_matches_brute_force(docs):
+    """Pigeonhole exact recall: for max_hamming < bands the banded join
+    must return EXACTLY the brute-force all-pairs result."""
+    sh = docs.select(
+        "doc_id", simhash64_udf(F.col("text")).alias("sh")
+    ).cache()
+    a, b = sh.alias("a"), sh.alias("b")
+    brute = {
+        (r["doc_a"], r["doc_b"], r["hamming"])
+        for r in a.join(b, F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.bit_count(F.col("a.sh").bitwiseXOR(F.col("b.sh"))).alias(
+                "hamming"
+            ),
+        )
+        .where(F.col("hamming") <= 7)
+        .collect()
+    }
+    banded = {
+        (r["doc_a"], r["doc_b"], r["hamming"])
+        for r in simhash_near_pairs(docs, max_hamming=7, bands=8).collect()
+    }
+    assert banded == brute
