@@ -54,14 +54,26 @@ FROM documents GROUP BY 1
 # -------------------------------------------------------------- shingles --
 
 def shingles_expr(text_col: str | Column, n: int = 3) -> Column:
-    """Array of n-token shingles ('a b c' strings); empty if < n tokens."""
+    """Array of n-token shingles ('a b c' strings); empty if < n tokens.
+
+    Built with ``zip_with`` over n-1 shifted slices so every array is
+    evaluated ONCE per row. The obvious alternative —
+    ``transform(sequence(...), i -> concat_ws(slice(toks, i, n)))`` —
+    captures ``toks`` as a free expression inside the lambda, and
+    Catalyst re-evaluates free subexpressions per ELEMENT, re-tokenizing
+    the whole document once per shingle: O(tokens²) per doc (measured
+    160 s for one 5 k-doc signature pass at sf0.1; this form is ~1 s).
+    ``zip_with`` pads the shorter side with null and ``concat`` is
+    null-propagating, so trailing partial shingles drop in the filter.
+    """
     toks = tokenize_expr(text_col)
-    # NB: Spark sequence(1, 0) is DESCENDING [1, 0], not empty — guard short docs.
-    idx = F.sequence(F.lit(1), F.size(toks) - (n - 1))
-    return F.when(
-        F.size(toks) >= n,
-        F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i, n))),
-    ).otherwise(F.array().cast("array<string>"))
+    acc = toks
+    for k in range(1, n):
+        nxt = F.slice(toks, k + 1, F.greatest(F.size(toks) - k, F.lit(0)))
+        acc = F.zip_with(acc, nxt, lambda a, b: F.concat(a, F.lit(" "), b))
+    return F.coalesce(
+        F.filter(acc, lambda x: x.isNotNull()), F.array().cast("array<string>")
+    )
 
 
 def shingles_sql(col: str, n: int = 3) -> str:
@@ -162,17 +174,34 @@ def minhash_signature(
     shingle_n: int = 3,
 ) -> DataFrame:
     """(doc_id, mh0..mh{n-1}): min over shingles of (a·h + b) mod p.
-    Pure Catalyst (array_min over transform) — no shuffle at all."""
-    sh = shingles_expr(text_col, shingle_n)
+    Pure Catalyst, no shuffle, ONE pass over the shingle array:
+    md5 runs once per shingle (``transform``), then a single
+    ``aggregate`` folds all n permutation-mins simultaneously into an
+    array<long> accumulator (``zip_with(acc, perms(h), least)``).
+    The previous form — one ``array_min(transform(...))`` column per
+    hash — re-inlined the full tokenize→shingle→md5 pipeline 16× per
+    row (Catalyst shares nothing across projection columns), which at
+    sf0.1 cost 160 s/pass; this is ~1 s, same values bit-for-bit.
+    The result array is materialized behind an ``explode(array(...))``
+    barrier so the 16 mh columns are plain attribute indexings that
+    CollapseProject cannot re-inline into 16 recomputations."""
+    params = _mh_params(n_hashes)
+    hs = F.transform(shingles_expr(text_col, shingle_n), _base_hash_expr)
+    init = F.array(*[F.lit(_MH_PRIME).cast("long") for _ in params])
 
-    def perm(a: int, b: int):
-        return lambda s: (F.lit(a) * _base_hash_expr(s) + F.lit(b)) % F.lit(_MH_PRIME)
+    def fold(acc: Column, h: Column) -> Column:
+        perms = F.array(
+            *[(F.lit(a) * h + F.lit(b)) % F.lit(_MH_PRIME) for a, b in params]
+        )
+        return F.zip_with(acc, perms, lambda x, y: F.least(x, y))
 
-    cols = [F.col(id_col).alias("doc_id")]
-    for i, (a, b) in enumerate(_mh_params(n_hashes)):
-        expr = F.array_min(F.transform(sh, perm(a, b)))
-        cols.append(F.coalesce(expr, F.lit(_MH_PRIME)).alias(f"mh{i}"))
-    return docs.select(*cols)
+    mins = F.aggregate(hs, init, fold)
+    sig = docs.select(
+        F.col(id_col).alias("doc_id"), F.explode(F.array(mins)).alias("mhs")
+    )
+    return sig.select(
+        "doc_id", *[F.col("mhs")[i].alias(f"mh{i}") for i in range(n_hashes)]
+    )
 
 
 def minhash_signature_sql(id_col="doc_id", text_col="text", n_hashes=16, shingle_n=3) -> str:
