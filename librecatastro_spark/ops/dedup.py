@@ -283,19 +283,34 @@ def minhash_lsh_pairs(
 
 def simhash16_expr(text_col: str | Column, n_bits: int = 16) -> Column:
     """Expression-only 16-bit SimHash (per-token md5-derived bits, ±1 vote
-    per occurrence) — SQL-twinned for the oracle."""
-    toks = tokenize_expr(text_col)
+    per occurrence) — SQL-twinned for the oracle.
 
-    def voter(i: int):
-        return lambda s, x: s + F.when(
-            F.shiftright(_base_hash_expr(x), i) % 2 == 1, F.lit(1)
-        ).otherwise(F.lit(-1))
+    Single pass: md5 once per token (``transform``), then one
+    ``aggregate`` folds all n_bits vote counters at once into an
+    array<int> accumulator (the naive one-aggregate-per-bit form
+    tokenizes and hashes the document n_bits times)."""
+    hs = F.transform(tokenize_expr(text_col), _base_hash_expr)
+    init = F.array(*[F.lit(0) for _ in range(n_bits)])
 
-    acc = F.lit(0)
-    for i in range(n_bits):
-        vote = F.aggregate(toks, F.lit(0), voter(i))
-        acc = acc + F.when(vote > 0, F.lit(1 << i)).otherwise(F.lit(0))
-    return acc.cast("long")
+    def fold(acc: Column, h: Column) -> Column:
+        votes = F.array(
+            *[
+                F.when(F.shiftright(h, i) % 2 == 1, F.lit(1)).otherwise(F.lit(-1))
+                for i in range(n_bits)
+            ]
+        )
+        return F.zip_with(acc, votes, lambda x, y: x + y)
+
+    votes = F.aggregate(hs, init, fold)
+    powers = F.array(*[F.lit(1 << i) for i in range(n_bits)])
+    total = F.aggregate(
+        F.zip_with(votes, powers, lambda v, p: F.when(v > 0, p).otherwise(F.lit(0))),
+        F.lit(0),
+        lambda s, x: s + x,
+    )
+    # null text: the old per-bit form yielded 0 (null vote fails v > 0);
+    # keep that contract rather than propagating null.
+    return F.coalesce(total, F.lit(0)).cast("long")
 
 
 def simhash16_sql(col: str, n_bits: int = 16) -> str:
