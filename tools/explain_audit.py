@@ -149,6 +149,20 @@ def main() -> int:
         )
         sections.append(s); problems += p
 
+    from librecatastro_spark.ops.dedup import minhash_lsh_pairs
+
+    s, p = audit(
+        "MinHash-LSH near-dup (band equi-join + explode-barrier signature, r3)",
+        minhash_lsh_pairs(docs),
+        {"cartesian": False, "explode": True},
+        "Candidates come from an equi-self-join on (band, key) — no "
+        "cartesian anywhere. The signature array is materialized behind an "
+        "explode(array(...)) barrier (Generate present) so the 16 mh "
+        "columns are attribute indexings, not 16 re-inlined copies of the "
+        "tokenize→shingle→md5 pipeline (the r3 O(tokens²) fix).",
+    )
+    sections.append(s); problems += p
+
     s, p = audit(
         "Shard partition pruning (resume-unit read)",
         index.postings.where(F.col("shard") == 2),
