@@ -404,6 +404,16 @@ def _q_emb_near_dup(spark, sf):
     )
 
 
+def _q_emb_near_dup_exact(spark, sf):
+    # exactness baseline for the banded scale path above: the brute-force
+    # all-pairs cosine join, gated against the exact cross-product SQL —
+    # verification-only at scale (O(n²)), which is why the 50-entry gate
+    # carries the banded path and this runs as an extra.
+    from librecatastro_spark.ops.similarity import brute_force_pairs
+
+    return brute_force_pairs(_emb(spark, sf), threshold=0.4)
+
+
 def _q_ann_lsh(spark, sf):
     # ANN scale path: LSH bucket + Hamming-1 multiprobe (rows-only check;
     # recall vs the brute-force baseline is gated in tests/)
@@ -921,6 +931,10 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_keyword_filter": _q_keyword,
         "bm25_prefix_filter": _q_prefix,
         "bm25_should_boost": _q_should_boost,
+        # exactness baseline for the gated banded near-dup (its oracle is
+        # the exact cross-product, so this pairing keeps BOTH the exact
+        # semantics and the approximate scale path oracle-checked)
+        "embedding_near_dup_exact": _q_emb_near_dup_exact,
     }
 
 
@@ -1098,6 +1112,13 @@ ORDER BY cosine DESC, vec_id ASC LIMIT 10
         "embedding_near_dup": embedding_near_dup_banded_sql(
             threshold=0.4, dim=64, n_planes=16, bands=8, seed=13
         ),
+        # the exact all-pairs baseline (extra_queries) against the exact
+        # cross-product twin
+        "embedding_near_dup_exact": f"""
+SELECT e.vec_id AS vec_a, b.vec_id AS vec_b, {cos.format(b='b.embedding::DOUBLE[]')} AS cosine
+FROM embeddings e JOIN embeddings b ON e.vec_id < b.vec_id
+WHERE {cos.format(b='b.embedding::DOUBLE[]')} >= 0.4
+""",
         "multimodal_frame_sample": """
 SELECT doc_id::VARCHAR AS media_id,
        unnest(generate_series(0, greatest(n_chars - 1, 0), 1000))::BIGINT AS frame_ts_ms
