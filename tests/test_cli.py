@@ -1,0 +1,135 @@
+"""A31 CLI dispatch, driven end-to-end (was "manual" in the round-2
+verdict): every subcommand of ``python -m librecatastro_spark`` — build,
+health, search, append, verify — run through ``main(argv)`` exactly as
+argparse receives it from a shell, plus one true ``python -m`` subprocess
+to prove the module entry point itself (reference dispatch analog:
+libreCatastro.py:19-72).
+
+In-process calls share the test SparkSession via get_spark's getOrCreate —
+the CLI's own code path — so the suite pays one JVM, not six.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+
+import pytest
+from pyspark.sql import functions as F
+
+from librecatastro_spark.__main__ import main
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def cli_env(spark, tmp_path_factory):
+    """A corpus parquet (with the content_sha256 attr the verify
+    subcommand checks) and an index built FROM it via the CLI."""
+    root = tmp_path_factory.mktemp("cli")
+    corpus = str(root / "corpus.parquet")
+    idx = str(root / "index")
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    half = docs.where(F.col("doc_id") % 2 == 0)
+    rest = docs.where(F.col("doc_id") % 2 == 1)
+    for part, path in ((half, corpus), (rest, str(root / "batch.parquet"))):
+        part.withColumn("content_sha256", F.sha2(F.col("text"), 256)).write.parquet(path)
+    rc = main([
+        "build", "--input", corpus, "--out", idx,
+        "--text-col", "text", "--attr-cols", "lang,source,content_sha256",
+        "--shards", "4",
+    ])
+    assert rc == 0
+    return {"corpus": corpus, "batch": str(root / "batch.parquet"), "index": idx}
+
+
+def _json_lines(capsys) -> list[dict]:
+    return [json.loads(l) for l in capsys.readouterr().out.splitlines()
+            if l.startswith("{")]
+
+
+def test_cli_build_is_resumable_noop(cli_env, capsys):
+    # second build over a completed out_dir: resume path, same meta
+    rc = main([
+        "build", "--input", cli_env["corpus"], "--out", cli_env["index"],
+        "--text-col", "text", "--attr-cols", "lang,source,content_sha256",
+        "--shards", "4",
+    ])
+    (out,) = _json_lines(capsys)[-1:]
+    assert rc == 0 and out["n_shards"] == 4 and out["n_docs"] > 0
+
+
+def test_cli_health(cli_env, capsys):
+    rc = main(["health", "--input", cli_env["corpus"], "--text-col", "text"])
+    (out,) = _json_lines(capsys)
+    assert rc == 0
+    assert out["n_docs"] > 0 and out["n_langs"] > 0 and out["avg_tokens"] > 0
+
+
+def test_cli_search_matches_library(cli_env, spark, capsys):
+    from librecatastro_spark.engine.wand import CompressedIndex
+
+    rc = main([
+        "search", "--index", cli_env["index"], "--text", "data model",
+        "--k", "5", "--filter", "lang=en",
+    ])
+    got = [(r["doc_id"], r["score"]) for r in _json_lines(capsys)]
+    assert rc == 0 and 0 < len(got) <= 5
+    want = CompressedIndex(spark, cli_env["index"]).search(
+        "data model", k=5, filters={"lang": "en"}
+    ).collect()
+    assert got == [(r["doc_id"], r["score"]) for r in want]
+
+
+def test_cli_append_then_verify(cli_env, spark, capsys):
+    rc = main([
+        "append", "--index", cli_env["index"], "--input", cli_env["batch"],
+        "--text-col", "text",
+    ])
+    (out,) = _json_lines(capsys)
+    assert rc == 0 and out["docs_added"] > 0
+    # corpus∪batch ↔ index sha invariant must hold after the append;
+    # verify reads BOTH inputs, so point it at the parent glob via a view
+    spark.read.parquet(cli_env["corpus"], cli_env["batch"]).createOrReplaceTempView(
+        "cli_full_corpus"
+    )
+    rc = main([
+        "verify", "--input", "cli_full_corpus", "--index", cli_env["index"],
+        "--text-col", "text",
+    ])
+    (out,) = _json_lines(capsys)
+    assert rc == 0 and out["ok"] is True and out["n_mismatch"] == 0
+
+
+def test_cli_verify_detects_mismatch(cli_env, capsys):
+    # the ORIGINAL corpus alone no longer matches the appended index
+    # (index has extra docs) — verify must fail loudly, not pass vacuously
+    rc = main([
+        "verify", "--input", cli_env["corpus"], "--index", cli_env["index"],
+        "--text-col", "text",
+    ])
+    (out,) = _json_lines(capsys)
+    assert rc == 1 and out["ok"] is False and out["n_mismatch"] > 0
+
+
+def test_cli_module_subprocess(cli_env):
+    """The real ``python -m librecatastro_spark`` entry (own JVM)."""
+    r = subprocess.run(
+        [sys.executable, "-m", "librecatastro_spark", "--cores", "2",
+         "search", "--index", cli_env["index"],
+         "--text", "data model", "--k", "3"],
+        capture_output=True, text=True, timeout=300,
+        cwd=REPO, env={**os.environ, "PYTHONPATH": REPO},
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    rows = [json.loads(l) for l in r.stdout.splitlines() if l.startswith("{")]
+    assert 0 < len(rows) <= 3 and all("doc_id" in x and "score" in x for x in rows)
+
+
+def test_cli_bad_filter_exits(cli_env):
+    with pytest.raises(SystemExit):
+        main(["search", "--index", cli_env["index"], "--text", "x",
+              "--filter", "notakv"])
