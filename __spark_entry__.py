@@ -404,6 +404,15 @@ def _q_emb_near_dup(spark, sf):
     )
 
 
+def _q_training_pipeline(spark, sf):
+    # the LLM-data ops COMPOSED as one Catalyst plan: lang filter →
+    # quality filter → exact dedup → LSH near-dup removal → per-doc stats
+    # (ops/pipeline.py docstring has the scale/oracle rationale)
+    from librecatastro_spark.ops.pipeline import training_data_pipeline
+
+    return training_data_pipeline(_docs(spark, sf))
+
+
 def _q_emb_near_dup_exact(spark, sf):
     # exactness baseline for the banded scale path above: the brute-force
     # all-pairs cosine join, gated against the exact cross-product SQL —
@@ -935,6 +944,8 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # the exact cross-product, so this pairing keeps BOTH the exact
         # semantics and the approximate scale path oracle-checked)
         "embedding_near_dup_exact": _q_emb_near_dup_exact,
+        # the curation ops chained end-to-end (ops/pipeline.py)
+        "training_data_pipeline": _q_training_pipeline,
     }
 
 
@@ -1064,6 +1075,7 @@ def _ops_oracles() -> dict[str, str]:
         simhash16_sql,
         simhash_near_pairs_sql,
     )
+    from librecatastro_spark.ops.pipeline import training_data_pipeline_sql
     from librecatastro_spark.ops.similarity import (
         ann_lsh_topk_sql,
         embedding_near_dup_banded_sql,
@@ -1114,6 +1126,7 @@ ORDER BY cosine DESC, vec_id ASC LIMIT 10
         ),
         # the exact all-pairs baseline (extra_queries) against the exact
         # cross-product twin
+        "training_data_pipeline": training_data_pipeline_sql(),
         "embedding_near_dup_exact": f"""
 SELECT e.vec_id AS vec_a, b.vec_id AS vec_b, {cos.format(b='b.embedding::DOUBLE[]')} AS cosine
 FROM embeddings e JOIN embeddings b ON e.vec_id < b.vec_id

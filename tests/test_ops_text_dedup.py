@@ -170,3 +170,35 @@ def test_simhash_near_pairs_matches_brute_force(docs):
         for r in simhash_near_pairs(docs, max_hamming=7, bands=8).collect()
     }
     assert banded == brute
+
+
+def test_training_data_pipeline_composes(spark):
+    """The composed curation chain (ops/pipeline.py) equals its DuckDB
+    twin on the driver corpus, survivors are pairwise non-duplicate, and
+    the plan contains no cartesian product."""
+    import os
+
+    import duckdb
+
+    from librecatastro_spark.ops.pipeline import (
+        training_data_pipeline,
+        training_data_pipeline_sql,
+    )
+
+    path = "/root/testdata/sf0.001/documents.parquet"
+    if not os.path.exists(path):
+        pytest.skip("driver testdata not present")
+    docs_df = spark.read.parquet(path)
+    out = training_data_pipeline(docs_df)
+    assert "CartesianProduct" not in out._jdf.queryExecution().executedPlan().toString()
+    rows = {tuple(r) for r in out.collect()}
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW documents AS SELECT * FROM read_parquet('{path}')")
+    want = {tuple(r) for r in con.sql(training_data_pipeline_sql()).fetchall()}
+    assert rows == want and len(rows) > 0
+    # survivors: unique fingerprints AND no exact-jaccard pair >= 0.5 left
+    ids = [r[0] for r in rows]
+    kept_docs = docs_df.where(F.col("doc_id").isin(ids))
+    fps = kept_docs.select(fingerprint_expr("text")).collect()
+    assert len({r[0] for r in fps}) == len(ids)
+    assert jaccard_pairs(kept_docs, threshold=0.5).count() == 0
