@@ -163,6 +163,20 @@ def main() -> int:
     )
     sections.append(s); problems += p
 
+    from librecatastro_spark.ops.pipeline import training_data_pipeline
+
+    s, p = audit(
+        "Composed training-data curation pipeline (r3)",
+        training_data_pipeline(docs),
+        {"cartesian": False, "window": True, "broadcast": True},
+        "lang-ID + quality filters fold into the scan projection; exact "
+        "dedup is one hash-partitioned Window (min doc_id per "
+        "fingerprint); near-dup candidates come from the LSH band "
+        "equi-join (no cartesian); the final drop-set anti-join is an "
+        "explicit broadcast.",
+    )
+    sections.append(s); problems += p
+
     s, p = audit(
         "Shard partition pruning (resume-unit read)",
         index.postings.where(F.col("shard") == 2),
