@@ -413,6 +413,30 @@ def _q_training_pipeline(spark, sf):
     return training_data_pipeline(_docs(spark, sf))
 
 
+def _q_incremental_curation(spark, sf):
+    # streaming twin of the composed pipeline: curate the corpus in TWO
+    # batches against durable state (streaming/curation.py) — the oracle
+    # is the ONE-SHOT pipeline SQL, so the gate proves batch-by-batch
+    # curation converges to the batch-mode result (the B15 analog for
+    # the curation ops). Cached state replays as a no-op (idempotence).
+    import hashlib
+
+    from librecatastro_spark.streaming.curation import (
+        accepted_docs,
+        curate_batch,
+    )
+
+    src = f"{sf}/documents.parquet"
+    mtime = int(os.path.getmtime(src)) if os.path.exists(src) else 0
+    key = hashlib.sha256(f"{sf}:{mtime}:curate_v1".encode()).hexdigest()[:16]
+    state = os.path.join("/tmp", f"lc_curate_{key}")
+    docs = _docs(spark, sf)
+    n = docs.agg(F.max("doc_id")).collect()[0][0] or 0
+    curate_batch(spark, state, docs.where(F.col("doc_id") <= n // 3))
+    curate_batch(spark, state, docs.where(F.col("doc_id") > n // 3))
+    return accepted_docs(spark, state)
+
+
 def _q_emb_near_dup_exact(spark, sf):
     # exactness baseline for the banded scale path above: the brute-force
     # all-pairs cosine join, gated against the exact cross-product SQL —
@@ -946,6 +970,9 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_near_dup_exact": _q_emb_near_dup_exact,
         # the curation ops chained end-to-end (ops/pipeline.py)
         "training_data_pipeline": _q_training_pipeline,
+        # …and the same chain batch-by-batch against durable state,
+        # gated against the ONE-SHOT twin (streaming/curation.py)
+        "incremental_curation": _q_incremental_curation,
     }
 
 
@@ -1127,6 +1154,8 @@ ORDER BY cosine DESC, vec_id ASC LIMIT 10
         # the exact all-pairs baseline (extra_queries) against the exact
         # cross-product twin
         "training_data_pipeline": training_data_pipeline_sql(),
+        # incremental curation converges to the one-shot pipeline — same twin
+        "incremental_curation": training_data_pipeline_sql(),
         "embedding_near_dup_exact": f"""
 SELECT e.vec_id AS vec_a, b.vec_id AS vec_b, {cos.format(b='b.embedding::DOUBLE[]')} AS cosine
 FROM embeddings e JOIN embeddings b ON e.vec_id < b.vec_id
