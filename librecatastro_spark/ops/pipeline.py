@@ -30,18 +30,40 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from ..analyzer import duckdb_tokens_sql
+from ..analyzer import duckdb_tokens_sql, tokenize_expr
 from ..bm25 import ROUND_DECIMALS
 from .dedup import minhash_lsh_pairs, shingles_sql
 from .text import (
-    fingerprint_expr,
+    fingerprint_from_toks,
     fingerprint_sql,
-    lang_id_expr,
+    lang_id_from_toks,
     lang_id_sql,
-    quality_score_expr,
+    quality_score_from_toks,
     quality_score_sql,
-    token_count_expr,
+    token_count_from_toks,
 )
+
+
+def _score_docs(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(doc_id, text, lang_pred, quality, n_tokens, fingerprint) with the
+    token array materialized ONCE per row behind an explode(array(...))
+    barrier — sibling projection columns otherwise each re-inline the
+    tokenize pipeline (Catalyst re-evaluates shared subexpressions per
+    column; the same pitfall the r3 minhash fold fixed), which is ~4
+    redundant tokenizations per doc on the curation hot path."""
+    base = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.col(text_col).alias("text"),
+        F.explode(F.array(tokenize_expr(text_col))).alias("toks"),
+    )
+    return base.select(
+        "doc_id",
+        "text",
+        lang_id_from_toks(F.col("toks")).alias("lang_pred"),
+        quality_score_from_toks(F.col("toks"), "text").alias("quality"),
+        token_count_from_toks(F.col("toks")).alias("n_tokens"),
+        fingerprint_from_toks(F.col("toks")).alias("fingerprint"),
+    )
 
 
 def training_data_pipeline(
@@ -56,14 +78,7 @@ def training_data_pipeline(
     canonical (lowest doc_id) among its exact-duplicate group, and not a
     near-duplicate (exact Jaccard ≥ threshold, LSH-bucketed candidates)
     of any surviving lower doc_id."""
-    scored = docs.select(
-        F.col(id_col).alias("doc_id"),
-        F.col(text_col).alias("text"),
-        lang_id_expr(text_col).alias("lang_pred"),
-        quality_score_expr(text_col).alias("quality"),
-        token_count_expr(text_col).alias("n_tokens"),
-        fingerprint_expr(text_col).alias("fingerprint"),
-    )
+    scored = _score_docs(docs, id_col, text_col)
     kept = scored.where(
         (F.col("lang_pred") == "en") & (F.col("quality") >= min_quality)
     )

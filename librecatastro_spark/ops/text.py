@@ -25,28 +25,42 @@ def _stop_array() -> Column:
     return F.array(*[F.lit(w) for w in STOPWORDS_EN])
 
 
+def token_count_from_toks(toks: Column) -> Column:
+    return F.size(toks)
+
+
 def token_count_expr(text_col: str | Column) -> Column:
-    return F.size(tokenize_expr(text_col))
+    return token_count_from_toks(tokenize_expr(text_col))
 
 
-def stopword_ratio_expr(text_col: str | Column) -> Column:
-    toks = tokenize_expr(text_col)
+def stopword_ratio_from_toks(toks: Column) -> Column:
     stops = F.size(F.filter(toks, lambda x: F.array_contains(_stop_array(), x)))
     return F.when(F.size(toks) > 0, stops / F.size(toks)).otherwise(F.lit(0.0))
 
 
-def lang_id_expr(text_col: str | Column) -> Column:
+def stopword_ratio_expr(text_col: str | Column) -> Column:
+    return stopword_ratio_from_toks(tokenize_expr(text_col))
+
+
+def lang_id_from_toks(toks: Column) -> Column:
     """'en' if the stopword ratio clears the threshold, else 'unk'."""
     return F.when(
-        stopword_ratio_expr(text_col) >= F.lit(LANGID_THRESHOLD), F.lit("en")
+        stopword_ratio_from_toks(toks) >= F.lit(LANGID_THRESHOLD), F.lit("en")
     ).otherwise(F.lit("unk"))
 
 
-def uniq_ratio_expr(text_col: str | Column) -> Column:
-    toks = tokenize_expr(text_col)
+def lang_id_expr(text_col: str | Column) -> Column:
+    return lang_id_from_toks(tokenize_expr(text_col))
+
+
+def uniq_ratio_from_toks(toks: Column) -> Column:
     return F.when(
         F.size(toks) > 0, F.size(F.array_distinct(toks)) / F.size(toks)
     ).otherwise(F.lit(0.0))
+
+
+def uniq_ratio_expr(text_col: str | Column) -> Column:
+    return uniq_ratio_from_toks(tokenize_expr(text_col))
 
 
 def punct_ratio_expr(text_col: str | Column) -> Column:
@@ -55,25 +69,36 @@ def punct_ratio_expr(text_col: str | Column) -> Column:
     return F.when(F.length(c) > 0, nonword / F.length(c)).otherwise(F.lit(0.0))
 
 
-def quality_score_expr(text_col: str | Column) -> Column:
+def quality_score_from_toks(toks: Column, text_col: str | Column) -> Column:
     """Deterministic [0,1] quality heuristic: length band + lexical
-    diversity + low punctuation noise (the usual pretraining filters)."""
-    n = token_count_expr(text_col)
+    diversity + low punctuation noise (the usual pretraining filters).
+    ``toks`` variant so a multi-metric projection can materialize the
+    token array ONCE (Catalyst re-evaluates shared subexpressions per
+    sibling column — see ops/pipeline.py's barrier)."""
+    n = token_count_from_toks(toks)
     len_ok = F.when((n >= 20) & (n <= 5000), F.lit(1.0)).otherwise(
         F.when(n > 0, F.lit(0.5)).otherwise(F.lit(0.0))
     )
     score = (
         F.lit(0.4) * len_ok
-        + F.lit(0.4) * uniq_ratio_expr(text_col)
+        + F.lit(0.4) * uniq_ratio_from_toks(toks)
         + F.lit(0.2) * (F.lit(1.0) - F.least(F.lit(1.0), punct_ratio_expr(text_col) * 4))
     )
     return F.round(score, ROUND_DECIMALS)
 
 
-def fingerprint_expr(text_col: str | Column) -> Column:
+def quality_score_expr(text_col: str | Column) -> Column:
+    return quality_score_from_toks(tokenize_expr(text_col), text_col)
+
+
+def fingerprint_from_toks(toks: Column) -> Column:
     """Normalized-content fingerprint: md5 of the analyzed token stream —
     whitespace/punctuation-insensitive exact-dup key."""
-    return F.md5(F.concat_ws(" ", tokenize_expr(text_col)))
+    return F.md5(F.concat_ws(" ", toks))
+
+
+def fingerprint_expr(text_col: str | Column) -> Column:
+    return fingerprint_from_toks(tokenize_expr(text_col))
 
 
 # ------------------------------------------------------------ SQL twins --

@@ -60,12 +60,7 @@ from pyspark.sql import functions as F
 
 from ..bm25 import ROUND_DECIMALS
 from ..ops.dedup import minhash_signature, shingles_expr
-from ..ops.text import (
-    fingerprint_expr,
-    lang_id_expr,
-    quality_score_expr,
-    token_count_expr,
-)
+from ..ops.pipeline import _score_docs
 
 _CANON_SCHEMA = "doc_id long, fingerprint string, sz long"
 _BANDS_SCHEMA = "doc_id long, band int, key string"
@@ -163,13 +158,8 @@ def curate_batch(
     state_max = max((c["max_doc_id"] for c in committed), default=-1)
 
     canon = _read_state(spark, state_dir, "canon", _CANON_SCHEMA, tokens)
-    scored = batch.select(
-        F.col(id_col).cast("long").alias("doc_id"),
-        F.col(text_col).alias("text"),
-        lang_id_expr(text_col).alias("lang_pred"),
-        quality_score_expr(text_col).alias("quality"),
-        token_count_expr(text_col).alias("n_tokens"),
-        fingerprint_expr(text_col).alias("fingerprint"),
+    scored = _score_docs(
+        batch.withColumn(id_col, F.col(id_col).cast("long")), id_col, text_col
     )
     # replay idempotence: rows of an already-committed batch vanish here
     # (seen holds every processed id, so rows the filters rejected last
