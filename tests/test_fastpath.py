@@ -89,3 +89,26 @@ def test_fastpath_cache_invariant(index, monkeypatch):
         results[mb] = [_local_rows(index, q) for q in GOLDEN]
     assert results["0"] == results["512"]
     assert results["1"] == results["512"]
+
+
+@pytest.mark.parametrize("path", ["search", "search_local"])
+def test_edge_cases_contract(index, path):
+    """Degenerate inputs behave identically on both serving paths:
+    zero-analyzed-term queries raise (a silent empty would hide caller
+    bugs), unknown terms / k=0 / unsatisfiable filters return empty,
+    k > corpus returns every match."""
+    fn = getattr(index, path)
+
+    def rows(res):
+        return res.collect() if hasattr(res, "collect") else list(res.itertuples())
+
+    with pytest.raises(ValueError, match="zero terms"):
+        fn("", k=5)
+    with pytest.raises(ValueError, match="zero terms"):
+        fn("", k=5, must_not_text="query")
+    assert rows(fn("zzzqqq nosuchtoken", k=5)) == []
+    assert rows(fn("query", k=0)) == []
+    assert rows(fn("query", k=5, filters={"lang": "zz"})) == []
+    assert rows(fn("query", k=5, prefix=("source", "zzz"))) == []
+    big = rows(fn("query", k=10**6))
+    assert 0 < len(big) < 10**6
