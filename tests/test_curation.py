@@ -80,3 +80,46 @@ def test_non_monotone_batch_raises(spark, corpus, tmp_path):
     curate_batch(spark, state, corpus.where(F.col("doc_id").between(50, 100)))
     with pytest.raises(ValueError, match="non-monotone"):
         curate_batch(spark, state, corpus.where(F.col("doc_id") < 50))
+
+
+def test_curate_then_index_end_to_end(spark, corpus, tmp_path):
+    """The full production loop — crawl batches → incremental curation →
+    incremental index append → query — converges to building the index
+    once over the one-shot-curated corpus: identical (doc_id, score)
+    top-k on the golden query."""
+    from librecatastro_spark.engine.wand import CompressedIndex
+    from librecatastro_spark.index.builder import build_index
+    from librecatastro_spark.streaming.incremental import append_batch
+
+    state = str(tmp_path / "state")
+    inc_idx = str(tmp_path / "inc_idx")
+    ref_idx = str(tmp_path / "ref_idx")
+    n = corpus.agg(F.max("doc_id")).collect()[0][0]
+    kw = dict(id_col="doc_id", text_col="text")
+    common = dict(
+        attr_cols=("lang", "source"), n_shards=2, shards_per_job=2,
+        resume=False, **kw,
+    )
+
+    first = True
+    for batch in (
+        corpus.where(F.col("doc_id") <= n // 2),
+        corpus.where(F.col("doc_id") > n // 2),
+    ):
+        acc = curate_batch(spark, state, batch)
+        docs = batch.join(acc.select("doc_id"), "doc_id", "left_semi")
+        if first:
+            build_index(spark, docs, inc_idx, **common)
+            first = False
+        else:
+            append_batch(spark, inc_idx, docs, **kw)
+
+    one_shot = training_data_pipeline(corpus).select("doc_id")
+    build_index(
+        spark, corpus.join(one_shot, "doc_id", "left_semi"), ref_idx, **common
+    )
+    got = CompressedIndex(spark, inc_idx).search("spark join merge", k=10).collect()
+    want = CompressedIndex(spark, ref_idx).search("spark join merge", k=10).collect()
+    assert [(r["doc_id"], r["score"]) for r in got] == [
+        (r["doc_id"], r["score"]) for r in want
+    ] and len(got) > 0
