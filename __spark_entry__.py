@@ -428,7 +428,7 @@ def _q_incremental_curation(spark, sf):
 
     src = f"{sf}/documents.parquet"
     mtime = int(os.path.getmtime(src)) if os.path.exists(src) else 0
-    key = hashlib.sha256(f"{sf}:{mtime}:curate_v1".encode()).hexdigest()[:16]
+    key = hashlib.sha256(f"{sf}:{mtime}:curate_v2".encode()).hexdigest()[:16]
     state = os.path.join("/tmp", f"lc_curate_{key}")
     docs = _docs(spark, sf)
     n = docs.agg(F.max("doc_id")).collect()[0][0] or 0

@@ -204,14 +204,20 @@ def minhash_signature(
     )
 
 
+def minhash_cols_sql(n_hashes: int) -> list[str]:
+    """DuckDB exprs ``mh0..mh{n-1}`` over a shingle-list column ``sh`` —
+    the exact twin of ``minhash_signature``'s fold (same permutation
+    params, same empty-set sentinel)."""
+    base = "(('0x' || substr(md5(s), 1, 8))::BIGINT)"
+    return [
+        f"coalesce(list_min(list_transform(sh, s -> ({a} * {base} + {b}) % {_MH_PRIME})), {_MH_PRIME}) AS mh{i}"
+        for i, (a, b) in enumerate(_mh_params(n_hashes))
+    ]
+
+
 def minhash_signature_sql(id_col="doc_id", text_col="text", n_hashes=16, shingle_n=3) -> str:
     sh = shingles_sql(text_col, shingle_n)
-    base = "(('0x' || substr(md5(s), 1, 8))::BIGINT)"
-    cols = ["doc_id"]
-    for i, (a, b) in enumerate(_mh_params(n_hashes)):
-        cols.append(
-            f"coalesce(list_min(list_transform(sh, s -> ({a} * {base} + {b}) % {_MH_PRIME})), {_MH_PRIME}) AS mh{i}"
-        )
+    cols = ["doc_id"] + minhash_cols_sql(n_hashes)
     return (
         f"WITH shg AS (SELECT {id_col} AS doc_id, {sh} AS sh FROM documents)\n"
         "SELECT " + ", ".join(cols) + " FROM shg"

@@ -72,6 +72,8 @@ def training_data_pipeline(
     text_col: str = "text",
     min_quality: float = 0.5,
     jaccard_threshold: float = 0.5,
+    n_hashes: int = 32,
+    bands: int = 16,
 ) -> DataFrame:
     """(doc_id, lang_pred, quality, n_tokens) for every document that
     survives the full curation chain: English, quality ≥ min_quality,
@@ -91,9 +93,19 @@ def training_data_pipeline(
     # near-dup removal among the survivors: banded-LSH candidates +
     # exact-Jaccard verify (the gated scale path), drop the HIGHER id of
     # every qualifying pair. `drop` is pair-count-sized → broadcast anti-join.
+    # rows-per-band = n_hashes // bands. Rows-per-band 2 (the default)
+    # is the zipfian-skew guard: with 1-hash bands the globally
+    # hottest-hashing shingle puts every doc containing it in ONE bucket
+    # (measured on the 60k synthetic code corpus: max bucket 18,807 docs
+    # → 333M candidate pairs — a quadratic blowup no equi-join plan can
+    # save); requiring TWO simultaneous min-hash matches shrinks hot
+    # buckets quadratically while keeping the LSH S-curve steep
+    # (P(candidate) = 1 − (1 − j²)^16 ≥ 0.99 at j ≥ 0.5, →1 for strong
+    # dups). The SQL twin mirrors the banding exactly, so the oracle is
+    # corpus-independent; recall vs exact Jaccard is pytest-measured.
     pairs = minhash_lsh_pairs(
         uniq.select("doc_id", "text"),
-        threshold=jaccard_threshold, n_hashes=16, bands=16,
+        threshold=jaccard_threshold, n_hashes=n_hashes, bands=bands,
     )
     drop = pairs.select(F.col("doc_b").alias("doc_id")).distinct()
     return (
@@ -102,16 +114,67 @@ def training_data_pipeline(
     )
 
 
+def _banded_pairs_cte_sql(
+    n_hashes: int, bands: int, jaccard_threshold: float,
+) -> str:
+    """CTE fragment computing near-dup ``pairs(doc_a, doc_b)`` exactly as
+    the Spark path does — minhash signatures over the ``shg`` CTE
+    (doc_id, sh list), banded candidate equi-join, exact-Jaccard verify
+    against the exploded ``sh``/``sizes`` CTEs — so the oracle's
+    candidate set is the SAME deterministic function of content as the
+    engine's (the embedding_near_dup frozen-twin pattern)."""
+    rows = n_hashes // bands
+    from .dedup import minhash_cols_sql
+
+    sig_cols = ", ".join(["doc_id"] + minhash_cols_sql(n_hashes))
+    band_selects = []
+    for bi in range(bands):
+        key = " || ',' || ".join(
+            f"mh{bi * rows + r}::VARCHAR" for r in range(rows)
+        )
+        band_selects.append(
+            f"SELECT doc_id, {bi} AS band, md5({key}) AS key FROM sig"
+        )
+    bands_sql = "\n  UNION ALL ".join(band_selects)
+    return f"""
+sig AS (SELECT {sig_cols} FROM shg),
+bands AS (
+  {bands_sql}
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+),
+sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
+inter AS (
+  SELECT c.doc_a, c.doc_b, count(*) AS i
+  FROM cand c
+  JOIN sh a ON a.doc_id = c.doc_a
+  JOIN sh b ON b.doc_id = c.doc_b AND b.sh = a.sh
+  GROUP BY 1, 2
+),
+pairs AS (
+  SELECT doc_a, doc_b FROM inter
+  JOIN sizes sa ON sa.doc_id = doc_a
+  JOIN sizes sb ON sb.doc_id = doc_b
+  WHERE round(i::DOUBLE / (sa.sz + sb.sz - i), {ROUND_DECIMALS})
+        >= {jaccard_threshold}
+)"""
+
+
 def training_data_pipeline_sql(
     id_col: str = "doc_id",
     text_col: str = "text",
     min_quality: float = 0.5,
     jaccard_threshold: float = 0.5,
     shingle_n: int = 3,
+    n_hashes: int = 32,
+    bands: int = 16,
 ) -> str:
-    """DuckDB twin over the ``documents`` view — same stages, exact
-    Jaccard for the near-dup drop (see module docstring for why that is
-    the right twin for the LSH path)."""
+    """DuckDB twin over the ``documents`` view — same stages, banded
+    candidates + exact-Jaccard verify for the near-dup drop (see
+    ``training_data_pipeline`` for why the twin mirrors the banding)."""
     return f"""
 WITH scored AS (
   SELECT {id_col} AS doc_id, {text_col} AS text,
@@ -128,23 +191,13 @@ uniq AS (
   SELECT * FROM kept
   QUALIFY doc_id = min(doc_id) OVER (PARTITION BY fingerprint)
 ),
+shg AS (
+  SELECT doc_id, {shingles_sql('text', shingle_n)} AS sh FROM uniq
+),
 sh AS (
-  SELECT DISTINCT doc_id, unnest({shingles_sql('text', shingle_n)}) AS sh
-  FROM uniq
+  SELECT DISTINCT doc_id, unnest(sh) AS sh FROM shg
 ),
-sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
-inter AS (
-  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
-  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
-  GROUP BY 1, 2
-),
-pairs AS (
-  SELECT doc_a, doc_b FROM inter
-  JOIN sizes sa ON sa.doc_id = doc_a
-  JOIN sizes sb ON sb.doc_id = doc_b
-  WHERE round(i::DOUBLE / (sa.sz + sb.sz - i), {ROUND_DECIMALS})
-        >= {jaccard_threshold}
-)
+{_banded_pairs_cte_sql(n_hashes, bands, jaccard_threshold)}
 SELECT doc_id, lang_pred, quality, n_tokens
 FROM uniq
 WHERE doc_id NOT IN (SELECT doc_b FROM pairs)

@@ -142,7 +142,7 @@ def curate_batch(
     text_col: str = "text",
     min_quality: float = 0.5,
     jaccard_threshold: float = 0.5,
-    n_hashes: int = 16,
+    n_hashes: int = 32,
     bands: int = 16,
     shingle_n: int = 3,
 ) -> DataFrame:
