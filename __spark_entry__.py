@@ -363,8 +363,11 @@ def _q_jaccard(spark, sf):
 def _q_minhash_lsh(spark, sf):
     from librecatastro_spark.ops.dedup import minhash_lsh_pairs
 
+    # 2-row bands (32 hashes / 16 bands): the zipfian hot-bucket guard —
+    # see training_data_pipeline's rationale; the oracle mirrors the
+    # banding exactly so the gate holds on any corpus
     return minhash_lsh_pairs(
-        _docs(spark, sf), threshold=0.5, n_hashes=16, bands=16
+        _docs(spark, sf), threshold=0.5, n_hashes=32, bands=16
     )
 
 
@@ -1098,6 +1101,7 @@ def _ops_oracles() -> dict[str, str]:
     from librecatastro_spark.ops.dedup import (
         exact_duplicates_sql,
         jaccard_pairs_sql,
+        minhash_lsh_pairs_sql,
         minhash_signature_sql,
         simhash16_sql,
         simhash_near_pairs_sql,
@@ -1124,9 +1128,12 @@ def _ops_oracles() -> dict[str, str]:
         "quality_score": f"SELECT doc_id, {quality_score_sql('text')} AS quality FROM documents",
         "dedup_exact": exact_duplicates_sql(),
         "dedup_ngram_jaccard": jaccard_pairs_sql(threshold=0.5),
-        # LSH with 16 single-hash bands + exact-jaccard verification is
-        # recall-complete at j>=0.5 on this corpus → same oracle as exact.
-        "dedup_minhash_lsh": jaccard_pairs_sql(threshold=0.5),
+        # banded twin (same minhash fold, band keys, and verify as the
+        # engine) so the oracle is corpus-independent; recall vs the
+        # exact dedup_ngram_jaccard gate is pytest-measured
+        "dedup_minhash_lsh": minhash_lsh_pairs_sql(
+            threshold=0.5, n_hashes=32, bands=16
+        ),
         "minhash_signatures": minhash_signature_sql(n_hashes=8),
         "simhash16": f"SELECT doc_id, {simhash16_sql('text')} AS simhash16 FROM documents",
         "simhash_near_dup": simhash_near_pairs_sql(max_hamming=7),

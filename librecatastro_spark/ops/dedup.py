@@ -224,6 +224,62 @@ def minhash_signature_sql(id_col="doc_id", text_col="text", n_hashes=16, shingle
     )
 
 
+def minhash_lsh_pairs_sql(
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_hashes: int = 32,
+    bands: int = 16,
+    shingle_n: int = 3,
+    threshold: float = 0.4,
+) -> str:
+    """DuckDB twin of ``minhash_lsh_pairs`` — same minhash fold
+    (minhash_cols_sql), same md5-of-comma-joined band keys, same
+    exact-Jaccard verify over the banded candidates — so the oracle's
+    candidate set is the SAME deterministic function of content as the
+    engine's (corpus-independent, the frozen-twin pattern)."""
+    rows = n_hashes // bands
+    sig_cols = ", ".join(["doc_id"] + minhash_cols_sql(n_hashes))
+    band_selects = "\n  UNION ALL ".join(
+        "SELECT doc_id, {b} AS band, md5({k}) AS key FROM sig".format(
+            b=bi,
+            k=" || ',' || ".join(
+                f"mh{bi * rows + r}::VARCHAR" for r in range(rows)
+            ),
+        )
+        for bi in range(bands)
+    )
+    return f"""
+WITH shg AS (
+  SELECT {id_col} AS doc_id, {shingles_sql(text_col, shingle_n)} AS sh
+  FROM documents
+),
+sig AS (SELECT {sig_cols} FROM shg),
+bands AS (
+  {band_selects}
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+),
+sh AS (SELECT DISTINCT doc_id, unnest(sh) AS sh FROM shg),
+sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
+inter AS (
+  SELECT c.doc_a, c.doc_b, count(*) AS i
+  FROM cand c
+  JOIN sh a ON a.doc_id = c.doc_a
+  JOIN sh b ON b.doc_id = c.doc_b AND b.sh = a.sh
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b,
+       round(i::DOUBLE / (sa.sz + sb.sz - i), {ROUND_DECIMALS}) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.doc_id = doc_a
+JOIN sizes sb ON sb.doc_id = doc_b
+WHERE round(i::DOUBLE / (sa.sz + sb.sz - i), {ROUND_DECIMALS}) >= {threshold}
+"""
+
+
 def minhash_lsh_pairs(
     docs: DataFrame,
     id_col: str = "doc_id",
