@@ -485,6 +485,15 @@ def _q_simhash_near(spark, sf):
     return simhash_near_pairs(_docs(spark, sf), max_hamming=7, bands=8)
 
 
+def _q_simhash_dedup(spark, sf):
+    # corpus-scale simhash dedup: identical-sig collapse + block-combination
+    # join over distinct sigs (ops/dedup.py simhash_dedup — the drop-list
+    # API whose candidate volume survives template-heavy corpora)
+    from librecatastro_spark.ops.dedup import simhash_dedup
+
+    return simhash_dedup(_docs(spark, sf))
+
+
 def _q_multimodal_features(spark, sf):
     # multimodal plumbing: binary payload → feature values over mapInPandas
     # (deterministic sha256-derived fake encoder). Emitted as one row per
@@ -971,6 +980,8 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # the exact cross-product, so this pairing keeps BOTH the exact
         # semantics and the approximate scale path oracle-checked)
         "embedding_near_dup_exact": _q_emb_near_dup_exact,
+        # scale-path simhash drop-list (distinct-sig collapse + combo keys)
+        "simhash_dedup_scaled": _q_simhash_dedup,
         # the curation ops chained end-to-end (ops/pipeline.py)
         "training_data_pipeline": _q_training_pipeline,
         # …and the same chain batch-by-batch against durable state,
@@ -1104,6 +1115,7 @@ def _ops_oracles() -> dict[str, str]:
         minhash_lsh_pairs_sql,
         minhash_signature_sql,
         simhash16_sql,
+        simhash_dedup_sql,
         simhash_near_pairs_sql,
     )
     from librecatastro_spark.ops.pipeline import training_data_pipeline_sql
@@ -1137,6 +1149,7 @@ def _ops_oracles() -> dict[str, str]:
         "minhash_signatures": minhash_signature_sql(n_hashes=8),
         "simhash16": f"SELECT doc_id, {simhash16_sql('text')} AS simhash16 FROM documents",
         "simhash_near_dup": simhash_near_pairs_sql(max_hamming=7),
+        "simhash_dedup_scaled": simhash_dedup_sql(),
         "doc_fingerprint": (
             f"SELECT doc_id, {fingerprint_sql('text')} AS fingerprint FROM documents"
         ),

@@ -225,3 +225,74 @@ def test_gated_lsh_recall_complete_on_shipped_corpora(spark, sf):
            minhash_lsh_pairs(docs_df, threshold=0.5, n_hashes=32, bands=16).collect()}
     assert lsh <= exact
     assert exact == lsh, f"missed {len(exact - lsh)}/{len(exact)} pairs"
+
+
+def test_simhash_combo_keys_exact_recall(spark):
+    """Block-combination keys (combo=5 of 8 blocks, 40-bit keys) must
+    return EXACTLY the brute-force pairs at h<=3 — the pigeonhole bound
+    max_hamming <= blocks - combo at the production operating point —
+    on the shipped sf0.001 corpus."""
+    docs_df = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet"
+    ).select("doc_id", "text")
+    sh = docs_df.select(
+        "doc_id", simhash64_udf(F.col("text")).alias("sh")
+    ).cache()
+    a, b = sh.alias("a"), sh.alias("b")
+    brute = {
+        (r["doc_a"], r["doc_b"], r["hamming"])
+        for r in a.join(b, F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.bit_count(F.col("a.sh").bitwiseXOR(F.col("b.sh"))).alias("hamming"),
+        )
+        .where(F.col("hamming") <= 3)
+        .collect()
+    }
+    combo = {
+        (r["doc_a"], r["doc_b"], r["hamming"])
+        for r in simhash_near_pairs(
+            docs_df, max_hamming=3, bands=8, combo=5
+        ).collect()
+    }
+    assert combo == brute and len(brute) > 0
+
+
+def test_simhash_combo_recall_condition_enforced():
+    with pytest.raises(ValueError):
+        from librecatastro_spark.ops.dedup import simhash_near_pairs as snp
+        # h=7 with combo=2 of 8 blocks breaks pigeonhole (7 > 8-2)
+        snp(None, max_hamming=7, bands=8, combo=2)
+
+
+def test_simhash_dedup_survivors(spark):
+    """simhash_dedup drop-list semantics on sf0.001: survivors are
+    exactly the min-id reps whose rep is never the higher element of a
+    qualifying (hamming<=3) rep pair; every dropped non-rep shares a sig
+    with a surviving-or-dropped lower id."""
+    from librecatastro_spark.ops.dedup import simhash_dedup
+
+    docs_df = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet"
+    ).select("doc_id", "text")
+    sh = docs_df.select(
+        "doc_id", simhash64_udf(F.col("text")).alias("sh")
+    ).cache()
+    survivors = {r[0] for r in simhash_dedup(docs_df).collect()}
+    reps = {r["rep"] for r in
+            sh.groupBy("sh").agg(F.min("doc_id").alias("rep")).collect()}
+    assert survivors <= reps and len(survivors) > 0
+    # reference: brute-force rep pairs, greedy drop-higher
+    rep_sig = {r["rep"]: r["sig"] for r in
+               sh.groupBy("sh").agg(F.min("doc_id").alias("rep"),
+                                    F.first("sh").alias("sig")).collect()}
+    rl = sorted(rep_sig)
+    drop = set()
+    for i, ra in enumerate(rl):
+        for rb in rl[i + 1:]:
+            # mask to 64 bits: sigs are SIGNED longs, and Python's xor of
+            # negatives would otherwise popcount the wrong bit pattern
+            if bin((rep_sig[ra] ^ rep_sig[rb]) & ((1 << 64) - 1)).count("1") <= 3:
+                drop.add(rb)
+    assert survivors == reps - drop
