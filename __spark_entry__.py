@@ -18,7 +18,12 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from librecatastro_spark.analyzer import analyze_text, duckdb_tokens_sql, tokenize_expr
+from librecatastro_spark.analyzer import (
+    analyze_text,
+    duckdb_phrase_sql,
+    duckdb_tokens_sql,
+    tokenize_expr,
+)
 from librecatastro_spark.bm25 import ROUND_DECIMALS, bm25_sql
 from librecatastro_spark.engine import ExactBM25
 from librecatastro_spark.engine.wand import CompressedIndex
@@ -84,6 +89,7 @@ def _bm25_oracle(
     must_not_text: str | None = None,
     should_text: str | None = None,
     offset: int = 0,
+    phrase: bool = False,
 ) -> str:
     terms = sorted(set(analyze_text(text)))
     should_terms = [
@@ -110,6 +116,14 @@ def _bm25_oracle(
         conds.append(
             "doc_id NOT IN (SELECT DISTINCT doc_id FROM toks WHERE term IN ("
             + _sql_terms(must_not_text) + "))"
+        )
+    if phrase:
+        # contiguous-sequence predicate over the same analyzed tokens
+        # (duckdb_phrase_sql == analyzer.phrase_expr); order + duplicates
+        # of the ORIGINAL query sequence matter here, unlike the term set
+        conds.append(
+            "doc_id IN (SELECT doc_id FROM documents WHERE "
+            + duckdb_phrase_sql("text", analyze_text(text)) + ")"
         )
     where = ("WHERE " + " AND ".join(conds)) if conds else ""
     off = f" OFFSET {offset}" if offset else ""
@@ -149,6 +163,21 @@ def _q_bool_must(spark, sf):
 
 def _q_must_not(spark, sf):
     return _engine(spark, sf).search("spark", k=10, must_not_text="window")
+
+
+def _q_match_phrase_exact(spark, sf):
+    # ES match_phrase analog on the exactness-oracle engine (B6 extension)
+    return _engine(spark, sf).match_phrase("scan merge", k=10)
+
+
+def _q_wand_match_phrase(spark, sf):
+    # production path: AND candidates from the compressed index (top-k cut
+    # disabled), contiguous-sequence verify on candidate rows of the
+    # source table (doc-id range pushed into the scan) — engine/wand.py
+    # match_phrase docstring has the full plan shape
+    return _index(spark, sf).match_phrase(
+        "scan merge", _docs(spark, sf), k=10, source_text_col="text"
+    )
 
 
 def _q_keyword(spark, sf):
@@ -896,8 +925,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     --extra."""
     return {
         "bm25_match_topk": _q_match,
-        "bm25_bool_must": _q_bool_must,
         "bm25_must_not": _q_must_not,
+        "wand_match_phrase": _q_wand_match_phrase,
         "glob_source_scan": _q_glob_source_scan,
         "probe_first_gap": _q_probe_first_gap,
         "wand_match_salted": _q_wand_match_salted,
@@ -976,6 +1005,13 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_keyword_filter": _q_keyword,
         "bm25_prefix_filter": _q_prefix,
         "bm25_should_boost": _q_should_boost,
+        # rotated out for wand_match_phrase (round-3 phrase capability):
+        # the AND shape stays gated through the production path via
+        # wand_bool_must, and the phrase gate itself exercises the same
+        # require_all scoring
+        "bm25_bool_must": _q_bool_must,
+        # exact-engine twin of the gated wand_match_phrase
+        "bm25_match_phrase": _q_match_phrase_exact,
         # exactness baseline for the gated banded near-dup (its oracle is
         # the exact cross-product, so this pairing keeps BOTH the exact
         # semantics and the approximate scale path oracle-checked)
@@ -994,6 +1030,12 @@ def oracle_sql() -> dict[str, str]:
     return {
         "bm25_match_topk": _bm25_oracle("spark join merge", k=10),
         "bm25_bool_must": _bm25_oracle("table window batch", k=10, require_all=True),
+        "wand_match_phrase": _bm25_oracle(
+            "scan merge", k=10, require_all=True, phrase=True
+        ),
+        "bm25_match_phrase": _bm25_oracle(
+            "scan merge", k=10, require_all=True, phrase=True
+        ),
         "bm25_must_not": _bm25_oracle("spark", k=10, must_not_text="window"),
         "bm25_keyword_filter": _bm25_oracle("merge sort", k=10, filters={"source": "src3"}),
         "bm25_prefix_filter": _bm25_oracle("query scan", k=10, prefix=("source", "src1")),

@@ -84,3 +84,26 @@ def duckdb_tokens_sql(col: str) -> str:
         f"list_filter(regexp_split_to_array(lower({col}), '{TOKEN_SPLIT_RE}'),"
         " x -> x <> '')"
     )
+
+
+def phrase_expr(col: Column | str, terms_seq: list[str]) -> Column:
+    """TRUE iff the analyzed token sequence of ``col`` contains
+    ``terms_seq`` contiguously (ES match_phrase position semantics,
+    slop 0). Tokens can never contain a space (TOKEN_RE is ``[a-z0-9_]+``),
+    so sentinel-padded space-joined containment is EXACT — no positional
+    postings needed to evaluate the predicate on a candidate document.
+    Pure Catalyst (split/filter/array_join/contains), whole-stage codegen."""
+    joined = F.concat(
+        F.lit(" "), F.array_join(tokenize_expr(col), " "), F.lit(" ")
+    )
+    return joined.contains(" " + " ".join(terms_seq) + " ")
+
+
+def duckdb_phrase_sql(col: str, terms_seq: list[str]) -> str:
+    """DuckDB twin of phrase_expr — same sentinel-padded containment over
+    the same analyzed token array."""
+    phrase = " ".join(terms_seq)
+    return (
+        f"contains(' ' || array_to_string({duckdb_tokens_sql(col)}, ' ')"
+        f" || ' ', ' {phrase} ')"
+    )

@@ -52,6 +52,7 @@ class ExactBM25:
     ) -> None:
         self.docs = docs
         self.id_col = id_col
+        self.text_col = text_col
         self.attrs = docs.select(F.col(id_col).alias("doc_id"), *attr_cols)
         self.postings = postings if postings is not None else term_freqs(docs, id_col, text_col)
         if cache:
@@ -153,6 +154,41 @@ class ExactBM25:
             "score", F.round("score", ROUND_DECIMALS)
         )
         ranked = scored.orderBy(F.desc("score"), F.asc("doc_id"))
+        if offset:
+            ranked = ranked.offset(offset)
+        return ranked.limit(k)
+
+    def match_phrase(self, text: str, k: int = 10, offset: int = 0) -> DataFrame:
+        """ES match_phrase analog (B6 extension; slop 0).
+
+        Match set: documents whose ANALYZED token sequence contains the
+        query's analyzed token sequence contiguously (duplicate terms and
+        order both matter — "batch batch" ≠ two scattered "batch").
+        Score: the BM25 sum over the phrase's DISTINCT terms (exactly the
+        ``require_all`` match score) — ES scores phrases by phrase
+        frequency instead; this engine's choice is simpler, rank-stable,
+        and twinned verbatim in the DuckDB oracle. Rank: (score DESC,
+        doc_id ASC), the B10 tiebreak.
+
+        Plan shape: require_all candidates (every phrase doc contains all
+        its terms, so this is a superset) LEFT SEMI the phrase-verified
+        doc set; the phrase predicate (analyzer.phrase_expr) is pure
+        Catalyst over the source text.
+        """
+        seq = analyze_text(text)
+        if not seq:
+            raise ValueError("phrase analyzes to zero terms")
+        from ..analyzer import phrase_expr
+
+        scored = self.match_scores(text, require_all=True).withColumn(
+            "score", F.round("score", ROUND_DECIMALS)
+        )
+        verified = self.docs.where(phrase_expr(self.text_col, seq)).select(
+            F.col(self.id_col).alias("doc_id")
+        )
+        ranked = scored.join(verified, "doc_id", "left_semi").orderBy(
+            F.desc("score"), F.asc("doc_id")
+        )
         if offset:
             ranked = ranked.offset(offset)
         return ranked.limit(k)

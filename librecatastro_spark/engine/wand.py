@@ -525,6 +525,83 @@ class CompressedIndex:
             ranked = ranked.offset(offset)
         return ranked.limit(k)
 
+    def match_phrase(
+        self,
+        text: str,
+        source: DataFrame,
+        k: int = 10,
+        offset: int = 0,
+        source_id_col: str = "doc_id",
+        source_text_col: str = "content",
+    ) -> DataFrame:
+        """ES match_phrase analog (B6 extension; slop 0) over the
+        compressed index — two-phase, no positional postings:
+
+        1. **Candidates from the index**: every phrase document contains
+           ALL the phrase's distinct terms, so the AND (require_all)
+           match set — computed by the existing intersection-pruned
+           shard scorer with the top-k cut disabled — is a complete
+           candidate superset, at O(query-term postings) cost.
+        2. **Verify on source**: candidates join the source table and the
+           contiguous-sequence predicate (analyzer.phrase_expr, pure
+           Catalyst) runs ONLY on joined rows. ES would store _source in
+           the index; Spark-first keeps the corpus in the lake and
+           re-reads candidate rows instead — the candidate doc-id
+           range (one constant-sized collect) is pushed into the source
+           scan as a BETWEEN so Parquet/Iceberg row-group stats prune
+           the non-candidate bulk, and the join side is small enough
+           that AQE broadcasts it.
+
+        Scoring = BM25 sum over the phrase's distinct terms (the
+        require_all score), rank (score DESC, doc_id ASC) — identical to
+        ExactBM25.match_phrase (rank-identity-tested) and twinned in the
+        DuckDB oracle. ES's phrase-frequency scoring is intentionally not
+        reproduced (documented divergence).
+        """
+        seq = analyze_text(text)
+        if not seq:
+            raise ValueError("phrase analyzes to zero terms")
+        from ..analyzer import phrase_expr
+
+        terms = sorted(set(seq))
+        idfs = self._idfs(terms)
+        if len(idfs) < len(terms):
+            # a phrase term absent from the corpus -> no document can match
+            return self.spark.createDataFrame([], _RESULT_SCHEMA)
+        blocks = self.postings.where(F.col("term").isin(terms))
+        fn = _shard_topk_fn(
+            terms, idfs, self.meta.avgdl, k=1 << 60, filtered=False,
+            must_not_terms=[], require_all=True,
+            dense_hint=int(self.meta.n_docs),
+        )
+        cands = (
+            blocks.groupBy("shard")
+            .applyInPandas(lambda key, bl: fn(bl), schema=_RESULT_SCHEMA)
+            .cache()
+        )
+        row = cands.agg(
+            F.min("doc_id").alias("lo"), F.max("doc_id").alias("hi")
+        ).collect()[0]
+        if row["lo"] is None:
+            return self.spark.createDataFrame([], _RESULT_SCHEMA)
+        verified = (
+            source.select(
+                F.col(source_id_col).alias("doc_id"),
+                F.col(source_text_col).alias("_text"),
+            )
+            .where(F.col("doc_id").between(int(row["lo"]), int(row["hi"])))
+            .where(phrase_expr(F.col("_text"), seq))
+            .select("doc_id")
+        )
+        ranked = (
+            cands.join(verified, "doc_id")
+            .withColumn("score", F.round("score", ROUND_DECIMALS))
+            .orderBy(F.desc("score"), F.asc("doc_id"))
+        )
+        if offset:
+            ranked = ranked.offset(offset)
+        return ranked.limit(k)
+
     _SEEK_COLS = (
         "term", "n_docs", "docs_enc", "tfs_enc", "dls_enc",
         "block_max_w", "idf_build", "first_doc_id", "last_doc_id",

@@ -1,0 +1,162 @@
+"""match_phrase (ES match_phrase analog, slop 0) — exactness gates.
+
+Semantics frozen by analyzer.phrase_expr: a document matches iff its
+ANALYZED token sequence contains the query's analyzed sequence
+contiguously (order + duplicates matter); score = BM25 sum over the
+phrase's distinct terms (the require_all score). Both engine paths
+(ExactBM25.match_phrase and CompressedIndex.match_phrase) must be
+rank-identical, and both must agree with a driver-side Python replica of
+the predicate.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from librecatastro_spark.analyzer import analyze_text, phrase_expr
+from librecatastro_spark.corpus import assign_doc_ids, generate_corpus
+from librecatastro_spark.engine import ExactBM25
+from librecatastro_spark.engine.wand import CompressedIndex
+from librecatastro_spark.index.builder import build_index
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    docs = generate_corpus(spark, 400, min_tokens=20, max_tokens=150, partitions=4)
+    return assign_doc_ids(docs).cache()
+
+
+@pytest.fixture(scope="module")
+def exact(corpus):
+    return ExactBM25(corpus, attr_cols=("repo", "path", "lang"), cache=True)
+
+
+@pytest.fixture(scope="module")
+def wand(spark, corpus, tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("pidx"))
+    build_index(
+        spark, corpus, out, attr_cols=("repo", "path", "lang"),
+        n_shards=4, block_size=16, salt_threshold=120, n_salts=4,
+    )
+    return CompressedIndex(spark, out)
+
+
+def rows(df):
+    return [(r["doc_id"], r["score"]) for r in df.collect()]
+
+
+def _py_phrase_docs(corpus, phrase: str) -> set[int]:
+    """Driver-side replica: contiguous subsequence over analyzed tokens."""
+    seq = analyze_text(phrase)
+    out = set()
+    for r in corpus.select("doc_id", "content").collect():
+        toks = analyze_text(r["content"])
+        n, m = len(toks), len(seq)
+        if any(toks[i:i + m] == seq for i in range(n - m + 1)):
+            out.add(r["doc_id"])
+    return out
+
+
+@pytest.fixture(scope="module")
+def live_phrase(corpus):
+    """Pick a bigram that actually occurs in the generated corpus so the
+    test never goes vacuous if the generator's vocabulary drifts."""
+    row = (
+        corpus.select(F.explode(F.split(F.lower("content"), "[^a-z0-9_]+")).alias("t"))
+        .where(F.col("t") != "")
+        .groupBy("t").count().orderBy(F.desc("count"), F.asc("t")).limit(2)
+        .collect()
+    )
+    hot = [r["t"] for r in row]
+    # scan for an existing adjacent pair among hot-term combinations
+    for a in hot:
+        for b in hot:
+            docs = corpus.where(phrase_expr("content", [a, b])).limit(1).count()
+            if docs:
+                return f"{a} {b}"
+    pytest.skip("no adjacent hot bigram in generated corpus")
+
+
+PHRASES = ["def return", "spark session builder", "return return", "import def"]
+
+
+@pytest.mark.parametrize("phrase", PHRASES)
+def test_phrase_paths_rank_identical(exact, wand, corpus, phrase):
+    e = rows(exact.match_phrase(phrase, k=10))
+    w = rows(wand.match_phrase(phrase, corpus, k=10, source_text_col="content"))
+    assert e == w
+
+
+def test_phrase_match_set_is_exact_subsequence(exact, corpus, live_phrase):
+    want = _py_phrase_docs(corpus, live_phrase)
+    assert want, "live_phrase fixture must return an occurring bigram"
+    got = {r["doc_id"] for r in exact.match_phrase(live_phrase, k=10_000).collect()}
+    assert got == want
+
+
+def test_phrase_subset_of_and_match(exact, wand, corpus):
+    """Every phrase hit must be in the AND (require_all) match set, and a
+    phrase can only shrink the set, never grow it."""
+    phrase = "def return"
+    and_docs = {r["doc_id"] for r in exact.search(phrase, k=10_000, require_all=True).collect()}
+    ph_docs = {
+        r["doc_id"]
+        for r in wand.match_phrase(phrase, corpus, k=10_000, source_text_col="content").collect()
+    }
+    assert ph_docs <= and_docs
+
+
+def test_phrase_duplicate_term_sequence_semantics(spark):
+    """'batch batch' must require ADJACENT duplicates — a doc with two
+    scattered 'batch' tokens matches AND but not the phrase."""
+    docs = spark.createDataFrame(
+        [
+            (0, "batch batch stream"),       # phrase hit
+            (1, "batch stream batch"),       # AND hit, phrase miss
+            (2, "stream batch"),             # single term only
+        ],
+        "doc_id long, content string",
+    )
+    eng = ExactBM25(docs)
+    and_ids = {r["doc_id"] for r in eng.search("batch batch", k=10, require_all=True).collect()}
+    ph_ids = {r["doc_id"] for r in eng.match_phrase("batch batch", k=10).collect()}
+    assert and_ids == {0, 1, 2}  # distinct-term AND: just 'batch'
+    assert ph_ids == {0}
+
+
+def test_phrase_order_matters(spark):
+    docs = spark.createDataFrame(
+        [(0, "alpha beta"), (1, "beta alpha")], "doc_id long, content string"
+    )
+    eng = ExactBM25(docs)
+    assert {r["doc_id"] for r in eng.match_phrase("alpha beta").collect()} == {0}
+    assert {r["doc_id"] for r in eng.match_phrase("beta alpha").collect()} == {1}
+
+
+def test_phrase_boundaries_not_substring(spark):
+    """Token-boundary exactness: 'cat' must not phrase-match 'catalog',
+    and the sentinel padding must let a phrase match at doc start/end."""
+    docs = spark.createDataFrame(
+        [
+            (0, "cat dog"),         # phrase at doc start
+            (1, "big cat dog"),     # phrase at doc end
+            (2, "catalog dog"),     # substring trap
+            (3, "cat dogma"),       # second-term substring trap
+        ],
+        "doc_id long, content string",
+    )
+    eng = ExactBM25(docs)
+    assert {r["doc_id"] for r in eng.match_phrase("cat dog", k=10).collect()} == {0, 1}
+
+
+def test_phrase_absent_term_returns_empty(exact, wand, corpus):
+    assert rows(exact.match_phrase("def zzznotindexed")) == []
+    assert rows(wand.match_phrase("def zzznotindexed", corpus, source_text_col="content")) == []
+
+
+def test_phrase_zero_terms_raises(exact, wand, corpus):
+    with pytest.raises(ValueError):
+        exact.match_phrase("!!!")
+    with pytest.raises(ValueError):
+        wand.match_phrase("!!!", corpus, source_text_col="content")
