@@ -165,6 +165,17 @@ def _q_must_not(spark, sf):
     return _engine(spark, sf).search("spark", k=10, must_not_text="window")
 
 
+def _q_wand_fuzzy_term(spark, sf):
+    # ES fuzzy analog on the production path: vocab-scan Levenshtein
+    # expansion over the term dictionary, In(term) pushed to postings
+    return _index(spark, sf).fuzzy_term_search("marge", k=10, max_edits=1)
+
+
+def _q_fuzzy_term_exact(spark, sf):
+    # exactness twin: per-posting Levenshtein, no dictionary expansion
+    return _engine(spark, sf).fuzzy_term_search("marge", k=10, max_edits=1)
+
+
 def _q_match_phrase_exact(spark, sf):
     # ES match_phrase analog on the exactness-oracle engine (B6 extension)
     return _engine(spark, sf).match_phrase("scan merge", k=10)
@@ -925,8 +936,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     --extra."""
     return {
         "bm25_match_topk": _q_match,
-        "bm25_must_not": _q_must_not,
         "wand_match_phrase": _q_wand_match_phrase,
+        "wand_fuzzy_term": _q_wand_fuzzy_term,
         "glob_source_scan": _q_glob_source_scan,
         "probe_first_gap": _q_probe_first_gap,
         "wand_match_salted": _q_wand_match_salted,
@@ -1010,8 +1021,13 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # wand_bool_must, and the phrase gate itself exercises the same
         # require_all scoring
         "bm25_bool_must": _q_bool_must,
-        # exact-engine twin of the gated wand_match_phrase
+        # rotated out for wand_fuzzy_term (round-3 fuzzy capability): the
+        # must_not shape stays gated through the production path via
+        # wand_must_not
+        "bm25_must_not": _q_must_not,
+        # exact-engine twins of the gated phrase/fuzzy queries
         "bm25_match_phrase": _q_match_phrase_exact,
+        "bm25_fuzzy_term": _q_fuzzy_term_exact,
         # exactness baseline for the gated banded near-dup (its oracle is
         # the exact cross-product, so this pairing keeps BOTH the exact
         # semantics and the approximate scale path oracle-checked)
@@ -1047,6 +1063,21 @@ def oracle_sql() -> dict[str, str]:
 WITH {_TOKS_CTE}
 SELECT doc_id, 1.0::DOUBLE AS score FROM (
   SELECT DISTINCT doc_id FROM toks WHERE term LIKE 's%'
+) ORDER BY doc_id ASC LIMIT 10
+""",
+        # fuzzy: classic Levenshtein (duckdb levenshtein == Spark
+        # F.levenshtein), constant score, doc_id order — same contract
+        # as term_prefix_match
+        "wand_fuzzy_term": f"""
+WITH {_TOKS_CTE}
+SELECT doc_id, 1.0::DOUBLE AS score FROM (
+  SELECT DISTINCT doc_id FROM toks WHERE levenshtein(term, 'marge') <= 1
+) ORDER BY doc_id ASC LIMIT 10
+""",
+        "bm25_fuzzy_term": f"""
+WITH {_TOKS_CTE}
+SELECT doc_id, 1.0::DOUBLE AS score FROM (
+  SELECT DISTINCT doc_id FROM toks WHERE levenshtein(term, 'marge') <= 1
 ) ORDER BY doc_id ASC LIMIT 10
 """,
         "content_sha256": "SELECT doc_id, sha256(text) AS sha FROM documents",

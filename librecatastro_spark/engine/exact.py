@@ -210,6 +210,28 @@ class ExactBM25:
             .limit(k)
         )
 
+    def fuzzy_term_search(
+        self, term: str, k: int = 10, max_edits: int = 1, prefix_len: int = 0
+    ) -> DataFrame:
+        """ES ``fuzzy`` analog, exactness-oracle form: Levenshtein is
+        evaluated directly per posting row (no dictionary expansion), so
+        this is the semantics definition the compressed path's
+        vocab-expansion + In-filter plan must reproduce. Constant score
+        1.0, doc_id order — same contract as term_prefix_search."""
+        q = analyze_text(term)
+        if len(q) != 1:
+            raise ValueError("fuzzy_term_search takes exactly one analyzed term")
+        qt = q[0]
+        cond = F.levenshtein(F.col("term"), F.lit(qt)) <= max_edits
+        if prefix_len > 0:
+            cond = F.col("term").startswith(qt[:prefix_len]) & cond
+        matched = self.postings.where(cond).select("doc_id").distinct()
+        return (
+            matched.select("doc_id", F.lit(1.0).alias("score"))
+            .orderBy(F.asc("doc_id"))
+            .limit(k)
+        )
+
     def hits_total(self, text: str, **kwargs) -> int:
         """ES hits.total analog (B11) — exact count of the match set."""
         return self.match_scores(text, **kwargs).count()

@@ -964,20 +964,11 @@ class CompressedIndex:
         ).iloc[offset : offset + k]
         return out.reset_index(drop=True)
 
-    def term_prefix_search(self, prefix: str, k: int = 10) -> DataFrame:
-        """B5 prefix query as a term-dictionary RANGE scan: the predicate
-        ``term >= p AND term < p + U+10FFFF`` reaches the Parquet scan as
-        min/max row-group pruning (postings are written sorted by term, so
-        non-matching row groups are skipped — the Lucene term-dictionary
-        seek analog). Constant-score 1.0, deterministic doc_id order."""
-        # [prefix, successor(prefix)) is EXACTLY the startswith set under
-        # codepoint-lexicographic comparison (Spark's UTF8String order),
-        # with both endpoints plain literals the Parquet scan prunes on
-        hi = _prefix_successor(prefix)
-        cond = F.col("term") >= prefix
-        if hi is not None:
-            cond = cond & (F.col("term") < hi)
-        blocks = self.postings.where(cond)
+    def _constant_score_docs(self, blocks: DataFrame, k: int) -> DataFrame:
+        """Distinct doc_ids of the given posting blocks, constant score 1.0,
+        deterministic doc_id order — the shared tail of the term-expansion
+        queries (prefix, fuzzy). Per-shard decode keeps only its local
+        top-k by doc_id, so the merge shuffles O(shards × k) rows."""
 
         def fn(pdf: pd.DataFrame) -> pd.DataFrame:
             parts = [delta_decode(decode_varbyte(e)) for e in pdf["docs_enc"]]
@@ -994,3 +985,58 @@ class CompressedIndex:
             lambda key, b: fn(b), schema=_RESULT_SCHEMA
         )
         return partial.orderBy(F.asc("doc_id")).limit(k)
+
+    def term_prefix_search(self, prefix: str, k: int = 10) -> DataFrame:
+        """B5 prefix query as a term-dictionary RANGE scan: the predicate
+        ``term >= p AND term < p + U+10FFFF`` reaches the Parquet scan as
+        min/max row-group pruning (postings are written sorted by term, so
+        non-matching row groups are skipped — the Lucene term-dictionary
+        seek analog). Constant-score 1.0, deterministic doc_id order."""
+        # [prefix, successor(prefix)) is EXACTLY the startswith set under
+        # codepoint-lexicographic comparison (Spark's UTF8String order),
+        # with both endpoints plain literals the Parquet scan prunes on
+        hi = _prefix_successor(prefix)
+        cond = F.col("term") >= prefix
+        if hi is not None:
+            cond = cond & (F.col("term") < hi)
+        return self._constant_score_docs(self.postings.where(cond), k)
+
+    def fuzzy_term_search(
+        self, term: str, k: int = 10, max_edits: int = 1, prefix_len: int = 0
+    ) -> DataFrame:
+        """ES ``fuzzy`` query analog (B5 sibling): docs containing ≥1
+        indexed term within ``max_edits`` Levenshtein edits of ``term``.
+
+        Candidate expansion runs over the TERM DICTIONARY, not the
+        postings: Lucene walks an edit-distance automaton over its FST;
+        the Spark-first analog is a column-pruned scan of term_stats with
+        a codegen'd length band + F.levenshtein filter — O(vocab), which
+        is orders of magnitude below O(corpus), embarrassingly parallel,
+        and (like ES's ``prefix_length``) an optional common-prefix
+        constraint pushes StringStartsWith into the vocab scan. The
+        matched terms (a vocab-bounded, typically tiny list) then push an
+        ``In(term, …)`` filter into the postings scan.
+
+        Constant score 1.0 with deterministic doc_id order — the same
+        contract as ``term_prefix_search`` (ES scores fuzzy matches with
+        a fuzziness-discounted BM25; constant-score is this engine's
+        documented choice, twinned in the oracle). Classic Levenshtein
+        (Spark == DuckDB); ES additionally counts transpositions as one
+        edit by default — documented divergence.
+        """
+        q = analyze_text(term)
+        if len(q) != 1:
+            raise ValueError("fuzzy_term_search takes exactly one analyzed term")
+        qt = q[0]
+        vocab = self.term_stats.select("term")
+        if prefix_len > 0:
+            vocab = vocab.where(F.col("term").startswith(qt[:prefix_len]))
+        vocab = vocab.where(
+            F.length("term").between(len(qt) - max_edits, len(qt) + max_edits)
+        ).where(F.levenshtein(F.col("term"), F.lit(qt)) <= max_edits)
+        cands = [r["term"] for r in vocab.collect()]
+        if not cands:
+            return self.spark.createDataFrame([], _RESULT_SCHEMA)
+        return self._constant_score_docs(
+            self.postings.where(F.col("term").isin(cands)), k
+        )

@@ -160,3 +160,57 @@ def test_phrase_zero_terms_raises(exact, wand, corpus):
         exact.match_phrase("!!!")
     with pytest.raises(ValueError):
         wand.match_phrase("!!!", corpus, source_text_col="content")
+
+
+# ---------------------------------------------------------------- fuzzy --
+
+
+@pytest.mark.parametrize("q,d", [("retur", 1), ("clsas", 2), ("impor", 1), ("lambda", 0)])
+def test_fuzzy_paths_identical(exact, wand, q, d):
+    e = rows(exact.fuzzy_term_search(q, k=50, max_edits=d))
+    w = rows(wand.fuzzy_term_search(q, k=50, max_edits=d))
+    assert e == w
+
+
+def test_fuzzy_matches_python_levenshtein(exact, corpus):
+    """The match set equals a driver-side replica over analyzed tokens."""
+    import difflib  # noqa: F401  (documentation only; we hand-roll DP)
+
+    def lev(a: str, b: str) -> int:
+        prev = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            cur = [i]
+            for j, cb in enumerate(b, 1):
+                cur.append(min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb)))
+            prev = cur
+        return prev[-1]
+
+    q, d = "retur", 1
+    want = set()
+    for r in corpus.select("doc_id", "content").collect():
+        if any(lev(t, q) <= d for t in set(analyze_text(r["content"]))):
+            want.add(r["doc_id"])
+    got = {r["doc_id"] for r in exact.fuzzy_term_search(q, k=10_000, max_edits=d).collect()}
+    assert got == want and got
+
+
+def test_fuzzy_prefix_len_constrains(exact, wand):
+    """prefix_len=1 keeps only expansions sharing the first letter —
+    identical on both paths and a subset of the unconstrained set."""
+    free = {r["doc_id"] for r in wand.fuzzy_term_search("retur", k=10_000).collect()}
+    pinned_w = rows(wand.fuzzy_term_search("retur", k=10_000, prefix_len=1))
+    pinned_e = rows(exact.fuzzy_term_search("retur", k=10_000, prefix_len=1))
+    assert pinned_w == pinned_e
+    assert {d for d, _ in pinned_w} <= free
+
+
+def test_fuzzy_no_candidates_empty(exact, wand):
+    assert rows(exact.fuzzy_term_search("zzzzqqqqxxxx", max_edits=1)) == []
+    assert rows(wand.fuzzy_term_search("zzzzqqqqxxxx", max_edits=1)) == []
+
+
+def test_fuzzy_multiword_raises(exact, wand):
+    with pytest.raises(ValueError):
+        exact.fuzzy_term_search("two words")
+    with pytest.raises(ValueError):
+        wand.fuzzy_term_search("two words")
