@@ -144,6 +144,39 @@ LIMIT {k}{off}
 """
 
 
+def _mlt_oracle(
+    doc_id: int,
+    k: int = 10,
+    max_query_terms: int = 12,
+    min_term_freq: int = 1,
+    min_doc_freq: int = 2,
+) -> str:
+    """DuckDB twin of more_like_this: same float-free term selection
+    (tf DESC, df ASC, term ASC — engine/exact.py mlt_select_terms), same
+    OR-match BM25 scoring, source doc excluded."""
+    w = bm25_sql("tf.tf", "dfq.df", "dl.dl", "g.n", "g.avgdl")
+    return f"""
+WITH {_TOKS_CTE},
+dfall AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY 1),
+sel AS (
+  SELECT s.term FROM tf s JOIN dfall d USING (term)
+  WHERE s.doc_id = {doc_id} AND d.df >= {min_doc_freq} AND s.tf >= {min_term_freq}
+  ORDER BY s.tf DESC, d.df ASC, s.term ASC
+  LIMIT {max_query_terms}
+),
+dfq AS (SELECT term, df FROM dfall WHERE term IN (SELECT term FROM sel)),
+scored AS (
+  SELECT tf.doc_id, sum({w}) AS raw
+  FROM tf JOIN dfq USING (term) JOIN dl USING (doc_id) CROSS JOIN g
+  WHERE tf.term IN (SELECT term FROM sel) AND tf.doc_id <> {doc_id}
+  GROUP BY tf.doc_id
+)
+SELECT doc_id, round(raw, {ROUND_DECIMALS}) AS score FROM scored
+ORDER BY round(raw, {ROUND_DECIMALS}) DESC, doc_id ASC
+LIMIT {k}
+"""
+
+
 # --------------------------------------------------------------------- #
 # queries
 # --------------------------------------------------------------------- #
@@ -163,6 +196,22 @@ def _q_bool_must(spark, sf):
 
 def _q_must_not(spark, sf):
     return _engine(spark, sf).search("spark", k=10, must_not_text="window")
+
+
+def _q_wand_mlt(spark, sf):
+    # ES more_like_this on the production path: point-lookup + re-analyze
+    # doc 7, float-free characteristic-term selection, OR match excluding
+    # the source doc
+    return _index(spark, sf).more_like_this(
+        7, _docs(spark, sf), k=10, max_query_terms=8, min_doc_freq=2,
+        source_text_col="text",
+    )
+
+
+def _q_mlt_exact(spark, sf):
+    return _engine(spark, sf).more_like_this(
+        7, k=10, max_query_terms=8, min_doc_freq=2
+    )
 
 
 def _q_wand_fuzzy_term(spark, sf):
@@ -976,7 +1025,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "anti_join_resume": _q_anti_join,
         "upsert_last_write_wins": _q_latest_event,
         "topk_orders": _q_topk_orders,
-        "nested_exists": _q_nested_exists,
+        "wand_more_like_this": _q_wand_mlt,
         "nested_reform_exists": _q_nested_reform,
         "q1_pricing_summary": _q_q1_pricing,
         "revenue_per_nation": _q_revenue_per_nation,
@@ -1025,9 +1074,13 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # must_not shape stays gated through the production path via
         # wand_must_not
         "bm25_must_not": _q_must_not,
-        # exact-engine twins of the gated phrase/fuzzy queries
+        # rotated out for wand_more_like_this (round-3 MLT capability):
+        # two-level nesting stays gated via nested_reform_exists
+        "nested_exists": _q_nested_exists,
+        # exact-engine twins of the gated phrase/fuzzy/MLT queries
         "bm25_match_phrase": _q_match_phrase_exact,
         "bm25_fuzzy_term": _q_fuzzy_term_exact,
+        "bm25_more_like_this": _q_mlt_exact,
         # exactness baseline for the gated banded near-dup (its oracle is
         # the exact cross-product, so this pairing keeps BOTH the exact
         # semantics and the approximate scale path oracle-checked)
@@ -1080,6 +1133,8 @@ SELECT doc_id, 1.0::DOUBLE AS score FROM (
   SELECT DISTINCT doc_id FROM toks WHERE levenshtein(term, 'marge') <= 1
 ) ORDER BY doc_id ASC LIMIT 10
 """,
+        "wand_more_like_this": _mlt_oracle(7, k=10, max_query_terms=8, min_doc_freq=2),
+        "bm25_more_like_this": _mlt_oracle(7, k=10, max_query_terms=8, min_doc_freq=2),
         "content_sha256": "SELECT doc_id, sha256(text) AS sha FROM documents",
         "sha_invariant_corpus_index": """
 SELECT count(*)::BIGINT AS n_docs, 0::BIGINT AS n_mismatch FROM documents

@@ -26,6 +26,34 @@ from ..bm25 import ROUND_DECIMALS, bm25_weight_expr
 from ..stats import CorpusStats, corpus_stats, term_freqs
 
 
+def mlt_select_terms(
+    toks: list[str],
+    dfs: dict[str, int],
+    max_query_terms: int,
+    min_term_freq: int,
+    min_doc_freq: int,
+) -> list[str]:
+    """ES more_like_this term selection, made float-free.
+
+    ES ranks a doc's terms by tf·idf before building the OR query; tf·idf
+    is monotone in (tf ↑, df ↓), so ranking by the LEXICOGRAPHIC
+    (tf DESC, df ASC, term ASC) order keeps the same signal while being
+    exactly reproducible in SQL — no cross-engine float (ln/log1p)
+    ordering hazard can ever flip which terms get selected. One shared
+    definition for both engine paths and the DuckDB twin.
+    """
+    from collections import Counter
+
+    tf = Counter(toks)
+    kept = [
+        t
+        for t in tf
+        if tf[t] >= min_term_freq and dfs.get(t, 0) >= min_doc_freq
+    ]
+    kept.sort(key=lambda t: (-tf[t], dfs[t], t))
+    return kept[:max_query_terms]
+
+
 class ExactBM25:
     """In-memory exact engine over a documents DataFrame.
 
@@ -207,6 +235,56 @@ class ExactBM25:
         return (
             matched.select("doc_id", F.lit(1.0).alias("score"))
             .orderBy(F.asc("doc_id"))
+            .limit(k)
+        )
+
+    def more_like_this(
+        self,
+        doc_id,
+        k: int = 10,
+        max_query_terms: int = 12,
+        min_term_freq: int = 1,
+        min_doc_freq: int = 2,
+    ) -> DataFrame:
+        """ES more_like_this analog: re-analyze the source document, pick
+        its most characteristic terms (mlt_select_terms — the float-free
+        tf/df rank), run the standard OR match over them, exclude the
+        source doc (ES include=false default), BM25 top-k.
+
+        The source-doc fetch is a point lookup (A5/A9 shape, pushed
+        filter) collecting ONE row; the df lookup for its terms is
+        vocab-bounded — both constant-sized driver materializations.
+        """
+        row = (
+            self.docs.where(F.col(self.id_col) == F.lit(doc_id))
+            .select(self.text_col)
+            .collect()
+        )
+        if not row:
+            return self.docs.sparkSession.createDataFrame(
+                [], "doc_id long, score double"
+            )
+        toks = analyze_text(row[0][0])
+        dfs = {
+            r["term"]: r["df"]
+            for r in self.postings.where(F.col("term").isin(list(set(toks))))
+            .groupBy("term")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .collect()
+        }
+        sel = mlt_select_terms(
+            toks, dfs, max_query_terms, min_term_freq, min_doc_freq
+        )
+        if not sel:
+            return self.docs.sparkSession.createDataFrame(
+                [], "doc_id long, score double"
+            )
+        scored = self.match_scores(" ".join(sel)).where(
+            F.col("doc_id") != F.lit(doc_id)
+        )
+        return (
+            scored.withColumn("score", F.round("score", ROUND_DECIMALS))
+            .orderBy(F.desc("score"), F.asc("doc_id"))
             .limit(k)
         )
 

@@ -964,6 +964,58 @@ class CompressedIndex:
         ).iloc[offset : offset + k]
         return out.reset_index(drop=True)
 
+    def more_like_this(
+        self,
+        doc_id,
+        source: DataFrame,
+        k: int = 10,
+        max_query_terms: int = 12,
+        min_term_freq: int = 1,
+        min_doc_freq: int = 2,
+        source_id_col: str = "doc_id",
+        source_text_col: str = "content",
+    ) -> DataFrame:
+        """ES more_like_this analog over the compressed index.
+
+        1. Point-lookup the source doc's text (pushed equality filter on
+           the source table — the A5/A9 shape; ES re-analyzes _source the
+           same way) and re-analyze it driver-side (one doc — constant).
+        2. Select its characteristic terms with mlt_select_terms (shared
+           float-free tf/df rank; df from the term dictionary, resident
+           when small, else a vocab-bounded collect).
+        3. Run the standard block-max OR match over the selected terms
+           with the source doc excluded (ES include=false default).
+        """
+        row = (
+            source.where(F.col(source_id_col) == F.lit(doc_id))
+            .select(source_text_col)
+            .collect()
+        )
+        if not row:
+            return self.spark.createDataFrame([], _RESULT_SCHEMA)
+        toks = analyze_text(row[0][0])
+        want = sorted(set(toks))
+        if self._df_local is not None:
+            dfs = {t: self._df_local[t] for t in want if t in self._df_local}
+        else:
+            dfs = {
+                r["term"]: r["df"]
+                for r in self.term_stats.where(F.col("term").isin(want)).collect()
+            }
+        from .exact import mlt_select_terms
+
+        sel = mlt_select_terms(
+            toks, dfs, max_query_terms, min_term_freq, min_doc_freq
+        )
+        if not sel:
+            return self.spark.createDataFrame([], _RESULT_SCHEMA)
+        # k+1 local window: the excluded source doc can displace at most
+        # one row of the global top-k
+        res = self.search(" ".join(sel), k=k + 1).where(
+            F.col("doc_id") != F.lit(doc_id)
+        )
+        return res.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+
     def _constant_score_docs(self, blocks: DataFrame, k: int) -> DataFrame:
         """Distinct doc_ids of the given posting blocks, constant score 1.0,
         deterministic doc_id order — the shared tail of the term-expansion

@@ -214,3 +214,43 @@ def test_fuzzy_multiword_raises(exact, wand):
         exact.fuzzy_term_search("two words")
     with pytest.raises(ValueError):
         wand.fuzzy_term_search("two words")
+
+
+# ------------------------------------------------------- more_like_this --
+
+
+@pytest.mark.parametrize("doc", [0, 7, 201, 399])
+def test_mlt_paths_rank_identical(exact, wand, corpus, doc):
+    e = rows(exact.more_like_this(doc, k=10, max_query_terms=8))
+    w = rows(wand.more_like_this(doc, corpus, k=10, max_query_terms=8,
+                                 source_text_col="content"))
+    assert e == w and len(e) > 0
+
+
+def test_mlt_excludes_source_doc(exact, wand, corpus):
+    for doc in (0, 7):
+        assert doc not in {d for d, _ in rows(exact.more_like_this(doc, k=1000))}
+        assert doc not in {
+            d for d, _ in
+            rows(wand.more_like_this(doc, corpus, k=1000, source_text_col="content"))
+        }
+
+
+def test_mlt_missing_doc_empty(exact, wand, corpus):
+    assert rows(exact.more_like_this(10**9)) == []
+    assert rows(wand.more_like_this(10**9, corpus, source_text_col="content")) == []
+
+
+def test_mlt_term_selection_rule(spark):
+    """mlt_select_terms: tf desc, then rarer (df asc), then term asc;
+    min_term_freq / min_doc_freq thresholds apply before the cut."""
+    from librecatastro_spark.engine.exact import mlt_select_terms
+
+    toks = ["b", "b", "a", "a", "c", "d", "d", "d", "rareonce"]
+    dfs = {"a": 5, "b": 2, "c": 9, "d": 9, "rareonce": 1}
+    # tf: d=3 > (a=2,b=2) > (c=1, rareonce=1); b beats a on df; rareonce
+    # dropped by min_doc_freq=2
+    assert mlt_select_terms(toks, dfs, 10, 1, 2) == ["d", "b", "a", "c"]
+    assert mlt_select_terms(toks, dfs, 2, 1, 2) == ["d", "b"]
+    assert mlt_select_terms(toks, dfs, 10, 2, 2) == ["d", "b", "a"]
+    assert mlt_select_terms([], dfs, 10, 1, 1) == []
