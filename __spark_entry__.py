@@ -144,6 +144,31 @@ LIMIT {k}{off}
 """
 
 
+def _highlight_oracle(text: str, k: int = 10, frag_tokens: int = 5) -> str:
+    """DuckDB twin of search_highlighted: the standard BM25 top-k plus
+    the frozen fragment semantics of engine/highlight.py."""
+    from librecatastro_spark.engine.highlight import duckdb_highlight_sql
+
+    terms = sorted(set(analyze_text(text)))
+    tl = ", ".join(f"'{t}'" for t in terms)
+    w = bm25_sql("tf.tf", "dfq.df", "dl.dl", "g.n", "g.avgdl")
+    return f"""
+WITH {_TOKS_CTE},
+dfq AS (SELECT term, count(*)::DOUBLE AS df FROM tf WHERE term IN ({tl}) GROUP BY 1),
+scored AS (
+  SELECT tf.doc_id, sum({w}) AS raw
+  FROM tf JOIN dfq USING (term) JOIN dl USING (doc_id) CROSS JOIN g
+  WHERE tf.term IN ({tl}) GROUP BY tf.doc_id
+),
+topk AS (
+  SELECT doc_id, round(raw, {ROUND_DECIMALS}) AS score FROM scored
+  ORDER BY round(raw, {ROUND_DECIMALS}) DESC, doc_id ASC LIMIT {k}
+),
+{duckdb_highlight_sql(terms, "text", frag_tokens)}
+SELECT t.doc_id, t.score, hl.snippet FROM topk t LEFT JOIN hl USING (doc_id)
+"""
+
+
 def _mlt_oracle(
     doc_id: int,
     k: int = 10,
@@ -196,6 +221,18 @@ def _q_bool_must(spark, sf):
 
 def _q_must_not(spark, sf):
     return _engine(spark, sf).search("spark", k=10, must_not_text="window")
+
+
+def _q_wand_highlight(spark, sf):
+    # ES highlight analog: top-k + token-window snippets for just the
+    # hit docs (broadcast semi-join before tokenize)
+    return _index(spark, sf).search_highlighted(
+        "spark join merge", _docs(spark, sf), k=10, source_text_col="text"
+    )
+
+
+def _q_highlight_exact(spark, sf):
+    return _engine(spark, sf).search_highlighted("spark join merge", k=10)
 
 
 def _q_wand_mlt(spark, sf):
@@ -1081,6 +1118,10 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_match_phrase": _q_match_phrase_exact,
         "bm25_fuzzy_term": _q_fuzzy_term_exact,
         "bm25_more_like_this": _q_mlt_exact,
+        # ES highlight analog, both paths (extra-only: the 50 gated slots
+        # all carry distinct capabilities already)
+        "wand_highlight": _q_wand_highlight,
+        "bm25_highlight": _q_highlight_exact,
         # exactness baseline for the gated banded near-dup (its oracle is
         # the exact cross-product, so this pairing keeps BOTH the exact
         # semantics and the approximate scale path oracle-checked)
@@ -1135,6 +1176,8 @@ SELECT doc_id, 1.0::DOUBLE AS score FROM (
 """,
         "wand_more_like_this": _mlt_oracle(7, k=10, max_query_terms=8, min_doc_freq=2),
         "bm25_more_like_this": _mlt_oracle(7, k=10, max_query_terms=8, min_doc_freq=2),
+        "wand_highlight": _highlight_oracle("spark join merge", k=10),
+        "bm25_highlight": _highlight_oracle("spark join merge", k=10),
         "content_sha256": "SELECT doc_id, sha256(text) AS sha FROM documents",
         "sha_invariant_corpus_index": """
 SELECT count(*)::BIGINT AS n_docs, 0::BIGINT AS n_mismatch FROM documents

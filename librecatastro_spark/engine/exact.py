@@ -310,6 +310,28 @@ class ExactBM25:
             .limit(k)
         )
 
+    def search_highlighted(
+        self, text: str, k: int = 10, frag_tokens: int = 5, **kwargs
+    ) -> DataFrame:
+        """ES highlight analog: top-k search + per-hit snippet (doc_id,
+        score, snippet). Snippets are computed ONLY for the k hit docs
+        (semi-join restriction before tokenization), see
+        engine/highlight.py for the frozen fragment semantics."""
+        from .highlight import highlight_snippets
+
+        hits = self.search(text, k=k, **kwargs)
+        terms = sorted(set(analyze_text(text)))
+        cand = self.docs.join(
+            F.broadcast(hits.withColumnRenamed("doc_id", self.id_col).select(self.id_col)),
+            self.id_col,
+            "left_semi",
+        )
+        hl = highlight_snippets(
+            cand, terms, id_col=self.id_col, text_col=self.text_col,
+            frag_tokens=frag_tokens,
+        )
+        return hits.join(hl, "doc_id", "left").select("doc_id", "score", "snippet")
+
     def hits_total(self, text: str, **kwargs) -> int:
         """ES hits.total analog (B11) — exact count of the match set."""
         return self.match_scores(text, **kwargs).count()

@@ -1,0 +1,109 @@
+"""Highlighted snippets (ES ``highlight`` analog).
+
+ES returns per-hit text fragments with matched terms wrapped in
+``<em>…</em>``; its highlighter operates on the ANALYZED field. This
+engine does the same, with frozen, SQL-twinnable semantics:
+
+  * tokens = the standard analyzer chain (analyzer.tokenize_expr);
+  * the fragment is the window of ``2·frag_tokens + 1`` analyzed tokens
+    centered on the FIRST matched token occurrence;
+  * every matched token inside the fragment is wrapped in pre/post tags;
+  * the snippet is the fragment joined with single spaces.
+
+Everything is pure Catalyst higher-order functions (filter/transform/
+slice/array_join) — JVM-side, codegen, no UDFs — and each step has an
+exact DuckDB twin (duckdb_highlight_sql). Docs with no matched token get
+no row (ES omits the highlight block too).
+
+Scale notes: the token array is materialized ONCE in a projection before
+any lambda references it — captured expressions inside Spark HOF lambdas
+re-evaluate per element, so passing ``tokenize_expr(col)`` straight into
+``filter``/``transform`` would re-tokenize the document O(tokens) times.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..analyzer import duckdb_tokens_sql, tokenize_expr
+
+
+def _terms_array(terms: list[str]) -> Column:
+    return F.array(*[F.lit(t) for t in terms])
+
+
+def highlight_snippets(
+    docs: DataFrame,
+    terms: list[str],
+    id_col: str = "doc_id",
+    text_col: str = "content",
+    frag_tokens: int = 5,
+    pre: str = "<em>",
+    post: str = "</em>",
+) -> DataFrame:
+    """(doc_id, snippet) for every doc containing ≥1 of ``terms``.
+
+    terms must already be analyzed (lowercase analyzer tokens).
+    """
+    if not terms:
+        raise ValueError("highlight needs at least one term")
+    tarr = _terms_array(sorted(set(terms)))
+    # 1) materialize the token array once (see module docstring)
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"), tokenize_expr(text_col).alias("_toks")
+    )
+    # 2) first matched position (0-based): filter the index sequence, not
+    #    the tokens, so the lambda captures only the materialized column
+    hit = toks.withColumn(
+        "_hit",
+        F.array_min(
+            F.filter(
+                F.sequence(F.lit(0), F.size("_toks") - 1),
+                lambda i: F.array_contains(tarr, F.element_at(F.col("_toks"), i + 1)),
+            )
+        ),
+    ).where(F.col("_hit").isNotNull())
+    # 3) token window [hit-w, hit+w], wrapped + joined
+    lo = F.greatest(F.lit(0), F.col("_hit") - frag_tokens)
+    n_take = F.col("_hit") + frag_tokens + 1 - lo
+    frag = F.slice(F.col("_toks"), lo + 1, n_take)  # slice() is 1-based
+    wrapped = F.transform(
+        frag,
+        lambda t: F.when(
+            F.array_contains(tarr, t), F.concat(F.lit(pre), t, F.lit(post))
+        ).otherwise(t),
+    )
+    return hit.select(
+        "doc_id", F.array_join(wrapped, " ").alias("snippet")
+    )
+
+
+def duckdb_highlight_sql(
+    terms: list[str],
+    text_col: str = "text",
+    frag_tokens: int = 5,
+    pre: str = "<em>",
+    post: str = "</em>",
+) -> str:
+    """WITH-fragment ``hl(doc_id, snippet)`` — the DuckDB twin of
+    highlight_snippets over the ``documents`` view."""
+    tlist = ", ".join(f"'{t}'" for t in sorted(set(terms)))
+    toks = duckdb_tokens_sql(text_col)
+    return f"""hl0 AS (
+  SELECT doc_id, {toks} AS toks FROM documents
+),
+hl1 AS (
+  SELECT doc_id, toks,
+         list_min(list_filter(range(len(toks)), i -> toks[i + 1] IN ({tlist}))) AS hit
+  FROM hl0
+),
+hl AS (
+  SELECT doc_id,
+         array_to_string(
+           list_transform(
+             toks[greatest(0, hit - {frag_tokens}) + 1 : hit + {frag_tokens} + 1],
+             t -> CASE WHEN t IN ({tlist}) THEN '{pre}' || t || '{post}' ELSE t END
+           ), ' ') AS snippet
+  FROM hl1 WHERE hit IS NOT NULL
+)"""

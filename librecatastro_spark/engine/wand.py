@@ -1016,6 +1016,37 @@ class CompressedIndex:
         )
         return res.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
 
+    def search_highlighted(
+        self,
+        text: str,
+        source: DataFrame,
+        k: int = 10,
+        frag_tokens: int = 5,
+        source_id_col: str = "doc_id",
+        source_text_col: str = "content",
+        **kwargs,
+    ) -> DataFrame:
+        """ES highlight analog on the production path: block-max top-k,
+        then snippets for ONLY the k hit rows of the source table (the
+        broadcast semi-join restricts the tokenize to O(k) docs). Frozen
+        fragment semantics in engine/highlight.py."""
+        from .highlight import highlight_snippets
+
+        hits = self.search(text, k=k, **kwargs)
+        terms = sorted(set(analyze_text(text)))
+        cand = source.join(
+            F.broadcast(
+                hits.withColumnRenamed("doc_id", source_id_col).select(source_id_col)
+            ),
+            source_id_col,
+            "left_semi",
+        )
+        hl = highlight_snippets(
+            cand, terms, id_col=source_id_col, text_col=source_text_col,
+            frag_tokens=frag_tokens,
+        )
+        return hits.join(hl, "doc_id", "left").select("doc_id", "score", "snippet")
+
     def _constant_score_docs(self, blocks: DataFrame, k: int) -> DataFrame:
         """Distinct doc_ids of the given posting blocks, constant score 1.0,
         deterministic doc_id order — the shared tail of the term-expansion

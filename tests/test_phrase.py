@@ -216,6 +216,56 @@ def test_fuzzy_multiword_raises(exact, wand):
         wand.fuzzy_term_search("two words")
 
 
+# ------------------------------------------------------------ highlight --
+
+
+def test_highlight_window_and_wrapping(spark):
+    from librecatastro_spark.engine.highlight import highlight_snippets
+
+    docs = spark.createDataFrame(
+        [
+            (0, "a b c d e f TARGET g h i j k l"),   # centered window
+            (1, "target x y z q w e r t y u"),       # hit at doc start
+            (2, "x y z q w e r t y u target"),       # hit at doc end
+            (3, "nothing here"),                     # no hit -> no row
+            (4, "pre target mid target post"),       # first occurrence wins
+        ],
+        "doc_id long, content string",
+    )
+    got = {
+        r["doc_id"]: r["snippet"]
+        for r in highlight_snippets(docs, ["target"], frag_tokens=2).collect()
+    }
+    assert got[0] == "e f <em>target</em> g h"
+    assert got[1] == "<em>target</em> x y"
+    assert got[2] == "y u <em>target</em>"
+    assert 3 not in got
+    # window centered on FIRST hit; the second hit inside the window is
+    # wrapped too
+    assert got[4] == "pre <em>target</em> mid <em>target</em>"
+
+
+def test_highlight_paths_identical(exact, wand, corpus):
+    e = {
+        (r["doc_id"], r["score"], r["snippet"])
+        for r in exact.search_highlighted("def return", k=10).collect()
+    }
+    w = {
+        (r["doc_id"], r["score"], r["snippet"])
+        for r in wand.search_highlighted(
+            "def return", corpus, k=10, source_text_col="content"
+        ).collect()
+    }
+    assert e == w and len(e) == 10
+
+
+def test_highlight_requires_terms(spark):
+    from librecatastro_spark.engine.highlight import highlight_snippets
+
+    with pytest.raises(ValueError):
+        highlight_snippets(spark.range(1), [])
+
+
 # ------------------------------------------------------- more_like_this --
 
 
