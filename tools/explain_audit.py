@@ -135,6 +135,44 @@ def main() -> int:
     )
     sections.append(s); problems += p
 
+    s, p = audit(
+        "match_phrase two-phase plan (r3)",
+        index.match_phrase("the scan", docs, k=10, source_text_col="text"),
+        {
+            "pushed_filter": True, "broadcast": True, "take_ordered": True,
+            "cartesian": False,
+        },
+        "Phase 1 computes AND candidates from the index (In(term,…) pushed "
+        "to the postings scan); phase 2 verifies the contiguous-sequence "
+        "predicate ONLY on candidate rows of the source table — the "
+        "candidate doc-id bounds are pushed into the source scan as "
+        "BETWEEN (row-group pruning) and the candidate side broadcasts. "
+        "No cartesian, one TakeOrderedAndProject merge.",
+    )
+    sections.append(s); problems += p
+
+    s, p = audit(
+        "fuzzy_term_search expansion plan (r3)",
+        index.fuzzy_term_search("scen", k=10, max_edits=1),
+        {"pushed_filter": True, "cartesian": False},
+        "Dictionary expansion (vocab scan + codegen Levenshtein) runs "
+        "eagerly and is vocab-bounded; the final plan pushes the matched "
+        "terms into the postings scan as In(term,…) — row-group pruning "
+        "via the term-sorted files, exactly like an exact term query.",
+    )
+    sections.append(s); problems += p
+
+    s, p = audit(
+        "search_highlighted snippet plan (r3)",
+        index.search_highlighted("the scan", docs, k=10, source_text_col="text"),
+        {"broadcast": True, "cartesian": False},
+        "Snippets tokenize ONLY the k hit docs: the hit ids broadcast into "
+        "a semi-join against the source before the higher-order-function "
+        "fragment projection (which captures a materialized token array, "
+        "not a re-evaluated tokenize expression).",
+    )
+    sections.append(s); problems += p
+
     emb_path = f"{sf_dir}/embeddings.parquet"
     if os.path.exists(emb_path):
         from librecatastro_spark.ops.similarity import embedding_near_dup_banded
