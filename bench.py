@@ -14,6 +14,7 @@ Prints exactly ONE JSON line:
    "queries": {name: sec, ...}, "sf": ...,
    "build_sec": ..., "build_gb_per_hr": ..., "query_p95_ms": ...,
    "fastpath_ms": {name: ms, ...}, "fastpath_p95_ms": ...,
+   "dsl_ms": {name: ms, ...},
    "corpus_docs": ..., "corpus_gb": ..., "cores": ..., "results_sha": ...}
 
 The distributed path (index.search) and the serving fast path
@@ -170,6 +171,42 @@ def main() -> None:
         fp_lat_ms[max(0, int(len(fp_lat_ms) * 0.95) - 1)] if fp_lat_ms else 0.0
     )
 
+    # ---- round-3 DSL extensions (phrase / fuzzy / MLT / highlight) ------
+    # Timed as their own block, NOT folded into queries/value/query_p95_ms:
+    # those aggregates are compared round-over-round (BENCH_r01/r02) and
+    # changing their composition would fake a regression. The DSL shapes
+    # are distributed-path-only APIs (each needs the source table or the
+    # term dictionary), so there is no fastpath twin to assert against;
+    # determinism across parallelism levels is covered by their gated
+    # oracle rows instead. BENCH_DSL=0 (tools/scaling.py) skips the block
+    # so scaling reps keep the committed composition and fingerprints.
+    dsl_ms: dict[str, float] = {}
+    if os.environ.get("BENCH_DSL", "1") != "0":
+        dsl_queries = {
+            # hot-bigram phrase: candidate AND set, verified on source
+            "q_phrase": lambda: index.match_phrase("def return", docs, k=10),
+            # 1-deletion typo of the hot term "broadcast" — dictionary
+            # expansion + In(term, ...) pushed into the postings scan
+            "q_fuzzy": lambda: index.fuzzy_term_search(
+                "brodcast", k=10, max_edits=1
+            ),
+            # characteristic-term OR query seeded from one source doc
+            "q_more_like_this": lambda: index.more_like_this(1234, docs, k=10),
+            # top-k + snippets for only the k hit docs
+            "q_highlight": lambda: index.search_highlighted(
+                "sort merge join", docs, k=10
+            ),
+        }
+        for name, run_q in dsl_queries.items():
+            rows = run_q().collect()  # warm (plan + page cache)
+            assert rows, f"DSL bench query returned no rows: {name}"
+            times = []
+            for _ in range(runs):
+                t = time.time()
+                run_q().collect()
+                times.append(time.time() - t)
+            dsl_ms[name] = round(statistics.mean(times) * 1000, 2)
+
     total = build_sec + sum(per_query.values())
     out = {
         "metric": "index-build + BM25 golden-query suite (compressed WAND path)",
@@ -182,6 +219,7 @@ def main() -> None:
         "query_p95_ms": round(p95, 1),
         "fastpath_ms": fastpath_ms,
         "fastpath_p95_ms": round(fp_p95, 2),
+        "dsl_ms": dsl_ms,
         "corpus_docs": n_docs,
         "corpus_gb": round(input_bytes / 1e9, 3),
         "cores": cores,

@@ -99,6 +99,35 @@ def phrase_expr(col: Column | str, terms_seq: list[str]) -> Column:
     return joined.contains(" " + " ".join(terms_seq) + " ")
 
 
+def phrase_rlike_expr(col: Column | str, terms_seq: list[str]) -> Column:
+    """Single-regex-pass equivalent of ``phrase_expr`` (equality-tested in
+    tests/test_phrase.py): tokens are MAXIMAL ``[a-z0-9_]+`` runs of the
+    lowercased text, so the token sequence contains ``terms_seq``
+    contiguously iff ``lower(col)`` matches
+
+        (\\A|[^a-z0-9_]) t1 [^a-z0-9_]+ t2 ... tn ([^a-z0-9_]|\\z)
+
+    — each inter-term gap is >=1 non-token chars (adjacency of maximal
+    runs) and the end anchors enforce maximality of t1/tn themselves.
+    ``\\A``/``\\z`` rather than ``^``/``$``: Java's ``$`` matches before a
+    trailing newline even without MULTILINE, which would NOT change
+    membership here (a trailing ``\\n`` is a non-token char so the other
+    alternative fires) but ``\\z`` keeps the proof one-line. Terms come
+    from the analyzer so they are regex-safe ``[a-z0-9_]+`` literals.
+
+    Why it exists: ``phrase_expr`` builds the full token array per row
+    (split -> filter -> array_join) just to run one containment; on a
+    candidate-verify over a hot phrase that allocation dominates. One
+    codegen'd ``RLIKE`` over ``lower(col)`` does the same membership test
+    in a single scan with zero allocation.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    if not terms_seq:
+        raise ValueError("phrase needs at least one term")
+    body = "[^a-z0-9_]+".join(terms_seq)
+    return F.lower(c).rlike(r"(\A|[^a-z0-9_])" + body + r"([^a-z0-9_]|\z)")
+
+
 def duckdb_phrase_sql(col: str, terms_seq: list[str]) -> str:
     """DuckDB twin of phrase_expr — same sentinel-padded containment over
     the same analyzed token array."""

@@ -15,10 +15,15 @@ slice/array_join) — JVM-side, codegen, no UDFs — and each step has an
 exact DuckDB twin (duckdb_highlight_sql). Docs with no matched token get
 no row (ES omits the highlight block too).
 
-Scale notes: the token array is materialized ONCE in a projection before
-any lambda references it — captured expressions inside Spark HOF lambdas
-re-evaluate per element, so passing ``tokenize_expr(col)`` straight into
-``filter``/``transform`` would re-tokenize the document O(tokens) times.
+Scale notes: the token array is materialized ONCE behind an
+``explode(array(...))`` Generate barrier before any lambda references
+it. A plain projection is NOT enough: CollapseProject re-inlines the
+alias into every consumer, and captured expressions inside Spark HOF
+lambdas re-evaluate per ELEMENT — so an inlined ``tokenize_expr(col)``
+under ``element_at`` inside ``filter`` re-tokenizes the document
+O(tokens) times per row (measured: >300 s on 10 × 7 KB docs, i.e. a
+broadcast-timeout in the bench; ~0.1 s with the barrier). Generate is
+not a Project, so the optimizer cannot collapse through it.
 """
 
 from __future__ import annotations
@@ -49,9 +54,11 @@ def highlight_snippets(
     if not terms:
         raise ValueError("highlight needs at least one term")
     tarr = _terms_array(sorted(set(terms)))
-    # 1) materialize the token array once (see module docstring)
+    # 1) materialize the token array once behind a Generate barrier (see
+    #    module docstring — a bare projection would collapse back in)
     toks = docs.select(
-        F.col(id_col).alias("doc_id"), tokenize_expr(text_col).alias("_toks")
+        F.col(id_col).alias("doc_id"),
+        F.explode(F.array(tokenize_expr(text_col))).alias("_toks"),
     )
     # 2) first matched position (0-based): filter the index sequence, not
     #    the tokens, so the lambda captures only the materialized column

@@ -543,8 +543,9 @@ class CompressedIndex:
            shard scorer with the top-k cut disabled — is a complete
            candidate superset, at O(query-term postings) cost.
         2. **Verify on source**: candidates join the source table and the
-           contiguous-sequence predicate (analyzer.phrase_expr, pure
-           Catalyst) runs ONLY on joined rows. ES would store _source in
+           contiguous-sequence predicate (analyzer.phrase_rlike_expr — a
+           single codegen'd RLIKE pass, no token-array allocation) runs
+           ONLY on joined rows. ES would store _source in
            the index; Spark-first keeps the corpus in the lake and
            re-reads candidate rows instead — the candidate doc-id
            range (one constant-sized collect) is pushed into the source
@@ -561,7 +562,7 @@ class CompressedIndex:
         seq = analyze_text(text)
         if not seq:
             raise ValueError("phrase analyzes to zero terms")
-        from ..analyzer import phrase_expr
+        from ..analyzer import phrase_rlike_expr
 
         terms = sorted(set(seq))
         idfs = self._idfs(terms)
@@ -590,7 +591,7 @@ class CompressedIndex:
                 F.col(source_text_col).alias("_text"),
             )
             .where(F.col("doc_id").between(int(row["lo"]), int(row["hi"])))
-            .where(phrase_expr(F.col("_text"), seq))
+            .where(phrase_rlike_expr(F.col("_text"), seq))
             .select("doc_id")
         )
         ranked = (

@@ -150,6 +150,37 @@ def test_phrase_boundaries_not_substring(spark):
     assert {r["doc_id"] for r in eng.match_phrase("cat dog", k=10).collect()} == {0, 1}
 
 
+def test_phrase_rlike_equals_array_form(spark):
+    """phrase_rlike_expr (single-regex verify, the production predicate in
+    CompressedIndex.match_phrase) must agree with phrase_expr (token-array
+    form, the ExactBM25 predicate) on every boundary case: string start/
+    end, trailing newline (the Java `$`-vs-`\\z` trap), unicode and
+    punctuation separators, substring-vs-token, duplicate terms, case."""
+    from librecatastro_spark.analyzer import phrase_rlike_expr
+
+    texts = [
+        "def return",                      # exact, whole string
+        "def return\n",                    # trailing newline after phrase
+        "x def return",                    # end-anchored
+        "def return x",                    # start-anchored
+        "abcdef return",                   # t1 is a suffix of a token
+        "def returning",                   # t2 is a prefix of a token
+        "def  \t\n!@# return",             # multi-char separator run
+        "DEF Return",                      # lowercase analyzer
+        "def ñ return",                    # non-ascii separator between
+        "def",                             # phrase longer than text
+        "", "   ", "return def",           # empty / order
+        "def def return",                  # duplicate then phrase
+        "xdef return", "def returnx",      # maximality violations
+    ]
+    seqs = [["def", "return"], ["def"], ["def", "def", "return"]]
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)], "i int, t string")
+    for seq in seqs:
+        a = {r["i"] for r in df.where(phrase_expr("t", seq)).collect()}
+        b = {r["i"] for r in df.where(phrase_rlike_expr("t", seq)).collect()}
+        assert a == b, (seq, a ^ b)
+
+
 def test_phrase_absent_term_returns_empty(exact, wand, corpus):
     assert rows(exact.match_phrase("def zzznotindexed")) == []
     assert rows(wand.match_phrase("def zzznotindexed", corpus, source_text_col="content")) == []

@@ -29,6 +29,9 @@ def run_once(cores: int, sf_dir: str, runs: int) -> dict:
         SPARK_GRAFT_CPUS=str(cores),
         SPARK_GRAFT_SF_DIR=sf_dir,
         BENCH_RUNS=str(runs),
+        # scaling reps keep the committed suite composition + fingerprint
+        # protocol; the DSL-extension block is benched separately
+        BENCH_DSL="0",
     )
     # corpus large enough that work, not fixed overhead, is measured
     env.setdefault("BENCH_GEN_DOCS", "120000")
