@@ -165,11 +165,13 @@ def main() -> int:
     s, p = audit(
         "search_highlighted snippet plan (r3)",
         index.search_highlighted("the scan", docs, k=10, source_text_col="text"),
-        {"broadcast": True, "cartesian": False},
+        {"broadcast": True, "cartesian": False, "explode": True},
         "Snippets tokenize ONLY the k hit docs: the hit ids broadcast into "
         "a semi-join against the source before the higher-order-function "
-        "fragment projection (which captures a materialized token array, "
-        "not a re-evaluated tokenize expression).",
+        "fragment projection. The Generate (explode-array barrier) must "
+        "stay in the plan — it pins the token array to ONE evaluation per "
+        "row; without it CollapseProject re-inlines tokenize under the "
+        "HOF lambdas and the fragment step goes O(tokens^2) per doc.",
     )
     sections.append(s); problems += p
 
