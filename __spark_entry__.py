@@ -80,6 +80,46 @@ def _sql_terms(text: str) -> str:
     return ", ".join(f"'{t}'" for t in terms)
 
 
+def _multi_match_oracle(text: str, fields: list[str], tie_breaker: float,
+                        k: int = 10) -> str:
+    """DuckDB twin of MultiFieldIndex.multi_match (best_fields +
+    tie_breaker): one BM25 score CTE per analyzed field (each with its
+    OWN df/dl/avgdl statistics, like the per-field sub-indexes), full
+    outer join on doc_id with absent fields as 0 (BM25 > 0), combined =
+    round(best + tb * (sum - best))."""
+    terms = _sql_terms(text)
+    ctes, score_names = [], []
+    for i, f in enumerate(fields):
+        toks = duckdb_tokens_sql(f)
+        ctes.append(f"""
+t{i} AS (SELECT doc_id, unnest({toks}) AS term FROM documents),
+tf{i} AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM t{i} GROUP BY 1, 2),
+dl{i} AS (SELECT doc_id, sum(tf) AS dl FROM tf{i} GROUP BY 1),
+g{i} AS (SELECT count(*)::DOUBLE AS n, avg(dl)::DOUBLE AS avgdl FROM dl{i}),
+df{i} AS (SELECT term, count(*)::DOUBLE AS df FROM tf{i} WHERE term IN ({terms}) GROUP BY 1),
+s{i} AS (
+  SELECT tf{i}.doc_id,
+         round(sum({bm25_sql(f'tf{i}.tf', f'df{i}.df', f'dl{i}.dl', f'g{i}.n', f'g{i}.avgdl')}), {ROUND_DECIMALS}) AS s
+  FROM tf{i} JOIN df{i} USING (term) JOIN dl{i} USING (doc_id) CROSS JOIN g{i}
+  WHERE tf{i}.term IN ({terms})
+  GROUP BY tf{i}.doc_id
+)""")
+        score_names.append(f"s{i}")
+    join = score_names[0]
+    for s in score_names[1:]:
+        join += f" FULL OUTER JOIN {s} USING (doc_id)"
+    vals = [f"coalesce({s}.s, 0)" for s in score_names]
+    best = f"greatest({', '.join(vals)})" if len(vals) > 1 else vals[0]
+    tot = " + ".join(vals)
+    return f"""
+WITH {','.join(ctes)}
+SELECT doc_id,
+       round({best} + {tie_breaker} * (({tot}) - {best}), {ROUND_DECIMALS}) AS score
+FROM {join}
+ORDER BY score DESC, doc_id ASC
+LIMIT {k}"""
+
+
 def _bm25_oracle(
     text: str,
     k: int = 10,
@@ -90,6 +130,7 @@ def _bm25_oracle(
     should_text: str | None = None,
     offset: int = 0,
     phrase: bool = False,
+    search_after: bool = False,
 ) -> str:
     terms = sorted(set(analyze_text(text)))
     should_terms = [
@@ -127,6 +168,33 @@ def _bm25_oracle(
         )
     where = ("WHERE " + " AND ".join(conds)) if conds else ""
     off = f" OFFSET {offset}" if offset else ""
+    if search_after:
+        # ES search_after twin: cursor = last hit of page 1 (row k of the
+        # ranking), page 2 = rows strictly after it under the rounded
+        # (score DESC, doc_id ASC) total order — must equal the offset
+        # walk's page 2 exactly
+        return f"""
+WITH {_TOKS_CTE},
+dfq AS (SELECT term, count(*)::DOUBLE AS df FROM tf WHERE term IN ({all_list}) GROUP BY 1),
+scored AS (
+  SELECT tf.doc_id, sum({w}) AS raw,
+         count(*) FILTER (WHERE tf.term IN ({must_list})) AS n_matched
+  FROM tf JOIN dfq USING (term) JOIN dl USING (doc_id) CROSS JOIN g
+  WHERE tf.term IN ({all_list})
+  GROUP BY tf.doc_id
+),
+ranked AS (
+  SELECT doc_id, round(raw, {ROUND_DECIMALS}) AS score FROM scored
+  {where}
+),
+cur AS (
+  SELECT score AS s0, doc_id AS d0 FROM ranked
+  ORDER BY score DESC, doc_id ASC LIMIT 1 OFFSET {k - 1}
+)
+SELECT doc_id, score FROM ranked, cur
+WHERE score < s0 OR (score = s0 AND doc_id > d0)
+ORDER BY score DESC, doc_id ASC
+LIMIT {k}"""
     return f"""
 WITH {_TOKS_CTE},
 dfq AS (SELECT term, count(*)::DOUBLE AS df FROM tf WHERE term IN ({all_list}) GROUP BY 1),
@@ -451,6 +519,18 @@ def _q_wand_should(spark, sf):
 
 def _q_wand_offset(spark, sf):
     return _index(spark, sf).search("table query", k=10, offset=10)
+
+
+def _q_wand_search_after(spark, sf):
+    # ES search_after (keyset) pagination on the production path: page 1's
+    # last (score, doc_id) is the cursor; page 2 = rows strictly after it.
+    # Unlike offset, every shard returns only its local top-k past the
+    # cursor — O(shards × k) shuffle at ANY page depth. The collect is one
+    # k-row page (constant-sized).
+    idx = _index(spark, sf)
+    page1 = idx.search("table query", k=10).collect()
+    cur = (float(page1[-1]["score"]), int(page1[-1]["doc_id"]))
+    return idx.search("table query", k=10, search_after=cur)
 
 
 def _q_wand_term_prefix(spark, sf):
@@ -1005,6 +1085,28 @@ def _q_wand_match_salted(spark, sf):
     return _index_salted(spark, sf).search("spark join merge", k=10)
 
 
+def _q_multi_match(spark, sf):
+    """ES multi_match (best_fields, tie_breaker=0.3) over two analyzed
+    fields — per-field sub-indexes sharing one doc-id shard split, so the
+    cross-field combine happens inside each shard task (no extra
+    shuffle); see engine/multifield.py. 'table' hits the text field,
+    'src3' only the source field."""
+    import hashlib
+
+    from librecatastro_spark.engine.multifield import MultiFieldIndex
+
+    src = f"{sf}/documents.parquet"
+    mtime = int(os.path.getmtime(src)) if os.path.exists(src) else 0
+    key = hashlib.sha256(f"{sf}:{mtime}:mf_v1".encode()).hexdigest()[:16]
+    out = os.path.join("/tmp", f"lc_mf_{key}")
+    docs = _docs(spark, sf)
+    mf = MultiFieldIndex.build(
+        spark, docs, out, fields=("text", "source"), id_col="doc_id",
+        n_shards=4, block_size=64, resume=True,
+    )
+    return mf.multi_match("table src3", k=10, tie_breaker=0.3)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Exactly 50 entries — the driver's correctness file records at most
     50, so the gate set is curated (round 1 proved entries 51+ silently
@@ -1122,6 +1224,13 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # all carry distinct capabilities already)
         "wand_highlight": _q_wand_highlight,
         "bm25_highlight": _q_highlight_exact,
+        # ES search_after keyset pagination — the O(k)-per-shard deep-page
+        # form (wand_offset_page2 gates the same window via offset; this
+        # must return the identical page through the cursor path)
+        "wand_search_after": _q_wand_search_after,
+        # ES multi_match best_fields over two analyzed fields (per-field
+        # sub-indexes, shard-local cross-field combine)
+        "multi_match_best_fields": _q_multi_match,
         # exactness baseline for the gated banded near-dup (its oracle is
         # the exact cross-product, so this pairing keeps BOTH the exact
         # semantics and the approximate scale path oracle-checked)
@@ -1235,6 +1344,10 @@ SELECT doc_id, len({duckdb_tokens_sql('text')})::INT AS n_tokens FROM documents
             "join merge", k=10, should_text="window stream"
         ),
         "wand_offset_page2": _bm25_oracle("table query", k=10, offset=10),
+        "wand_search_after": _bm25_oracle("table query", k=10, search_after=True),
+        "multi_match_best_fields": _multi_match_oracle(
+            "table src3", fields=["text", "source"], tie_breaker=0.3, k=10
+        ),
         "wand_term_prefix": f"""
 WITH {_TOKS_CTE}
 SELECT doc_id, 1.0::DOUBLE AS score FROM (

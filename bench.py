@@ -183,8 +183,12 @@ def main() -> None:
     dsl_ms: dict[str, float] = {}
     if os.environ.get("BENCH_DSL", "1") != "0":
         dsl_queries = {
-            # hot-bigram phrase: candidate AND set, verified on source
+            # hot-bigram phrase (worst case: ~97% of docs contain it, so
+            # verify + scoring are inherently corpus-sized)
             "q_phrase": lambda: index.match_phrase("def return", docs, k=10),
+            # selective phrase: the rare term's posting-block range prunes
+            # the source scan AND the postings scan to a narrow window
+            "q_phrase_sel": lambda: index.match_phrase("id0042 merge", docs, k=10),
             # 1-deletion typo of the hot term "broadcast" — dictionary
             # expansion + In(term, ...) pushed into the postings scan
             "q_fuzzy": lambda: index.fuzzy_term_search(

@@ -168,19 +168,37 @@ class ExactBM25:
             scored = scored.join(excluded, "doc_id", "left_anti")
         return scored
 
-    def search(self, text: str, k: int = 10, offset: int = 0, **kwargs) -> DataFrame:
+    def search(
+        self,
+        text: str,
+        k: int = 10,
+        offset: int = 0,
+        search_after: tuple[float, int] | None = None,
+        **kwargs,
+    ) -> DataFrame:
         """Top-k (doc_id, score) — score DESC, doc_id ASC (B10 tiebreak).
 
         ``offset`` is the ES ``from`` pagination window (reference uses
         from:0 size:10/11 — src/utils/elasticsearch_utils.py:120-121); rows
         [offset, offset+k) of the global ranking are returned.
+        ``search_after=(score, doc_id)`` is the ES keyset form: rows
+        strictly after the cursor under (score DESC, doc_id ASC) —
+        mutually exclusive with ``offset``, same pages as the offset walk.
 
         Rounded to ROUND_DECIMALS before ranking so float summation order
         can never flip a rank between engine paths / parallelism levels.
         """
+        if search_after is not None and offset:
+            raise ValueError("offset and search_after are mutually exclusive")
         scored = self.match_scores(text, **kwargs).withColumn(
             "score", F.round("score", ROUND_DECIMALS)
         )
+        if search_after is not None:
+            s0, d0 = search_after
+            scored = scored.where(
+                (F.col("score") < F.lit(s0))
+                | ((F.col("score") == F.lit(s0)) & (F.col("doc_id") > F.lit(d0)))
+            )
         ranked = scored.orderBy(F.desc("score"), F.asc("doc_id"))
         if offset:
             ranked = ranked.offset(offset)

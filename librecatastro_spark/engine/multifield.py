@@ -1,0 +1,210 @@
+"""ES ``multi_match`` over per-field sub-indexes.
+
+The reference's ES dynamic template analyzes EVERY string field
+(reference: src/utils/elasticsearch_utils.py:58-72), so queries can hit
+any of them; ES's ``multi_match`` combines per-field BM25 with
+``best_fields`` (max + tie_breaker x the rest) or ``most_fields`` (sum)
+semantics. This module reproduces both, exactly, on the compressed
+index.
+
+Spark-first shape: one CompressedIndex per field under
+``out_dir/field=<name>/``, all built over the SAME corpus with the SAME
+``n_shards``. The builder splits shards by doc-id RANGE
+(index/builder.py shard_expr), so a document's postings for every field
+land in the SAME shard number. That co-location is the whole trick:
+
+  * the per-field posting blocks union (tagged with ``_field``) and
+    group by shard ONCE;
+  * the per-shard kernel scores each field with that field's own
+    df/dl/avgdl statistics (the single-field scorer, uncut, reused
+    verbatim), combines per doc LOCALLY, and keeps only its top-k.
+
+The cross-field combine therefore needs NO extra shuffle and the merge
+stays O(shards x k) for BOTH semantics. That matters because a
+per-field top-k cut would be wrong for ``most_fields``: a doc mediocre
+in every field can still win on the sum — only a post-combine cut is
+exact, and it is only shuffle-free if all of a doc's fields are in one
+task. (Decode cost is O(query-term postings) either way — the cut
+bounds the shuffle, not the scan, same as every query path here.)
+
+Scores: per-field BM25 rounded to ROUND_DECIMALS (identical to the
+single-field engines), combined = round(best + tie_breaker * (sum -
+best)). ``most_fields`` == tie_breaker 1.0. Twinned in the DuckDB
+oracle (__spark_entry__) and rank-identity-tested against the exact
+DataFrame twin below.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Iterable
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..analyzer import analyze_text
+from ..bm25 import ROUND_DECIMALS
+from ..index.builder import build_index
+from .wand import _RESULT_SCHEMA, CompressedIndex, _empty, _shard_topk_fn
+
+
+class MultiFieldIndex:
+    """Per-field compressed indexes sharing one doc-id shard split."""
+
+    def __init__(self, spark: SparkSession, out_dir: str,
+                 fields: Iterable[str] | None = None):
+        self.spark = spark
+        self.out_dir = out_dir
+        if fields is None:
+            fields = sorted(
+                d.split("=", 1)[1]
+                for d in os.listdir(out_dir)
+                if d.startswith("field=")
+            )
+        self.fields = list(fields)
+        if not self.fields:
+            raise ValueError(f"no field=* sub-indexes under {out_dir}")
+        self.sub = {
+            f: CompressedIndex(spark, os.path.join(out_dir, f"field={f}"))
+            for f in self.fields
+        }
+        shards = {f: s.meta.n_shards for f, s in self.sub.items()}
+        if len(set(shards.values())) != 1:
+            raise ValueError(
+                "sub-indexes disagree on n_shards (doc->shard co-location "
+                f"is what makes the local combine exact): {shards}"
+            )
+
+    @staticmethod
+    def build(spark: SparkSession, docs: DataFrame, out_dir: str,
+              fields: Iterable[str], **build_kwargs) -> "MultiFieldIndex":
+        """Build one sub-index per field over the same docs frame; every
+        build sees the same doc_ids and n_shards, so the range split —
+        and hence each doc's shard — is identical across fields."""
+        fields = list(fields)
+        for f in fields:
+            build_index(
+                spark, docs, os.path.join(out_dir, f"field={f}"),
+                text_col=f, **build_kwargs,
+            )
+        return MultiFieldIndex(spark, out_dir, fields)
+
+    def multi_match(
+        self,
+        text: str,
+        k: int = 10,
+        offset: int = 0,
+        match_type: str = "best_fields",
+        tie_breaker: float = 0.0,
+    ) -> DataFrame:
+        if match_type == "most_fields":
+            tb = 1.0
+        elif match_type == "best_fields":
+            tb = float(tie_breaker)
+        else:
+            raise ValueError(f"unsupported multi_match type: {match_type}")
+        terms = sorted(set(analyze_text(text)))
+        if not terms:
+            raise ValueError("query analyzes to zero terms")
+        local_k = k + offset
+        fns, parts = {}, []
+        for f in self.fields:
+            s = self.sub[f]
+            idfs = s._idfs(terms)
+            live = [t for t in terms if t in idfs]
+            if not live:
+                continue  # no query term exists in this field's vocabulary
+            fns[f] = _shard_topk_fn(
+                live, idfs, s.meta.avgdl, 1 << 60, filtered=False,
+                must_not_terms=[], require_all=False,
+                dense_hint=int(s.meta.n_docs),
+            )
+            parts.append(
+                s.postings.where(F.col("term").isin(live))
+                .withColumn("_field", F.lit(f))
+            )
+        if not parts:
+            return self.spark.createDataFrame([], _RESULT_SCHEMA)
+        blocks = parts[0]
+        for p in parts[1:]:
+            blocks = blocks.unionByName(p)
+
+        def combine(pdf: pd.DataFrame) -> pd.DataFrame:
+            ids_l, w_l = [], []
+            for f, fd in fns.items():
+                sub = pdf[pdf["_field"] == f]
+                if len(sub) == 0:
+                    continue
+                r = fd(sub.drop(columns=["_field"]))
+                ids_l.append(r["doc_id"].to_numpy(dtype=np.int64))
+                w_l.append(r["score"].to_numpy(dtype=np.float64))
+            if not ids_l:
+                return _empty()
+            ids = np.concatenate(ids_l)
+            w = np.concatenate(w_l)
+            uids, inv = np.unique(ids, return_inverse=True)
+            best = np.zeros(len(uids))  # BM25 > 0, so 0 is below any score
+            np.maximum.at(best, inv, w)
+            comb = best
+            if tb:
+                tot = np.bincount(inv, weights=w, minlength=len(uids))
+                comb = best + tb * (tot - best)
+            comb = np.round(comb, ROUND_DECIMALS)
+            if len(uids) > local_k:
+                order = np.lexsort((uids, -comb))[:local_k]
+                uids, comb = uids[order], comb[order]
+            return pd.DataFrame({"doc_id": uids, "score": comb})
+
+        partial = blocks.groupBy("shard").applyInPandas(
+            lambda key, b: combine(b), schema=_RESULT_SCHEMA
+        )
+        ranked = partial.orderBy(F.desc("score"), F.asc("doc_id"))
+        if offset:
+            ranked = ranked.offset(offset)
+        return ranked.limit(k)
+
+
+def multi_match_exact(
+    engines: dict[str, "object"],
+    text: str,
+    k: int = 10,
+    offset: int = 0,
+    match_type: str = "best_fields",
+    tie_breaker: float = 0.0,
+) -> DataFrame:
+    """DataFrame twin over per-field ExactBM25 engines — the exactness
+    oracle for MultiFieldIndex.multi_match (rank-identity-tested).
+    Per-field rounded scores full-outer-join on doc_id; absent fields
+    coalesce to 0 (BM25 > 0, so greatest/sum over coalesced zeros equal
+    max/sum over present fields)."""
+    if match_type == "most_fields":
+        tb = 1.0
+    elif match_type == "best_fields":
+        tb = float(tie_breaker)
+    else:
+        raise ValueError(f"unsupported multi_match type: {match_type}")
+    scored = []
+    for i, (f, eng) in enumerate(sorted(engines.items())):
+        s = eng.match_scores(text).select(
+            "doc_id", F.round("score", ROUND_DECIMALS).alias(f"_s{i}")
+        )
+        scored.append(s)
+    joined = scored[0]
+    for s in scored[1:]:
+        joined = joined.join(s, "doc_id", "full_outer")
+    cols = [F.coalesce(F.col(f"_s{i}"), F.lit(0.0)) for i in range(len(scored))]
+    best = F.greatest(*cols) if len(cols) > 1 else cols[0]
+    comb = best
+    if tb:
+        tot = cols[0]
+        for c in cols[1:]:
+            tot = tot + c
+        comb = best + F.lit(tb) * (tot - best)
+    ranked = joined.select(
+        "doc_id", F.round(comb, ROUND_DECIMALS).alias("score")
+    ).orderBy(F.desc("score"), F.asc("doc_id"))
+    if offset:
+        ranked = ranked.offset(offset)
+    return ranked.limit(k)

@@ -1,0 +1,128 @@
+"""multi_match (ES best_fields / most_fields over per-field sub-indexes).
+
+Exactness gates: MultiFieldIndex.multi_match must be rank-identical to
+the DataFrame twin (multi_match_exact over per-field ExactBM25 engines)
+for every combine semantics, including terms that exist in only one
+field's vocabulary. The per-shard combine is only exact because all
+sub-indexes share the doc-id range split — the n_shards-mismatch guard
+is tested too.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from librecatastro_spark.corpus import assign_doc_ids, generate_corpus
+from librecatastro_spark.engine import ExactBM25
+from librecatastro_spark.engine.multifield import MultiFieldIndex, multi_match_exact
+from librecatastro_spark.index.builder import build_index
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    docs = generate_corpus(spark, 300, min_tokens=20, max_tokens=120, partitions=4)
+    return assign_doc_ids(docs).cache()
+
+
+@pytest.fixture(scope="module")
+def exact_engines(corpus):
+    # path tokens: src, modN, fileNNN, py/go/rs/... — a real second field
+    return {
+        "content": ExactBM25(corpus, text_col="content", cache=True),
+        "path": ExactBM25(corpus, text_col="path", cache=True),
+    }
+
+
+@pytest.fixture(scope="module")
+def mf(spark, corpus, tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("mf_idx"))
+    return MultiFieldIndex.build(
+        spark, corpus, out, fields=("content", "path"),
+        n_shards=4, block_size=16,
+    )
+
+
+def rows(df):
+    return [(r["doc_id"], r["score"]) for r in df.collect()]
+
+
+QUERIES = [
+    "def mod4",        # one hot content term + one path-only term
+    "py return",       # extension token (path) + hot content term
+    "src",             # appears in EVERY path — max-df field term
+    "id0042 file3",    # rare in both fields
+]
+
+
+@pytest.mark.parametrize("q", QUERIES)
+def test_best_fields_rank_identical(exact_engines, mf, q):
+    e = rows(multi_match_exact(exact_engines, q, k=15))
+    w = rows(mf.multi_match(q, k=15))
+    assert e == w and len(e) > 0
+
+
+@pytest.mark.parametrize("q", QUERIES[:2])
+def test_tie_breaker_rank_identical(exact_engines, mf, q):
+    e = rows(multi_match_exact(exact_engines, q, k=15, tie_breaker=0.3))
+    w = rows(mf.multi_match(q, k=15, tie_breaker=0.3))
+    assert e == w and len(e) > 0
+
+
+@pytest.mark.parametrize("q", QUERIES[:2])
+def test_most_fields_rank_identical(exact_engines, mf, q):
+    e = rows(multi_match_exact(exact_engines, q, k=15, match_type="most_fields"))
+    w = rows(mf.multi_match(q, k=15, match_type="most_fields"))
+    assert e == w and len(e) > 0
+
+
+def test_best_fields_is_max_most_fields_is_sum(exact_engines, mf):
+    """On a term hit in both fields, every doc's best_fields score equals
+    its max per-field score and most_fields its sum (spot-check the
+    combine math against the single-field engines)."""
+    q = "src def"
+    per_field = {
+        f: dict(rows(eng.search(q, k=10**6)))
+        for f, eng in exact_engines.items()
+    }
+    best = dict(rows(mf.multi_match(q, k=10**6)))
+    most = dict(rows(mf.multi_match(q, k=10**6, match_type="most_fields")))
+    assert set(best) == set(per_field["content"]) | set(per_field["path"])
+    for d, s in best.items():
+        a = per_field["content"].get(d, 0.0)
+        b = per_field["path"].get(d, 0.0)
+        assert s == round(max(a, b), 4)
+        assert most[d] == round(a + b, 4)
+
+
+def test_offset_pages_tile(exact_engines, mf):
+    full = rows(mf.multi_match("def mod4", k=20))
+    p1 = rows(mf.multi_match("def mod4", k=10))
+    p2 = rows(mf.multi_match("def mod4", k=10, offset=10))
+    assert p1 + p2 == full
+
+
+def test_field_without_query_terms_is_skipped(exact_engines, mf):
+    # "return" never tokenizes out of any path — path sub-index contributes
+    # nothing and the result equals the content-only ranking
+    e = rows(exact_engines["content"].search("return", k=15))
+    w = rows(mf.multi_match("return", k=15))
+    assert e == w
+
+
+def test_unknown_type_and_zero_terms_raise(mf):
+    with pytest.raises(ValueError):
+        mf.multi_match("def", match_type="cross_fields")
+    with pytest.raises(ValueError):
+        mf.multi_match("!!!")
+
+
+def test_mismatched_shard_split_rejected(spark, corpus, tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("mf_bad"))
+    build_index(spark, corpus, os.path.join(out, "field=content"),
+                text_col="content", n_shards=4, block_size=16)
+    build_index(spark, corpus, os.path.join(out, "field=path"),
+                text_col="path", n_shards=2, block_size=16)
+    with pytest.raises(ValueError, match="n_shards"):
+        MultiFieldIndex(spark, out)

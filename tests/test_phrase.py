@@ -151,12 +151,14 @@ def test_phrase_boundaries_not_substring(spark):
 
 
 def test_phrase_rlike_equals_array_form(spark):
-    """phrase_rlike_expr (single-regex verify, the production predicate in
-    CompressedIndex.match_phrase) must agree with phrase_expr (token-array
-    form, the ExactBM25 predicate) on every boundary case: string start/
-    end, trailing newline (the Java `$`-vs-`\\z` trap), unicode and
-    punctuation separators, substring-vs-token, duplicate terms, case."""
-    from librecatastro_spark.analyzer import phrase_rlike_expr
+    """phrase_match_udf (Arrow CPython-regex verify — the production
+    predicate in CompressedIndex.match_phrase) and phrase_rlike_expr
+    (the Catalyst RLIKE form) must both agree with phrase_expr
+    (token-array form, the ExactBM25 predicate) on every boundary case:
+    string start/end, trailing newline (the `$`-vs-`\\z`/`\\Z` trap),
+    unicode and punctuation separators, substring-vs-token, duplicate
+    terms, case."""
+    from librecatastro_spark.analyzer import phrase_match_udf, phrase_rlike_expr
 
     texts = [
         "def return",                      # exact, whole string
@@ -178,7 +180,8 @@ def test_phrase_rlike_equals_array_form(spark):
     for seq in seqs:
         a = {r["i"] for r in df.where(phrase_expr("t", seq)).collect()}
         b = {r["i"] for r in df.where(phrase_rlike_expr("t", seq)).collect()}
-        assert a == b, (seq, a ^ b)
+        c = {r["i"] for r in df.where(phrase_match_udf(seq)(F.col("t"))).collect()}
+        assert a == b == c, (seq, a ^ b, a ^ c)
 
 
 def test_phrase_absent_term_returns_empty(exact, wand, corpus):

@@ -85,6 +85,58 @@ def test_wand_offset_matches_exact(exact, wand):
         )
 
 
+# ------------------------------------------------------ search_after ----
+
+def test_search_after_walk_equals_offset_walk(exact, wand):
+    """Keyset pages must tile the ranking exactly like offset pages, on
+    BOTH engine paths and through score ties (the corpus has them)."""
+    q = "def return import"
+    full = rows(exact.search(q, k=30))
+    for eng in (exact, wand):
+        pages, cur = [], None
+        for _ in range(3):
+            page = rows(
+                eng.search(q, k=10) if cur is None
+                else eng.search(q, k=10, search_after=cur)
+            )
+            pages += page
+            cur = page[-1][1], page[-1][0]  # (score, doc_id) of last hit
+        assert pages == full
+
+
+def test_search_after_fastpath_rank_identical(exact, wand):
+    q = "def return"
+    p1 = rows(exact.search(q, k=10))
+    cur = (p1[-1][1], p1[-1][0])
+    want = rows(exact.search(q, k=10, search_after=cur))
+    got_dist = rows(wand.search(q, k=10, search_after=cur))
+    fp = wand.search_local(q, k=10, search_after=cur)
+    got_fast = list(zip(fp["doc_id"].tolist(), fp["score"].tolist()))
+    assert got_dist == want and got_fast == want
+
+
+def test_search_after_with_filters_and_and(exact, wand):
+    kw = dict(filters={"lang": "py"})
+    p1 = rows(exact.search("def return", k=5, **kw))
+    cur = (p1[-1][1], p1[-1][0])
+    assert rows(wand.search("def return", k=5, search_after=cur, **kw)) == rows(
+        exact.search("def return", k=5, search_after=cur, **kw)
+    )
+    p1 = rows(exact.search("def return", k=5, require_all=True))
+    cur = (p1[-1][1], p1[-1][0])
+    assert rows(
+        wand.search("def return", k=5, search_after=cur, require_all=True)
+    ) == rows(exact.search("def return", k=5, search_after=cur, require_all=True))
+
+
+def test_search_after_past_end_empty_and_exclusive(exact, wand):
+    assert rows(exact.search("id0001", k=10, search_after=(0.0, 10**9))) == []
+    assert rows(wand.search("id0001", k=10, search_after=(0.0, 10**9))) == []
+    for eng in (exact, wand):
+        with pytest.raises(ValueError):
+            eng.search("def", k=5, offset=3, search_after=(1.0, 0))
+
+
 # ------------------------------------------------------- term prefix ----
 
 def test_term_prefix_identity_exact_vs_wand(exact, wand):

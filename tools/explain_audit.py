@@ -136,18 +136,19 @@ def main() -> int:
     sections.append(s); problems += p
 
     s, p = audit(
-        "match_phrase two-phase plan (r3)",
+        "match_phrase verify-first plan (r3)",
         index.match_phrase("the scan", docs, k=10, source_text_col="text"),
         {
-            "pushed_filter": True, "broadcast": True, "take_ordered": True,
-            "cartesian": False,
+            "pushed_filter": True, "take_ordered": True, "cartesian": False,
         },
-        "Phase 1 computes AND candidates from the index (In(term,…) pushed "
-        "to the postings scan); phase 2 verifies the contiguous-sequence "
-        "predicate ONLY on candidate rows of the source table — the "
-        "candidate doc-id bounds are pushed into the source scan as "
-        "BETWEEN (row-group pruning) and the candidate side broadcasts. "
-        "No cartesian, one TakeOrderedAndProject merge.",
+        "Verify-first: the Arrow CPython-regex phrase predicate "
+        "(ArrowEvalPython) runs on the source scan pruned by the "
+        "phrase terms' posting-range window (BETWEEN pushed as "
+        "PushedFilters); the verified ids join attrs (doc->shard) and "
+        "feed the FILTERED cogroup scorer with the top-k cut enabled — "
+        "every intermediate O(phrase matches), merge via "
+        "TakeOrderedAndProject. The window also prunes the postings "
+        "scan (first/last_doc_id footer stats). No cartesian.",
     )
     sections.append(s); problems += p
 
