@@ -26,6 +26,8 @@ from librecatastro_spark.analyzer import (
 )
 from librecatastro_spark.bm25 import ROUND_DECIMALS, bm25_sql
 from librecatastro_spark.engine import ExactBM25
+from librecatastro_spark.ops.chunk import duckdb_chunks_sql
+from librecatastro_spark.ops.text import unigram_logprob_sql
 from librecatastro_spark.engine.wand import CompressedIndex
 from librecatastro_spark.index.builder import build_index
 
@@ -546,6 +548,24 @@ def _q_lang_id(spark, sf):
     from librecatastro_spark.ops.text import lang_id_expr
 
     return _docs(spark, sf).select("doc_id", lang_id_expr("text").alias("lang_pred"))
+
+
+def _q_doc_chunking(spark, sf):
+    # pretraining packing primitive: overlapping token windows, pure
+    # Catalyst, shuffle-free (ops/chunk.py)
+    from librecatastro_spark.ops.chunk import chunk_documents
+
+    return chunk_documents(
+        _docs(spark, sf), max_tokens=40, overlap=8, text_col="text"
+    )
+
+
+def _q_unigram_logprob(spark, sf):
+    # mean unigram log-likelihood under the corpus's own LM — the cheap
+    # LM-quality filter (broadcast vocab join, one doc-keyed shuffle)
+    from librecatastro_spark.ops.text import unigram_logprob
+
+    return unigram_logprob(_docs(spark, sf), text_col="text")
 
 
 def _q_quality(spark, sf):
@@ -1231,6 +1251,10 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ES multi_match best_fields over two analyzed fields (per-field
         # sub-indexes, shard-local cross-field combine)
         "multi_match_best_fields": _q_multi_match,
+        # training-pipeline ops: overlapping-token-window chunking and
+        # unigram-LM quality scoring
+        "doc_chunking": _q_doc_chunking,
+        "unigram_logprob": _q_unigram_logprob,
         # exactness baseline for the gated banded near-dup (its oracle is
         # the exact cross-product, so this pairing keeps BOTH the exact
         # semantics and the approximate scale path oracle-checked)
@@ -1348,6 +1372,8 @@ SELECT doc_id, len({duckdb_tokens_sql('text')})::INT AS n_tokens FROM documents
         "multi_match_best_fields": _multi_match_oracle(
             "table src3", fields=["text", "source"], tie_breaker=0.3, k=10
         ),
+        "doc_chunking": duckdb_chunks_sql(max_tokens=40, overlap=8, text_col="text"),
+        "unigram_logprob": unigram_logprob_sql("text"),
         "wand_term_prefix": f"""
 WITH {_TOKS_CTE}
 SELECT doc_id, 1.0::DOUBLE AS score FROM (

@@ -101,6 +101,39 @@ def fingerprint_expr(text_col: str | Column) -> Column:
     return fingerprint_from_toks(tokenize_expr(text_col))
 
 
+def unigram_logprob(docs, id_col: str = "doc_id", text_col: str = "content"):
+    """(doc_id, lm_score): mean unigram log-likelihood of each document
+    under the corpus's OWN unigram model, p(t) = cf(t) / Σcf — the classic
+    cheap LM-quality filter (documents of common boilerplate score high,
+    documents of one-off identifiers score low; threshold the tails).
+
+    Plan shape at 100 TB: the corpus-frequency table is VOCAB-bounded and
+    broadcasts (one scan computes it with map-side partial aggregation);
+    the scoring pass explodes tokens, hash-joins the broadcast cf table,
+    and mean-aggregates per doc — one shuffle keyed by doc_id, partially
+    aggregated map-side. Σcf is one scalar collect. No per-row Python.
+    Twinned verbatim in unigram_logprob_sql.
+    """
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(tokenize_expr(text_col)).alias("term"),
+    )
+    cf = toks.groupBy("term").agg(F.count(F.lit(1)).cast("double").alias("cf"))
+    total = float(cf.agg(F.sum("cf")).collect()[0][0] or 0.0)
+    if total == 0:
+        return docs.sparkSession.createDataFrame(
+            [], "doc_id long, lm_score double"
+        )
+    return (
+        toks.join(F.broadcast(cf), "term")
+        .groupBy("doc_id")
+        .agg(
+            F.round(F.avg(F.log(F.col("cf") / F.lit(total))), ROUND_DECIMALS)
+            .alias("lm_score")
+        )
+    )
+
+
 # ------------------------------------------------------------ SQL twins --
 
 def stopword_ratio_sql(col: str) -> str:
@@ -135,3 +168,15 @@ def quality_score_sql(col: str) -> str:
 
 def fingerprint_sql(col: str) -> str:
     return f"md5(array_to_string({duckdb_tokens_sql(col)}, ' '))"
+
+
+def unigram_logprob_sql(col: str = "text") -> str:
+    """Full SELECT — DuckDB twin of unigram_logprob over ``documents``."""
+    toks = duckdb_tokens_sql(col)
+    return f"""
+WITH lt AS (SELECT doc_id, unnest({toks}) AS term FROM documents),
+lcf AS (SELECT term, count(*)::DOUBLE AS cf FROM lt GROUP BY 1),
+ltot AS (SELECT sum(cf) AS s FROM lcf)
+SELECT doc_id, round(avg(ln(cf / s)), {ROUND_DECIMALS}) AS lm_score
+FROM lt JOIN lcf USING (term) CROSS JOIN ltot
+GROUP BY doc_id"""

@@ -296,3 +296,85 @@ def test_simhash_dedup_survivors(spark):
             if bin((rep_sig[ra] ^ rep_sig[rb]) & ((1 << 64) - 1)).count("1") <= 3:
                 drop.add(rb)
     assert survivors == reps - drop
+
+
+# ---------------------------------------------------- chunking / LM ----
+
+def test_chunk_windows_exact(spark):
+    """Chunk boundaries against a driver-side replica: stride = max -
+    overlap, last chunk is the first window reaching the end, no
+    strict-suffix trailing chunk, zero-token docs emit nothing."""
+    from librecatastro_spark.ops.chunk import chunk_documents
+
+    toks = [f"t{i}" for i in range(11)]
+    rows = [
+        (0, " ".join(toks)),        # 11 tokens
+        (1, " ".join(toks[:5])),    # 5 tokens -> one chunk
+        (2, " ".join(toks[:7])),    # exactly max_tokens -> one chunk
+        (3, "!!! ???"),             # zero tokens -> no chunks
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = chunk_documents(df, max_tokens=7, overlap=2, text_col="text")
+    got = {
+        (r["doc_id"], r["chunk_id"]): (r["n_tokens"], r["chunk_text"])
+        for r in out.collect()
+    }
+
+    def replica(tokens, mx=7, ov=2):
+        st = mx - ov
+        if not tokens:
+            return {}
+        i_max = max(0, -(-(len(tokens) - mx) // st))  # python ceil
+        return {
+            i: (len(tokens[i * st:i * st + mx]),
+                " ".join(tokens[i * st:i * st + mx]))
+            for i in range(i_max + 1)
+        }
+
+    want = {}
+    for doc_id, text in rows:
+        ts = [t for t in text.lower().split() if t.isalnum() or "_" in t]
+        ts = [t for t in ts if t not in ("!!!", "???")]
+        for cid, v in replica(ts).items():
+            want[(doc_id, cid)] = v
+    assert got == want
+    # every consecutive pair overlaps by exactly `overlap` tokens except
+    # possibly the last (clamped at doc end)
+    c0 = [v[1].split() for k, v in sorted(got.items()) if k[0] == 0]
+    assert c0[0][-2:] == c0[1][:2]
+
+
+def test_chunk_invalid_overlap_raises(spark):
+    from librecatastro_spark.ops.chunk import chunk_documents
+
+    df = spark.createDataFrame([(0, "a b c")], "doc_id long, text string")
+    with pytest.raises(ValueError):
+        chunk_documents(df, max_tokens=4, overlap=4, text_col="text")
+
+
+def test_unigram_logprob_ranks_rare_docs_low(spark, docs):
+    """A doc of one-off identifiers must score below a doc made of the
+    corpus's most common tokens, and every score is a negative mean of
+    per-token corpus log-probabilities (verified per doc vs a driver
+    replica)."""
+    import math
+
+    from librecatastro_spark.analyzer import analyze_text
+    from librecatastro_spark.ops.text import unigram_logprob
+
+    out = {r["doc_id"]: r["lm_score"]
+           for r in unigram_logprob(docs, text_col="text").collect()}
+    cf: dict[str, int] = {}
+    rows = docs.select("doc_id", "text").collect()
+    for r in rows:
+        for t in analyze_text(r["text"]):
+            cf[t] = cf.get(t, 0) + 1
+    total = sum(cf.values())
+    for r in rows:
+        ts = analyze_text(r["text"])
+        if not ts:
+            assert r["doc_id"] not in out
+            continue
+        want = round(sum(math.log(cf[t] / total) for t in ts) / len(ts), 4)
+        assert abs(out[r["doc_id"]] - want) <= 1e-4
+    assert out[4] < out[0]  # identifier soup below common-token doc
