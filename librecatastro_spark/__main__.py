@@ -59,6 +59,64 @@ def main(argv: list[str] | None = None) -> int:
     s.add_argument("--filter", action="append", default=[],
                    help="keyword equality col=val (repeatable)")
     s.add_argument("--prefix", default=None, help="keyword prefix col=val")
+    s.add_argument("--search-after", default=None, metavar="SCORE,DOC_ID",
+                   help="keyset cursor: last hit's score,doc_id "
+                        "(mutually exclusive with --offset)")
+    s.add_argument("--fast", action="store_true",
+                   help="serve from the coordinator fast path "
+                        "(search_local) instead of a cluster job")
+
+    p = sub.add_parser("phrase", help="match_phrase (slop 0) over the index")
+    p.add_argument("--index", required=True)
+    p.add_argument("--input", required=True, help="source corpus (verify side)")
+    p.add_argument("--text", required=True)
+    p.add_argument("--k", type=int, default=10)
+    p.add_argument("--id-col", default="doc_id")
+    p.add_argument("--text-col", default="text")
+
+    fz = sub.add_parser("fuzzy", help="fuzzy term query (edit-distance expansion)")
+    fz.add_argument("--index", required=True)
+    fz.add_argument("--term", required=True)
+    fz.add_argument("--k", type=int, default=10)
+    fz.add_argument("--max-edits", type=int, default=1)
+    fz.add_argument("--prefix-len", type=int, default=0)
+
+    m = sub.add_parser("mlt", help="more_like_this seeded from one document")
+    m.add_argument("--index", required=True)
+    m.add_argument("--input", required=True)
+    m.add_argument("--doc-id", type=int, required=True)
+    m.add_argument("--k", type=int, default=10)
+    m.add_argument("--id-col", default="doc_id")
+    m.add_argument("--text-col", default="text")
+
+    hl = sub.add_parser("highlight", help="top-k with snippet fragments")
+    hl.add_argument("--index", required=True)
+    hl.add_argument("--input", required=True)
+    hl.add_argument("--text", required=True)
+    hl.add_argument("--k", type=int, default=10)
+    hl.add_argument("--frag-tokens", type=int, default=5)
+    hl.add_argument("--id-col", default="doc_id")
+    hl.add_argument("--text-col", default="text")
+
+    ms = sub.add_parser(
+        "msearch",
+        help="multi_match over a multi-field index dir (field=<name>/ "
+             "sub-indexes; build each with `build --out DIR/field=NAME "
+             "--text-col NAME` over the same corpus and shard count)")
+    ms.add_argument("--index", required=True)
+    ms.add_argument("--text", required=True)
+    ms.add_argument("--k", type=int, default=10)
+    ms.add_argument("--type", default="best_fields",
+                    choices=["best_fields", "most_fields"])
+    ms.add_argument("--tie-breaker", type=float, default=0.0)
+
+    ck = sub.add_parser("chunk", help="split docs into overlapping token windows")
+    ck.add_argument("--input", required=True)
+    ck.add_argument("--out", required=True, help="parquet output path")
+    ck.add_argument("--max-tokens", type=int, default=128)
+    ck.add_argument("--overlap", type=int, default=16)
+    ck.add_argument("--id-col", default="doc_id")
+    ck.add_argument("--text-col", default="text")
 
     a = sub.add_parser("append", help="fold a new document batch into an index")
     a.add_argument("--index", required=True)
@@ -117,14 +175,101 @@ def main(argv: list[str] | None = None) -> int:
         if args.prefix:
             col, _, val = args.prefix.partition("=")
             prefix = (col, val)
-        rows = idx.search(
-            args.text, k=args.k, offset=args.offset,
-            require_all=args.require_all,
+        cursor = None
+        if args.search_after:
+            s_str, _, d_str = args.search_after.partition(",")
+            cursor = (float(s_str), int(d_str))
+        kw = dict(
+            k=args.k, offset=args.offset, require_all=args.require_all,
             filters=_parse_filters(args.filter) or None, prefix=prefix,
             must_not_text=args.must_not, should_text=args.should,
+            search_after=cursor,
+        )
+        if args.fast:
+            pdf = idx.search_local(args.text, **kw)
+            rows = list(pdf.itertuples(index=False))
+            for r in rows:
+                print(json.dumps({"doc_id": int(r.doc_id), "score": float(r.score)}))
+        else:
+            for r in idx.search(args.text, **kw).collect():
+                print(json.dumps({"doc_id": r["doc_id"], "score": r["score"]}))
+        return 0
+
+    if args.cmd == "phrase":
+        from .engine.wand import CompressedIndex
+
+        idx = CompressedIndex(spark, args.index)
+        docs = read_docs_table(spark, args.input)
+        rows = idx.match_phrase(
+            args.text, docs, k=args.k,
+            source_id_col=args.id_col, source_text_col=args.text_col,
         ).collect()
         for r in rows:
             print(json.dumps({"doc_id": r["doc_id"], "score": r["score"]}))
+        return 0
+
+    if args.cmd == "fuzzy":
+        from .engine.wand import CompressedIndex
+
+        idx = CompressedIndex(spark, args.index)
+        rows = idx.fuzzy_term_search(
+            args.term, k=args.k, max_edits=args.max_edits,
+            prefix_len=args.prefix_len,
+        ).collect()
+        for r in rows:
+            print(json.dumps({"doc_id": r["doc_id"], "score": r["score"]}))
+        return 0
+
+    if args.cmd == "mlt":
+        from .engine.wand import CompressedIndex
+
+        idx = CompressedIndex(spark, args.index)
+        docs = read_docs_table(spark, args.input)
+        rows = idx.more_like_this(
+            args.doc_id, docs, k=args.k,
+            source_id_col=args.id_col, source_text_col=args.text_col,
+        ).collect()
+        for r in rows:
+            print(json.dumps({"doc_id": r["doc_id"], "score": r["score"]}))
+        return 0
+
+    if args.cmd == "highlight":
+        from .engine.wand import CompressedIndex
+
+        idx = CompressedIndex(spark, args.index)
+        docs = read_docs_table(spark, args.input)
+        rows = idx.search_highlighted(
+            args.text, docs, k=args.k, frag_tokens=args.frag_tokens,
+            source_id_col=args.id_col, source_text_col=args.text_col,
+        ).collect()
+        for r in rows:
+            print(json.dumps({"doc_id": r["doc_id"], "score": r["score"],
+                              "snippet": r["snippet"]}))
+        return 0
+
+    if args.cmd == "msearch":
+        from .engine.multifield import MultiFieldIndex
+
+        mf = MultiFieldIndex(spark, args.index)
+        rows = mf.multi_match(
+            args.text, k=args.k, match_type=args.type,
+            tie_breaker=args.tie_breaker,
+        ).collect()
+        for r in rows:
+            print(json.dumps({"doc_id": r["doc_id"], "score": r["score"]}))
+        return 0
+
+    if args.cmd == "chunk":
+        from .ops.chunk import chunk_documents
+
+        out = chunk_documents(
+            read_docs_table(spark, args.input),
+            max_tokens=args.max_tokens, overlap=args.overlap,
+            id_col=args.id_col, text_col=args.text_col,
+        )
+        out.write.mode("overwrite").parquet(args.out)
+        n = spark.read.parquet(args.out).count()
+        print(json.dumps({"chunks": n, "out": args.out}))
         return 0
 
     if args.cmd == "health":

@@ -133,3 +133,67 @@ def test_cli_bad_filter_exits(cli_env):
     with pytest.raises(SystemExit):
         main(["search", "--index", cli_env["index"], "--text", "x",
               "--filter", "notakv"])
+
+
+def test_cli_round3_query_surface(cli_env, spark, capsys):
+    """phrase / fuzzy / mlt / highlight / search --fast / --search-after:
+    each subcommand runs end-to-end and agrees with the library call."""
+    idx, corpus = cli_env["index"], cli_env["corpus"]
+
+    rc = main(["phrase", "--index", idx, "--input", corpus,
+               "--text", "data model", "--k", "5", "--text-col", "text"])
+    phrase_rows = _json_lines(capsys)
+    assert rc == 0
+
+    rc = main(["fuzzy", "--index", idx, "--term", "modell", "--k", "5"])
+    assert rc == 0 and _json_lines(capsys) is not None
+
+    some_doc = phrase_rows[0]["doc_id"] if phrase_rows else 0
+    rc = main(["mlt", "--index", idx, "--input", corpus,
+               "--doc-id", str(some_doc), "--k", "5", "--text-col", "text"])
+    assert rc == 0
+    capsys.readouterr()  # drain mlt output before the snippet check
+
+    rc = main(["highlight", "--index", idx, "--input", corpus,
+               "--text", "data model", "--k", "3", "--text-col", "text"])
+    hl_rows = _json_lines(capsys)
+    assert rc == 0 and all("snippet" in r for r in hl_rows) and hl_rows
+
+    # keyset page 2 == offset page 2, and the fast path agrees
+    rc = main(["search", "--index", idx, "--text", "data model", "--k", "3"])
+    p1 = _json_lines(capsys)
+    assert rc == 0 and p1
+    cur = f"{p1[-1]['score']},{p1[-1]['doc_id']}"
+    rc = main(["search", "--index", idx, "--text", "data model", "--k", "3",
+               "--search-after", cur])
+    page2 = _json_lines(capsys)
+    rc2 = main(["search", "--index", idx, "--text", "data model", "--k", "3",
+                "--offset", "3"])
+    off2 = _json_lines(capsys)
+    rc3 = main(["search", "--index", idx, "--text", "data model", "--k", "3",
+                "--search-after", cur, "--fast"])
+    fast2 = _json_lines(capsys)
+    assert rc == rc2 == rc3 == 0 and page2 == off2 == fast2
+
+
+def test_cli_msearch_and_chunk(cli_env, spark, tmp_path, capsys):
+    root = str(tmp_path)
+    mf_dir = os.path.join(root, "mf")
+    for field in ("text", "source"):
+        rc = main(["build", "--input", cli_env["corpus"],
+                   "--out", os.path.join(mf_dir, f"field={field}"),
+                   "--text-col", field, "--attr-cols", "", "--shards", "4"])
+        assert rc == 0
+        capsys.readouterr()
+    rc = main(["msearch", "--index", mf_dir, "--text", "data src1",
+               "--k", "5", "--tie-breaker", "0.3"])
+    rows = _json_lines(capsys)
+    assert rc == 0 and rows
+
+    out = os.path.join(root, "chunks.parquet")
+    rc = main(["chunk", "--input", cli_env["corpus"], "--out", out,
+               "--max-tokens", "32", "--overlap", "8", "--text-col", "text"])
+    (res,) = _json_lines(capsys)
+    assert rc == 0 and res["chunks"] > 0
+    cols = set(spark.read.parquet(out).columns)
+    assert cols == {"doc_id", "chunk_id", "n_tokens", "chunk_text"}
