@@ -109,6 +109,8 @@ def main(argv: list[str] | None = None) -> int:
     ms.add_argument("--type", default="best_fields",
                     choices=["best_fields", "most_fields"])
     ms.add_argument("--tie-breaker", type=float, default=0.0)
+    ms.add_argument("--fast", action="store_true",
+                    help="serve from the coordinator fast path")
 
     ck = sub.add_parser("chunk", help="split docs into overlapping token windows")
     ck.add_argument("--input", required=True)
@@ -251,12 +253,14 @@ def main(argv: list[str] | None = None) -> int:
         from .engine.multifield import MultiFieldIndex
 
         mf = MultiFieldIndex(spark, args.index)
-        rows = mf.multi_match(
-            args.text, k=args.k, match_type=args.type,
-            tie_breaker=args.tie_breaker,
-        ).collect()
-        for r in rows:
-            print(json.dumps({"doc_id": r["doc_id"], "score": r["score"]}))
+        kw = dict(k=args.k, match_type=args.type, tie_breaker=args.tie_breaker)
+        if args.fast:
+            pdf = mf.multi_match_local(args.text, **kw)
+            for r in pdf.itertuples(index=False):
+                print(json.dumps({"doc_id": int(r.doc_id), "score": float(r.score)}))
+        else:
+            for r in mf.multi_match(args.text, **kw).collect():
+                print(json.dumps({"doc_id": r["doc_id"], "score": r["score"]}))
         return 0
 
     if args.cmd == "chunk":

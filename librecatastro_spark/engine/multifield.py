@@ -166,6 +166,73 @@ class MultiFieldIndex:
         return ranked.limit(k)
 
 
+    def multi_match_local(
+        self,
+        text: str,
+        k: int = 10,
+        offset: int = 0,
+        match_type: str = "best_fields",
+        tie_breaker: float = 0.0,
+    ) -> pd.DataFrame:
+        """Coordinator fast path for multi_match — same semantics and the
+        SAME per-field numpy kernel as the distributed path (rank-identity
+        tested), but each field's posting blocks come from that
+        sub-index's term-dictionary seek (+ decoded-postings cache) and
+        the whole-index pass runs on the driver. Data read is O(postings
+        of the query terms across the fields) regardless of corpus size —
+        ES's coordinator serving a multi_match, collapsed onto one node."""
+        if match_type == "most_fields":
+            tb = 1.0
+        elif match_type == "best_fields":
+            tb = float(tie_breaker)
+        else:
+            raise ValueError(f"unsupported multi_match type: {match_type}")
+        terms = sorted(set(analyze_text(text)))
+        if not terms:
+            raise ValueError("query analyzes to zero terms")
+        ids_l, w_l = [], []
+        for f in self.fields:
+            s = self.sub[f]
+            idfs = s._idfs(terms)
+            live = [t for t in terms if t in idfs]
+            if not live:
+                continue
+            blocks = s._seek_blocks(live)
+            if not len(blocks):
+                continue
+            decoder = None
+            if int(os.environ.get("LC_POSTING_CACHE_MB", "512")) > 0:
+                decoder = s._make_decoder(blocks)
+            fd = _shard_topk_fn(
+                live, idfs, s.meta.avgdl, 1 << 60, filtered=False,
+                must_not_terms=[], require_all=False, decoder=decoder,
+                dense_hint=int(s.meta.n_docs),
+            )
+            r = fd(blocks)  # one whole-index pass per field (see wand.py
+            #               search_local for why this is bit-identical to
+            #               the per-shard split)
+            ids_l.append(r["doc_id"].to_numpy(dtype=np.int64))
+            w_l.append(r["score"].to_numpy(dtype=np.float64))
+        if not ids_l:
+            return _empty()
+        ids = np.concatenate(ids_l)
+        w = np.concatenate(w_l)
+        uids, inv = np.unique(ids, return_inverse=True)
+        best = np.zeros(len(uids))
+        np.maximum.at(best, inv, w)
+        comb = best
+        if tb:
+            tot = np.bincount(inv, weights=w, minlength=len(uids))
+            comb = best + tb * (tot - best)
+        out = pd.DataFrame(
+            {"doc_id": uids, "score": np.round(comb, ROUND_DECIMALS)}
+        )
+        out = out.sort_values(
+            ["score", "doc_id"], ascending=[False, True], kind="mergesort"
+        ).iloc[offset : offset + k]
+        return out.reset_index(drop=True)
+
+
 def multi_match_exact(
     engines: dict[str, "object"],
     text: str,

@@ -126,3 +126,18 @@ def test_mismatched_shard_split_rejected(spark, corpus, tmp_path_factory):
                 text_col="path", n_shards=2, block_size=16)
     with pytest.raises(ValueError, match="n_shards"):
         MultiFieldIndex(spark, out)
+
+
+@pytest.mark.parametrize("kw", [
+    dict(),
+    dict(tie_breaker=0.3),
+    dict(match_type="most_fields"),
+    dict(offset=5),
+])
+def test_multi_match_local_rank_identical(exact_engines, mf, kw):
+    """The coordinator fast path must return the distributed page exactly
+    (same per-field kernel, same combine, decoded-postings cache on)."""
+    want = rows(mf.multi_match("def mod4", k=8, **kw))
+    pdf = mf.multi_match_local("def mod4", k=8, **kw)
+    got = list(zip(pdf["doc_id"].tolist(), pdf["score"].tolist()))
+    assert got == want and len(got) > 0
