@@ -176,6 +176,64 @@ def main() -> int:
     )
     sections.append(s); problems += p
 
+    s, p = audit(
+        "search_after keyset page plan (r3)",
+        index.search("the scan", k=10, search_after=(2.0, 100)),
+        {"take_ordered": True, "cartesian": False},
+        "Keyset cursor: each shard filters on the rounded (score, doc_id) "
+        "tuple INSIDE the scorer and returns only its local top-k past "
+        "the cursor, restated as a Catalyst Filter above the partial — "
+        "shuffle stays O(shards x k) at any page depth (offset pages "
+        "grow every shard's window to k+offset instead).",
+    )
+    sections.append(s); problems += p
+
+    # multi-field: two sub-indexes over the same docs/shard split
+    from librecatastro_spark.engine.multifield import MultiFieldIndex
+
+    mf_dir = os.path.join(work, "mf_idx")
+    mf = MultiFieldIndex.build(
+        spark, docs, mf_dir, fields=("text", "source"),
+        n_shards=4, block_size=32,
+    )
+    s, p = audit(
+        "multi_match shard-local combine plan (r3)",
+        mf.multi_match("the src3", k=10, tie_breaker=0.3),
+        {"pushed_filter": True, "take_ordered": True, "cartesian": False},
+        "Per-field posting blocks (In(term,…) pushed to each sub-index "
+        "scan) union and group by shard ONCE — sub-indexes share the "
+        "doc-id range split, so a doc's postings for every field are in "
+        "the same task and the cross-field combine (max/sum of per-field "
+        "BM25) happens inside the grouped kernel: ONE shuffle keyed by "
+        "shard, exact post-combine top-k, TakeOrderedAndProject merge.",
+    )
+    sections.append(s); problems += p
+
+    from librecatastro_spark.ops.chunk import chunk_documents
+
+    s, p = audit(
+        "doc chunking fan-out plan (r3)",
+        chunk_documents(docs, max_tokens=40, overlap=8, text_col="text"),
+        {"explode": True, "exchange": False, "cartesian": False},
+        "Overlapping token windows are pure per-row fan-out: tokenize "
+        "behind the Generate barrier, sequence+slice per chunk — NO "
+        "Exchange anywhere; output inherits the corpus partitioning, "
+        "which is what a 100 TB packing pass needs.",
+    )
+    sections.append(s); problems += p
+
+    from librecatastro_spark.ops.text import unigram_logprob
+
+    s, p = audit(
+        "unigram-LM scoring plan (r3)",
+        unigram_logprob(docs, text_col="text"),
+        {"broadcast": True, "cartesian": False},
+        "The vocab-sized corpus-frequency table broadcasts into the "
+        "token-explode scan (BroadcastHashJoin); the only shuffle is the "
+        "doc-keyed mean with map-side partial aggregation.",
+    )
+    sections.append(s); problems += p
+
     emb_path = f"{sf_dir}/embeddings.parquet"
     if os.path.exists(emb_path):
         from librecatastro_spark.ops.similarity import embedding_near_dup_banded
