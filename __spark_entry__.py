@@ -82,6 +82,34 @@ def _sql_terms(text: str) -> str:
     return ", ".join(f"'{t}'" for t in terms)
 
 
+def _collapse_oracle(text: str, collapse_col: str, k: int = 10) -> str:
+    """DuckDB twin of collapse_search: best doc per distinct key (score
+    DESC, doc_id ASC within key), keys ranked by their best."""
+    terms = _sql_terms(text)
+    w = bm25_sql("tf.tf", "dfq.df", "dl.dl", "g.n", "g.avgdl")
+    return f"""
+WITH {_TOKS_CTE},
+dfq AS (SELECT term, count(*)::DOUBLE AS df FROM tf WHERE term IN ({terms}) GROUP BY 1),
+scored AS (
+  SELECT tf.doc_id, round(sum({w}), {ROUND_DECIMALS}) AS score
+  FROM tf JOIN dfq USING (term) JOIN dl USING (doc_id) CROSS JOIN g
+  WHERE tf.term IN ({terms})
+  GROUP BY tf.doc_id
+),
+keyed AS (
+  SELECT s.doc_id, s.score, d.{collapse_col} AS collapse_key,
+         row_number() OVER (
+           PARTITION BY d.{collapse_col}
+           ORDER BY s.score DESC, s.doc_id ASC
+         ) AS rn
+  FROM scored s JOIN documents d USING (doc_id)
+)
+SELECT doc_id, score, collapse_key FROM keyed
+WHERE rn = 1
+ORDER BY score DESC, doc_id ASC
+LIMIT {k}"""
+
+
 def _multi_match_oracle(text: str, fields: list[str], tie_breaker: float,
                         k: int = 10) -> str:
     """DuckDB twin of MultiFieldIndex.multi_match (best_fields +
@@ -1255,6 +1283,10 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # unigram-LM quality scoring
         "doc_chunking": _q_doc_chunking,
         "unigram_logprob": _q_unigram_logprob,
+        # ES field collapsing: best hit per key, keys ranked by their best
+        # (the flagship dedup query's scale-clean generalization)
+        "collapse_by_source": lambda spark, sf: _index(spark, sf)
+        .collapse_search("table query", "source", k=5),
         # exactness baseline for the gated banded near-dup (its oracle is
         # the exact cross-product, so this pairing keeps BOTH the exact
         # semantics and the approximate scale path oracle-checked)
@@ -1374,6 +1406,7 @@ SELECT doc_id, len({duckdb_tokens_sql('text')})::INT AS n_tokens FROM documents
         ),
         "doc_chunking": duckdb_chunks_sql(max_tokens=40, overlap=8, text_col="text"),
         "unigram_logprob": unigram_logprob_sql("text"),
+        "collapse_by_source": _collapse_oracle("table query", "source", k=5),
         "wand_term_prefix": f"""
 WITH {_TOKS_CTE}
 SELECT doc_id, 1.0::DOUBLE AS score FROM (

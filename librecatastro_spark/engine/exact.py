@@ -239,6 +239,34 @@ class ExactBM25:
             ranked = ranked.offset(offset)
         return ranked.limit(k)
 
+    def collapse_search(self, text: str, collapse_col: str, k: int = 10) -> DataFrame:
+        """ES field-collapsing twin (see CompressedIndex.collapse_search):
+        best doc per distinct ``collapse_col`` value, keys ranked by their
+        best (score DESC, doc_id ASC). Pure DataFrame: rounded match
+        scores join the attr column, a key-partitioned Window keeps
+        row_number 1, top-k."""
+        from pyspark.sql import Window
+
+        if collapse_col not in self.attrs.columns:
+            raise ValueError(f"attrs lack column {collapse_col!r}")
+        scored = self.match_scores(text).withColumn(
+            "score", F.round("score", ROUND_DECIMALS)
+        )
+        keyed = scored.join(
+            self.attrs.select("doc_id", F.col(collapse_col).alias("collapse_key")),
+            "doc_id",
+        )
+        w = Window.partitionBy("collapse_key").orderBy(
+            F.desc("score"), F.asc("doc_id")
+        )
+        return (
+            keyed.withColumn("_rn", F.row_number().over(w))
+            .where(F.col("_rn") == 1)
+            .select("doc_id", "score", "collapse_key")
+            .orderBy(F.desc("score"), F.asc("doc_id"))
+            .limit(k)
+        )
+
     def term_prefix_search(self, prefix: str, k: int = 10) -> DataFrame:
         """B5 index-side prefix query: docs containing ≥1 term that starts
         with ``prefix`` — a term-dictionary range scan in ES/Lucene

@@ -1133,6 +1133,85 @@ class CompressedIndex:
         )
         return partial.orderBy(F.asc("doc_id")).limit(k)
 
+    _COLLAPSE_SCHEMA = "doc_id long, score double, collapse_key string"
+
+    def collapse_search(self, text: str, collapse_col: str, k: int = 10) -> DataFrame:
+        """ES field collapsing: the top-k distinct values of
+        ``collapse_col``, each represented by its best-scoring document
+        (score DESC, doc_id ASC within a key; keys ranked by their best).
+        The reference's flagship dedup query is morally this shape —
+        one representative hit per address key.
+
+        Exact with O(shards x k) shuffle even though collapse keys SPAN
+        shards: each shard emits its per-key best capped at its local
+        top-k keys. If a key's global best doc (living in shard s) is not
+        among shard s's k best keys, then >= k keys beat it inside s, and
+        each of those keys' global bests are at least their s-local
+        bests — so >= k keys beat it globally and it cannot be in the
+        answer. The global pass re-collapses (a key's per-shard bests
+        collide here) with a key-partitioned Window, then
+        TakeOrderedAndProject merges.
+
+        The shard kernel reuses the single-field scorer uncut (decode is
+        O(query-term postings) like every path; the collapse cut bounds
+        the SHUFFLE) and joins the shard's attrs slice for the key column
+        — the same cogroup shape as a filtered query.
+        """
+        terms = sorted(set(analyze_text(text)))
+        if not terms:
+            raise ValueError("query analyzes to zero terms")
+        if collapse_col not in self.attrs.columns:
+            raise ValueError(f"index attrs lack column {collapse_col!r}")
+        idfs = self._idfs(terms)
+        terms = [t for t in terms if t in idfs]
+        if not terms:
+            return self.spark.createDataFrame([], self._COLLAPSE_SCHEMA)
+        blocks = self.postings.where(F.col("term").isin(terms))
+        fd = _shard_topk_fn(
+            terms, idfs, self.meta.avgdl, 1 << 60, filtered=False,
+            must_not_terms=[], require_all=False,
+            dense_hint=int(self.meta.n_docs),
+        )
+
+        def fn(bl: pd.DataFrame, at: pd.DataFrame) -> pd.DataFrame:
+            r = fd(bl)
+            if len(r) == 0 or len(at) == 0:
+                return pd.DataFrame(
+                    {"doc_id": pd.Series(dtype="int64"),
+                     "score": pd.Series(dtype="float64"),
+                     "collapse_key": pd.Series(dtype="object")}
+                )
+            m = r.merge(
+                at.rename(columns={collapse_col: "collapse_key"})[
+                    ["doc_id", "collapse_key"]
+                ],
+                on="doc_id",
+            )
+            m = m.sort_values(
+                ["score", "doc_id"], ascending=[False, True], kind="mergesort"
+            )
+            best = m.drop_duplicates("collapse_key", keep="first")
+            return best.head(k)[["doc_id", "score", "collapse_key"]]
+
+        allowed = self.attrs.select("shard", "doc_id", collapse_col)
+        partial = (
+            blocks.groupBy("shard")
+            .cogroup(allowed.groupBy("shard"))
+            .applyInPandas(fn, schema=self._COLLAPSE_SCHEMA)
+        )
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("collapse_key").orderBy(
+            F.desc("score"), F.asc("doc_id")
+        )
+        return (
+            partial.withColumn("_rn", F.row_number().over(w))
+            .where(F.col("_rn") == 1)
+            .drop("_rn")
+            .orderBy(F.desc("score"), F.asc("doc_id"))
+            .limit(k)
+        )
+
     def term_prefix_search(self, prefix: str, k: int = 10) -> DataFrame:
         """B5 prefix query as a term-dictionary RANGE scan: the predicate
         ``term >= p AND term < p + U+10FFFF`` reaches the Parquet scan as

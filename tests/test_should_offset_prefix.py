@@ -191,3 +191,35 @@ def test_cli_health_and_build_and_search(tmp_path, corpus):
 
     v = run("verify", "--input", src, "--index", idx, "--text-col", "content")[0]
     assert v["ok"] is True and v["n_mismatch"] == 0
+
+
+# ----------------------------------------------------- field collapse ----
+
+def test_collapse_rank_identical_and_semantics(exact, wand):
+    """collapse_search: best doc per key, keys ranked by their best —
+    rank-identical across engines and equal to a full-ranking replica."""
+    for col, q in (("lang", "def return"), ("repo", "def return import")):
+        e = [(r["doc_id"], r["score"], r["collapse_key"])
+             for r in exact.collapse_search(q, col, k=8).collect()]
+        w = [(r["doc_id"], r["score"], r["collapse_key"])
+             for r in wand.collapse_search(q, col, k=8).collect()]
+        assert e == w and len(e) > 0
+        keys = [x[2] for x in e]
+        assert len(keys) == len(set(keys))  # one hit per key
+        # replica: full ranking joined to attrs, first hit per key
+        full = rows(exact.search(q, k=10**6))
+        key_of = {r["doc_id"]: r[col]
+                  for r in exact.attrs.select("doc_id", col).collect()}
+        seen, want = set(), []
+        for d, s in full:
+            kk = key_of[d]
+            if kk not in seen:
+                seen.add(kk)
+                want.append((d, s, kk))
+        assert e == want[:8]
+
+
+def test_collapse_bad_column_raises(exact, wand):
+    for eng in (exact, wand):
+        with pytest.raises(ValueError):
+            eng.collapse_search("def", "nosuchcol", k=5)

@@ -188,6 +188,17 @@ def main() -> int:
     )
     sections.append(s); problems += p
 
+    s, p = audit(
+        "collapse_search field-collapsing plan (r3)",
+        index.collapse_search("the scan", "lang", k=5),
+        {"window": True, "take_ordered": True, "cartesian": False},
+        "Each shard emits its per-key best capped at its local top-k "
+        "keys (exact by pigeonhole even though keys span shards), so the "
+        "key-partitioned Window re-collapse and the TakeOrderedAndProject "
+        "merge see O(shards x k) rows, never the match set.",
+    )
+    sections.append(s); problems += p
+
     # multi-field: two sub-indexes over the same docs/shard split
     from librecatastro_spark.engine.multifield import MultiFieldIndex
 
