@@ -43,14 +43,14 @@ def _index(spark: SparkSession, sf_dir: str) -> CompressedIndex:
 
     src = f"{sf_dir}/documents.parquet"
     mtime = int(os.path.getmtime(src)) if os.path.exists(src) else 0
-    key = hashlib.sha256(f"{sf_dir}:{mtime}:v4".encode()).hexdigest()[:16]
+    key = hashlib.sha256(f"{sf_dir}:{mtime}:v5".encode()).hexdigest()[:16]
     out = os.path.join("/tmp", f"lc_index_{key}")
     docs = _docs(spark, sf_dir).withColumn(
         "content_sha256", F.sha2(F.col("text"), 256)
     )
     build_index(
         spark, docs, out, id_col="doc_id", text_col="text",
-        attr_cols=("lang", "source", "content_sha256"), n_shards=8,
+        attr_cols=("lang", "source", "n_chars", "content_sha256"), n_shards=8,
         block_size=128, salt_threshold=5_000, n_salts=8, resume=True,
     )
     return CompressedIndex(spark, out)
@@ -161,6 +161,7 @@ def _bm25_oracle(
     offset: int = 0,
     phrase: bool = False,
     search_after: bool = False,
+    ranges: dict[str, tuple] | None = None,
 ) -> str:
     terms = sorted(set(analyze_text(text)))
     should_terms = [
@@ -179,6 +180,11 @@ def _bm25_oracle(
         doc_conds.append(f"{col} = '{val}'")
     if prefix is not None:
         doc_conds.append(f"{prefix[0]} LIKE '{prefix[1]}%'")
+    for col, (lo, hi) in (ranges or {}).items():
+        if lo is not None:
+            doc_conds.append(f"{col} >= {lo!r}")
+        if hi is not None:
+            doc_conds.append(f"{col} <= {hi!r}")
     if doc_conds:
         conds.append(
             "doc_id IN (SELECT doc_id FROM documents WHERE " + " AND ".join(doc_conds) + ")"
@@ -1287,6 +1293,12 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # (the flagship dedup query's scale-clean generalization)
         "collapse_by_source": lambda spark, sf: _index(spark, sf)
         .collapse_search("table query", "source", k=5),
+        # ES range query on a numeric attr — bounds pushed to the attrs scan
+        "range_filter_search": lambda spark, sf: _index(spark, sf)
+        .search("table query", k=10, ranges={"n_chars": (120, 220)}),
+        # ES terms aggregation over the full match set (exact, unlike ES)
+        "facet_counts_source": lambda spark, sf: _index(spark, sf)
+        .facet_counts("table query", "source", top_n=10),
         # exactness baseline for the gated banded near-dup (its oracle is
         # the exact cross-product, so this pairing keeps BOTH the exact
         # semantics and the approximate scale path oracle-checked)
@@ -1407,6 +1419,19 @@ SELECT doc_id, len({duckdb_tokens_sql('text')})::INT AS n_tokens FROM documents
         "doc_chunking": duckdb_chunks_sql(max_tokens=40, overlap=8, text_col="text"),
         "unigram_logprob": unigram_logprob_sql("text"),
         "collapse_by_source": _collapse_oracle("table query", "source", k=5),
+        "range_filter_search": _bm25_oracle(
+            "table query", k=10, ranges={"n_chars": (120, 220)}
+        ),
+        "facet_counts_source": f"""
+WITH {_TOKS_CTE},
+matched AS (
+  SELECT DISTINCT doc_id FROM toks WHERE term IN ({_sql_terms('table query')})
+)
+SELECT d.source AS facet_key, count(*)::BIGINT AS cnt
+FROM matched m JOIN documents d USING (doc_id)
+GROUP BY d.source
+ORDER BY cnt DESC, facet_key ASC
+LIMIT 10""",
         "wand_term_prefix": f"""
 WITH {_TOKS_CTE}
 SELECT doc_id, 1.0::DOUBLE AS score FROM (

@@ -59,6 +59,10 @@ def main(argv: list[str] | None = None) -> int:
     s.add_argument("--filter", action="append", default=[],
                    help="keyword equality col=val (repeatable)")
     s.add_argument("--prefix", default=None, help="keyword prefix col=val")
+    s.add_argument("--range", action="append", default=[], dest="ranges",
+                   metavar="COL=LO:HI",
+                   help="inclusive range filter (repeatable; empty LO/HI "
+                        "for open-ended; numeric if both parse as int)")
     s.add_argument("--search-after", default=None, metavar="SCORE,DOC_ID",
                    help="keyset cursor: last hit's score,doc_id "
                         "(mutually exclusive with --offset)")
@@ -111,6 +115,12 @@ def main(argv: list[str] | None = None) -> int:
     ms.add_argument("--tie-breaker", type=float, default=0.0)
     ms.add_argument("--fast", action="store_true",
                     help="serve from the coordinator fast path")
+
+    fc = sub.add_parser("facets", help="terms aggregation over a query's match set")
+    fc.add_argument("--index", required=True)
+    fc.add_argument("--text", required=True)
+    fc.add_argument("--col", required=True, help="attr column to count by")
+    fc.add_argument("--top", type=int, default=10)
 
     ck = sub.add_parser("chunk", help="split docs into overlapping token windows")
     ck.add_argument("--input", required=True)
@@ -181,7 +191,24 @@ def main(argv: list[str] | None = None) -> int:
         if args.search_after:
             s_str, _, d_str = args.search_after.partition(",")
             cursor = (float(s_str), int(d_str))
+        ranges = {}
+        for spec in args.ranges:
+            col, eq, bounds = spec.partition("=")
+            lo_s, colon, hi_s = bounds.partition(":")
+            if not eq or not colon:
+                raise SystemExit(f"--range expects COL=LO:HI, got {spec!r}")
+
+            def _b(x):
+                if x == "":
+                    return None
+                try:
+                    return int(x)
+                except ValueError:
+                    return x
+
+            ranges[col] = (_b(lo_s), _b(hi_s))
         kw = dict(
+            ranges=ranges or None,
             k=args.k, offset=args.offset, require_all=args.require_all,
             filters=_parse_filters(args.filter) or None, prefix=prefix,
             must_not_text=args.must_not, should_text=args.should,
@@ -261,6 +288,14 @@ def main(argv: list[str] | None = None) -> int:
         else:
             for r in mf.multi_match(args.text, **kw).collect():
                 print(json.dumps({"doc_id": r["doc_id"], "score": r["score"]}))
+        return 0
+
+    if args.cmd == "facets":
+        from .engine.wand import CompressedIndex
+
+        idx = CompressedIndex(spark, args.index)
+        for r in idx.facet_counts(args.text, args.col, top_n=args.top).collect():
+            print(json.dumps({"facet_key": r["facet_key"], "cnt": r["cnt"]}))
         return 0
 
     if args.cmd == "chunk":

@@ -89,9 +89,16 @@ class ExactBM25:
 
     # ------------------------------------------------------------------ #
 
-    def _doc_filter(self, filters: dict[str, str] | None, prefix: tuple[str, str] | None) -> DataFrame | None:
-        """Constant-score filter clauses → a doc_id set (semi-join side)."""
-        if not filters and not prefix:
+    def _doc_filter(
+        self,
+        filters: dict[str, str] | None,
+        prefix: tuple[str, str] | None,
+        ranges: dict[str, tuple] | None = None,
+    ) -> DataFrame | None:
+        """Constant-score filter clauses → a doc_id set (semi-join side).
+        ``ranges`` is the ES range query: {col: (lo, hi)}, bounds
+        inclusive, either side None for open-ended."""
+        if not filters and not prefix and not ranges:
             return None
         cond = F.lit(True)
         for col, val in (filters or {}).items():
@@ -99,6 +106,11 @@ class ExactBM25:
         if prefix is not None:
             col, pfx = prefix
             cond = cond & F.col(col).startswith(pfx)
+        for col, (lo, hi) in (ranges or {}).items():
+            if lo is not None:
+                cond = cond & (F.col(col) >= F.lit(lo))
+            if hi is not None:
+                cond = cond & (F.col(col) <= F.lit(hi))
         return self.attrs.where(cond).select("doc_id")
 
     def match_scores(
@@ -109,6 +121,7 @@ class ExactBM25:
         prefix: tuple[str, str] | None = None,
         must_not_text: str | None = None,
         should_text: str | None = None,
+        ranges: dict[str, tuple] | None = None,
     ) -> DataFrame:
         """(doc_id, score) for every matching doc (unranked, unrounded).
 
@@ -155,7 +168,7 @@ class ExactBM25:
         elif should_terms:
             scored = scored.where(F.col("n_matched") >= F.lit(1))
         scored = scored.drop("n_matched")
-        doc_set = self._doc_filter(filters, prefix)
+        doc_set = self._doc_filter(filters, prefix, ranges)
         if doc_set is not None:
             scored = scored.join(doc_set, "doc_id", "left_semi")
         if must_not_text:
@@ -265,6 +278,21 @@ class ExactBM25:
             .select("doc_id", "score", "collapse_key")
             .orderBy(F.desc("score"), F.asc("doc_id"))
             .limit(k)
+        )
+
+    def facet_counts(self, text: str, facet_col: str, top_n: int = 10) -> DataFrame:
+        """ES terms-aggregation twin (see CompressedIndex.facet_counts):
+        match-set counts per distinct attr value, top_n by count DESC
+        (value ASC tiebreak)."""
+        if facet_col not in self.attrs.columns:
+            raise ValueError(f"attrs lack column {facet_col!r}")
+        matched = self.match_scores(text).select("doc_id")
+        return (
+            matched.join(self.attrs.select("doc_id", facet_col), "doc_id")
+            .groupBy(F.col(facet_col).cast("string").alias("facet_key"))
+            .agg(F.count(F.lit(1)).alias("cnt"))
+            .orderBy(F.desc("cnt"), F.asc("facet_key"))
+            .limit(top_n)
         )
 
     def term_prefix_search(self, prefix: str, k: int = 10) -> DataFrame:

@@ -490,8 +490,15 @@ class CompressedIndex:
         must_not_text: str | None = None,
         should_text: str | None = None,
         search_after: tuple[float, int] | None = None,
+        ranges: dict[str, tuple] | None = None,
     ) -> DataFrame:
         """Top-k BM25 (doc_id, score), score DESC / doc_id ASC.
+
+        ``ranges`` is the ES range query over keyword/numeric attr
+        columns: {col: (lo, hi)}, bounds inclusive, either side None for
+        open-ended — evaluated in Catalyst like the equality filters, so
+        the comparison reaches the attrs Parquet scan as PushedFilters
+        (GreaterThanOrEqual/LessThanOrEqual row-group pruning).
 
         Pagination, two forms (ES ``from`` vs ``search_after``):
         ``offset`` makes every shard surface the whole k+offset window —
@@ -520,11 +527,12 @@ class CompressedIndex:
         blocks = self.postings.where(F.col("term").isin(wanted))
         local_k = k + offset  # each shard must surface the whole window
         fn = _shard_topk_fn(
-            terms, idfs, self.meta.avgdl, local_k, bool(filters or prefix),
+            terms, idfs, self.meta.avgdl, local_k,
+            bool(filters or prefix or ranges),
             must_not_terms, require_all, should_terms,
             dense_hint=int(self.meta.n_docs), cursor=search_after,
         )
-        if filters or prefix:
+        if filters or prefix or ranges:
             # filter clauses stay in Catalyst: the predicate reaches the
             # attrs Parquet scan (PushedFilters — equality and StartsWith
             # both push down), so the cogroup ships only the SURVIVING
@@ -535,6 +543,11 @@ class CompressedIndex:
                 cond = cond & (F.col(col) == F.lit(val))
             if prefix is not None:
                 cond = cond & F.col(prefix[0]).startswith(prefix[1])
+            for col, (lo, hi) in (ranges or {}).items():
+                if lo is not None:
+                    cond = cond & (F.col(col) >= F.lit(lo))
+                if hi is not None:
+                    cond = cond & (F.col(col) <= F.lit(hi))
             allowed = self.attrs.where(cond).select("shard", "doc_id")
             partial = (
                 blocks.groupBy("shard")
@@ -912,6 +925,7 @@ class CompressedIndex:
         must_not_text: str | None = None,
         should_text: str | None = None,
         search_after: tuple[float, int] | None = None,
+        ranges: dict[str, tuple] | None = None,
     ) -> pd.DataFrame:
         """Coordinator fast path: identical semantics and the SAME numpy
         kernel as ``search`` (rank-identity tested in test_fastpath), but
@@ -949,7 +963,7 @@ class CompressedIndex:
             )
         blocks = self._seek_blocks(wanted)
         attrs = None
-        if filters or prefix:
+        if filters or prefix or ranges:
             # predicates pushed into the pyarrow scan (row-group stats +
             # dictionary filtering), and only (shard, doc_id) is
             # materialized — the coordinator never holds the full attrs
@@ -972,6 +986,15 @@ class CompressedIndex:
                 if upper is not None:
                     e = e & (pc.field(prefix[0]) < upper)
                 expr = e if expr is None else expr & e
+            for col, (lo, hi) in (ranges or {}).items():
+                # same inclusive-range semantics as the Catalyst path;
+                # pyarrow pushes both bounds into row-group stats pruning
+                if lo is not None:
+                    e = pc.field(col) >= lo
+                    expr = e if expr is None else expr & e
+                if hi is not None:
+                    e = pc.field(col) <= hi
+                    expr = e if expr is None else expr & e
             cols = ["shard", "doc_id"]
             if prefix is not None:
                 cols.append(prefix[0])
@@ -988,7 +1011,8 @@ class CompressedIndex:
         if search_after is not None and offset:
             raise ValueError("offset and search_after are mutually exclusive")
         fn = _shard_topk_fn(
-            terms, idfs, self.meta.avgdl, local_k, bool(filters or prefix),
+            terms, idfs, self.meta.avgdl, local_k,
+            bool(filters or prefix or ranges),
             must_not_terms, require_all, should_terms, decoder=decoder,
             dense_hint=int(self.meta.n_docs), cursor=search_after,
         )
@@ -1005,7 +1029,11 @@ class CompressedIndex:
         # executors); rank-identity between the two is asserted in
         # bench.py and tests/test_fastpath.py.
         if decoder is not None:
-            parts = [fn(blocks, attrs) if (filters or prefix) else fn(blocks)]
+            parts = [
+                fn(blocks, attrs)
+                if (filters or prefix or ranges)
+                else fn(blocks)
+            ]
         else:
             # cache disabled: per-shard scoring on the pool (inline decode
             # is the dominant cost and releases the GIL in bulk ufuncs)
@@ -1013,7 +1041,7 @@ class CompressedIndex:
 
             def run_one(item):
                 shard, bl = item
-                if filters or prefix:
+                if filters or prefix or ranges:
                     return fn(bl, attrs[attrs["shard"] == shard])
                 return fn(bl)
 
@@ -1210,6 +1238,58 @@ class CompressedIndex:
             .drop("_rn")
             .orderBy(F.desc("score"), F.asc("doc_id"))
             .limit(k)
+        )
+
+    def facet_counts(self, text: str, facet_col: str, top_n: int = 10) -> DataFrame:
+        """ES terms aggregation over the query's FULL match set: how many
+        matching docs per distinct ``facet_col`` value, top_n values by
+        count DESC (value ASC tiebreak). Each shard counts its own match
+        set locally (the map-side combine), so the shuffle is O(shards x
+        distinct values), never O(matches). EXACT, unlike ES — whose
+        terms agg is approximate across shards (per-shard shard_size
+        truncation) — because emitting every shard-local (value, count)
+        pair costs a bounded cardinality, not a ranking guarantee.
+        """
+        terms = sorted(set(analyze_text(text)))
+        if not terms:
+            raise ValueError("query analyzes to zero terms")
+        if facet_col not in self.attrs.columns:
+            raise ValueError(f"index attrs lack column {facet_col!r}")
+        idfs = self._idfs(terms)
+        terms = [t for t in terms if t in idfs]
+        if not terms:
+            return self.spark.createDataFrame([], "facet_key string, cnt long")
+        blocks = self.postings.where(F.col("term").isin(terms))
+        fd = _shard_topk_fn(
+            terms, idfs, self.meta.avgdl, 1 << 60, filtered=False,
+            must_not_terms=[], require_all=False,
+            dense_hint=int(self.meta.n_docs),
+        )
+
+        def fn(bl: pd.DataFrame, at: pd.DataFrame) -> pd.DataFrame:
+            r = fd(bl)
+            if len(r) == 0 or len(at) == 0:
+                return pd.DataFrame(
+                    {"facet_key": pd.Series(dtype="object"),
+                     "cnt": pd.Series(dtype="int64")}
+                )
+            m = r.merge(at[["doc_id", facet_col]], on="doc_id")
+            vc = m[facet_col].value_counts()
+            return pd.DataFrame(
+                {"facet_key": vc.index.astype(str), "cnt": vc.to_numpy()}
+            )
+
+        allowed = self.attrs.select("shard", "doc_id", facet_col)
+        partial = (
+            blocks.groupBy("shard")
+            .cogroup(allowed.groupBy("shard"))
+            .applyInPandas(fn, schema="facet_key string, cnt long")
+        )
+        return (
+            partial.groupBy("facet_key")
+            .agg(F.sum("cnt").alias("cnt"))
+            .orderBy(F.desc("cnt"), F.asc("facet_key"))
+            .limit(top_n)
         )
 
     def term_prefix_search(self, prefix: str, k: int = 10) -> DataFrame:

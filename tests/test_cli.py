@@ -197,3 +197,17 @@ def test_cli_msearch_and_chunk(cli_env, spark, tmp_path, capsys):
     assert rc == 0 and res["chunks"] > 0
     cols = set(spark.read.parquet(out).columns)
     assert cols == {"doc_id", "chunk_id", "n_tokens", "chunk_text"}
+
+
+def test_cli_range_and_facets(cli_env, capsys):
+    rc = main(["search", "--index", cli_env["index"], "--text", "data model",
+               "--k", "5", "--range", "lang=en:fr"])
+    ranged = _json_lines(capsys)
+    assert rc == 0
+    rc = main(["facets", "--index", cli_env["index"], "--text", "data model",
+               "--col", "lang", "--top", "5"])
+    facets = _json_lines(capsys)
+    assert rc == 0 and facets and all("cnt" in r for r in facets)
+    with pytest.raises(SystemExit):
+        main(["search", "--index", cli_env["index"], "--text", "x",
+              "--range", "notaspec"])

@@ -223,3 +223,59 @@ def test_collapse_bad_column_raises(exact, wand):
     for eng in (exact, wand):
         with pytest.raises(ValueError):
             eng.collapse_search("def", "nosuchcol", k=5)
+
+
+# ----------------------------------------------------- range / facets ----
+
+def test_range_filter_rank_identical_all_paths(exact, wand):
+    """ES range query: inclusive bounds, open ends, combined with
+    equality filters — identical across exact, distributed and fast."""
+    cases = [
+        dict(ranges={"repo": ("org1", "org3")}),
+        dict(ranges={"repo": (None, "org2")}),
+        dict(ranges={"repo": ("org4", None)}, filters={"lang": "py"}),
+    ]
+    for kw in cases:
+        want = rows(exact.search("def return", k=8, **kw))
+        got = rows(wand.search("def return", k=8, **kw))
+        fp = wand.search_local("def return", k=8, **kw)
+        fast = list(zip(fp["doc_id"].tolist(), fp["score"].tolist()))
+        assert got == want == fast and len(want) > 0
+
+
+def test_range_bounds_inclusive(exact):
+    # boundary values must be IN (ES range gte/lte default): a degenerate
+    # [v, v] range equals the equality filter on a real attr value
+    v = exact.attrs.select("repo").limit(1).collect()[0]["repo"]
+    hit = {r[0] for r in rows(exact.search("def", k=10**6,
+                                           ranges={"repo": (v, v)}))}
+    want = {
+        r["doc_id"] for r in exact.attrs.where(F.col("repo") == v)
+        .select("doc_id").collect()
+    } & {r[0] for r in rows(exact.search("def", k=10**6))}
+    assert hit == want and hit
+
+
+def test_facet_counts_exact_vs_wand_and_replica(exact, wand):
+    for col in ("lang", "repo"):
+        e = [(r["facet_key"], r["cnt"])
+             for r in exact.facet_counts("def return", col, top_n=20).collect()]
+        w = [(r["facet_key"], r["cnt"])
+             for r in wand.facet_counts("def return", col, top_n=20).collect()]
+        assert e == w and len(e) > 0
+        # replica: count the full match set by key
+        match = {r[0] for r in rows(exact.search("def return", k=10**6))}
+        key_of = {r["doc_id"]: r[col]
+                  for r in exact.attrs.select("doc_id", col).collect()}
+        counts: dict[str, int] = {}
+        for d in match:
+            counts[key_of[d]] = counts.get(key_of[d], 0) + 1
+        want = sorted(counts.items(), key=lambda x: (-x[1], x[0]))[:20]
+        assert e == want
+        assert sum(c for _, c in counts.items()) == len(match)
+
+
+def test_facet_bad_column_raises(exact, wand):
+    for eng in (exact, wand):
+        with pytest.raises(ValueError):
+            eng.facet_counts("def", "nosuchcol")
