@@ -177,7 +177,11 @@ def _bm25_oracle(
         conds.append("n_matched >= 1")
     doc_conds = []
     for col, val in (filters or {}).items():
-        doc_conds.append(f"{col} = '{val}'")
+        if isinstance(val, (list, tuple, set)):
+            vals = ", ".join(f"'{v}'" for v in sorted(val))
+            doc_conds.append(f"{col} IN ({vals})")
+        else:
+            doc_conds.append(f"{col} = '{val}'")
     if prefix is not None:
         doc_conds.append(f"{prefix[0]} LIKE '{prefix[1]}%'")
     for col, (lo, hi) in (ranges or {}).items():
@@ -1299,6 +1303,9 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ES terms aggregation over the full match set (exact, unlike ES)
         "facet_counts_source": lambda spark, sf: _index(spark, sf)
         .facet_counts("table query", "source", top_n=10),
+        # ES terms query: multi-value keyword filter pushed as In(...)
+        "terms_filter_search": lambda spark, sf: _index(spark, sf)
+        .search("table query", k=10, filters={"source": ["src1", "src4"]}),
         # exactness baseline for the gated banded near-dup (its oracle is
         # the exact cross-product, so this pairing keeps BOTH the exact
         # semantics and the approximate scale path oracle-checked)
@@ -1421,6 +1428,9 @@ SELECT doc_id, len({duckdb_tokens_sql('text')})::INT AS n_tokens FROM documents
         "collapse_by_source": _collapse_oracle("table query", "source", k=5),
         "range_filter_search": _bm25_oracle(
             "table query", k=10, ranges={"n_chars": (120, 220)}
+        ),
+        "terms_filter_search": _bm25_oracle(
+            "table query", k=10, filters={"source": ["src1", "src4"]}
         ),
         "facet_counts_source": f"""
 WITH {_TOKS_CTE},

@@ -102,7 +102,11 @@ class ExactBM25:
             return None
         cond = F.lit(True)
         for col, val in (filters or {}).items():
-            cond = cond & (F.col(col) == F.lit(val))
+            # a list/tuple/set value is the ES `terms` query: col IN (…)
+            if isinstance(val, (list, tuple, set)):
+                cond = cond & F.col(col).isin(*sorted(val))
+            else:
+                cond = cond & (F.col(col) == F.lit(val))
         if prefix is not None:
             col, pfx = prefix
             cond = cond & F.col(col).startswith(pfx)

@@ -540,7 +540,12 @@ class CompressedIndex:
             # corpus), not O(corpus), per shard
             cond = F.lit(True)
             for col, val in (filters or {}).items():
-                cond = cond & (F.col(col) == F.lit(val))
+                # list/tuple/set value = ES `terms` query: col IN (…) —
+                # pushed to the attrs scan as an In filter
+                if isinstance(val, (list, tuple, set)):
+                    cond = cond & F.col(col).isin(*sorted(val))
+                else:
+                    cond = cond & (F.col(col) == F.lit(val))
             if prefix is not None:
                 cond = cond & F.col(prefix[0]).startswith(prefix[1])
             for col, (lo, hi) in (ranges or {}).items():
@@ -970,7 +975,10 @@ class CompressedIndex:
             # table, so filtered fast-path memory is O(matching docs)
             expr = None
             for col, val in (filters or {}).items():
-                e = pc.field(col) == val
+                if isinstance(val, (list, tuple, set)):
+                    e = pc.field(col).isin(sorted(val))
+                else:
+                    e = pc.field(col) == val
                 expr = e if expr is None else expr & e
             if prefix is not None:
                 p = prefix[1]

@@ -279,3 +279,20 @@ def test_facet_bad_column_raises(exact, wand):
     for eng in (exact, wand):
         with pytest.raises(ValueError):
             eng.facet_counts("def", "nosuchcol")
+
+
+def test_terms_filter_all_paths(exact, wand):
+    """ES terms query: list filter value = col IN (...), identical across
+    exact / distributed / fast, and equal to the union of equality runs."""
+    kw = dict(filters={"lang": ["py", "go"]})
+    want = rows(exact.search("def return", k=10, **kw))
+    got = rows(wand.search("def return", k=10, **kw))
+    fp = wand.search_local("def return", k=10, **kw)
+    fast = list(zip(fp["doc_id"].tolist(), fp["score"].tolist()))
+    assert got == want == fast and len(want) > 0
+    by_union = {r[0] for r in rows(exact.search("def return", k=10**6,
+                                                filters={"lang": "py"}))}
+    by_union |= {r[0] for r in rows(exact.search("def return", k=10**6,
+                                                 filters={"lang": "go"}))}
+    full = {r[0] for r in rows(exact.search("def return", k=10**6, **kw))}
+    assert full == by_union
