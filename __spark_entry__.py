@@ -1306,6 +1306,9 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ES terms query: multi-value keyword filter pushed as In(...)
         "terms_filter_search": lambda spark, sf: _index(spark, sf)
         .search("table query", k=10, filters={"source": ["src1", "src4"]}),
+        # ES completion-suggester lite: prefix -> top dictionary terms
+        "suggest_terms": lambda spark, sf: _index(spark, sf)
+        .suggest_terms("s", k=10),
         # exactness baseline for the gated banded near-dup (its oracle is
         # the exact cross-product, so this pairing keeps BOTH the exact
         # semantics and the approximate scale path oracle-checked)
@@ -1432,6 +1435,14 @@ SELECT doc_id, len({duckdb_tokens_sql('text')})::INT AS n_tokens FROM documents
         "terms_filter_search": _bm25_oracle(
             "table query", k=10, filters={"source": ["src1", "src4"]}
         ),
+        "suggest_terms": f"""
+WITH {_TOKS_CTE}
+SELECT term, count(DISTINCT doc_id)::BIGINT AS df
+FROM toks
+WHERE term LIKE 's%'
+GROUP BY term
+ORDER BY df DESC, term ASC
+LIMIT 10""",
         "facet_counts_source": f"""
 WITH {_TOKS_CTE},
 matched AS (

@@ -1248,6 +1248,26 @@ class CompressedIndex:
             .limit(k)
         )
 
+    def suggest_terms(self, prefix: str, k: int = 10) -> DataFrame:
+        """ES completion-suggester lite: the top-k dictionary terms
+        starting with ``prefix``, ranked by document frequency DESC (term
+        ASC tiebreak) — the autocomplete primitive. A vocab-bounded scan
+        of term_stats with the [prefix, successor) range predicate pushed
+        to the Parquet scan; no postings are touched. Returns
+        (term, df)."""
+        if not prefix:
+            raise ValueError("suggest needs a non-empty prefix")
+        hi = _prefix_successor(prefix)
+        cond = F.col("term") >= prefix
+        if hi is not None:
+            cond = cond & (F.col("term") < hi)
+        return (
+            self.term_stats.where(cond)
+            .select("term", F.col("df").cast("long").alias("df"))
+            .orderBy(F.desc("df"), F.asc("term"))
+            .limit(k)
+        )
+
     def facet_counts(self, text: str, facet_col: str, top_n: int = 10) -> DataFrame:
         """ES terms aggregation over the query's FULL match set: how many
         matching docs per distinct ``facet_col`` value, top_n values by

@@ -296,3 +296,19 @@ def test_terms_filter_all_paths(exact, wand):
                                                  filters={"lang": "go"}))}
     full = {r[0] for r in rows(exact.search("def return", k=10**6, **kw))}
     assert full == by_union
+
+
+def test_suggest_terms_matches_postings_df(exact, wand):
+    """suggest_terms = top-k dictionary terms by df under a prefix; must
+    equal a df count straight off the exact engine's postings."""
+    got = [(r["term"], r["df"]) for r in wand.suggest_terms("re", k=8).collect()]
+    want_df = (
+        exact.postings.where(F.col("term").startswith("re"))
+        .groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+        .collect()
+    )
+    want = sorted(((r["term"], r["df"]) for r in want_df),
+                  key=lambda x: (-x[1], x[0]))[:8]
+    assert got == want and got
+    with pytest.raises(ValueError):
+        wand.suggest_terms("", k=5)
