@@ -111,16 +111,26 @@ LIMIT {k}"""
 
 
 def _multi_match_oracle(text: str, fields: list[str], tie_breaker: float,
-                        k: int = 10) -> str:
+                        k: int = 10, cross_fields: bool = False) -> str:
     """DuckDB twin of MultiFieldIndex.multi_match (best_fields +
     tie_breaker): one BM25 score CTE per analyzed field (each with its
     OWN df/dl/avgdl statistics, like the per-field sub-indexes), full
     outer join on doc_id with absent fields as 0 (BM25 > 0), combined =
-    round(best + tb * (sum - best))."""
+    round(best + tb * (sum - best)). With ``cross_fields`` the combine
+    is term-centric instead (multi_match_cross_fields): per-(doc, term,
+    field) rounded weights, max per (doc, term) across fields, sum per
+    doc."""
     terms = _sql_terms(text)
     ctes, score_names = [], []
     for i, f in enumerate(fields):
         toks = duckdb_tokens_sql(f)
+        w = bm25_sql(f"tf{i}.tf", f"df{i}.df", f"dl{i}.dl", f"g{i}.n", f"g{i}.avgdl")
+        agg = (
+            f"round(sum({w}), {ROUND_DECIMALS}) AS s"
+            if not cross_fields
+            else f"tf{i}.term, round({w}, {ROUND_DECIMALS}) AS w"
+        )
+        group = f"GROUP BY tf{i}.doc_id" if not cross_fields else ""
         ctes.append(f"""
 t{i} AS (SELECT doc_id, unnest({toks}) AS term FROM documents),
 tf{i} AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM t{i} GROUP BY 1, 2),
@@ -128,13 +138,22 @@ dl{i} AS (SELECT doc_id, sum(tf) AS dl FROM tf{i} GROUP BY 1),
 g{i} AS (SELECT count(*)::DOUBLE AS n, avg(dl)::DOUBLE AS avgdl FROM dl{i}),
 df{i} AS (SELECT term, count(*)::DOUBLE AS df FROM tf{i} WHERE term IN ({terms}) GROUP BY 1),
 s{i} AS (
-  SELECT tf{i}.doc_id,
-         round(sum({bm25_sql(f'tf{i}.tf', f'df{i}.df', f'dl{i}.dl', f'g{i}.n', f'g{i}.avgdl')}), {ROUND_DECIMALS}) AS s
+  SELECT tf{i}.doc_id, {agg}
   FROM tf{i} JOIN df{i} USING (term) JOIN dl{i} USING (doc_id) CROSS JOIN g{i}
   WHERE tf{i}.term IN ({terms})
-  GROUP BY tf{i}.doc_id
+  {group}
 )""")
         score_names.append(f"s{i}")
+    if cross_fields:
+        union = " UNION ALL ".join(f"SELECT * FROM {s}" for s in score_names)
+        return f"""
+WITH {','.join(ctes)},
+allw AS ({union}),
+mx AS (SELECT doc_id, term, max(w) AS w FROM allw GROUP BY 1, 2)
+SELECT doc_id, round(sum(w), {ROUND_DECIMALS}) AS score
+FROM mx GROUP BY doc_id
+ORDER BY score DESC, doc_id ASC
+LIMIT {k}"""
     join = score_names[0]
     for s in score_names[1:]:
         join += f" FULL OUTER JOIN {s} USING (doc_id)"
@@ -1165,6 +1184,25 @@ def _q_multi_match(spark, sf):
     return mf.multi_match("table src3", k=10, tie_breaker=0.3)
 
 
+def _q_multi_match_cross(spark, sf):
+    """multi_match type=cross_fields: term-centric combine (each term
+    taken from its best field) over the same two sub-indexes."""
+    import hashlib
+
+    from librecatastro_spark.engine.multifield import MultiFieldIndex
+
+    src = f"{sf}/documents.parquet"
+    mtime = int(os.path.getmtime(src)) if os.path.exists(src) else 0
+    key = hashlib.sha256(f"{sf}:{mtime}:mf_v1".encode()).hexdigest()[:16]
+    out = os.path.join("/tmp", f"lc_mf_{key}")
+    docs = _docs(spark, sf)
+    mf = MultiFieldIndex.build(
+        spark, docs, out, fields=("text", "source"), id_col="doc_id",
+        n_shards=4, block_size=64, resume=True,
+    )
+    return mf.multi_match_cross_fields("table src3", k=10)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Exactly 50 entries — the driver's correctness file records at most
     50, so the gate set is curated (round 1 proved entries 51+ silently
@@ -1309,6 +1347,8 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ES completion-suggester lite: prefix -> top dictionary terms
         "suggest_terms": lambda spark, sf: _index(spark, sf)
         .suggest_terms("s", k=10),
+        # multi_match type=cross_fields (term-centric combine)
+        "multi_match_cross_fields": _q_multi_match_cross,
         # exactness baseline for the gated banded near-dup (its oracle is
         # the exact cross-product, so this pairing keeps BOTH the exact
         # semantics and the approximate scale path oracle-checked)
@@ -1434,6 +1474,10 @@ SELECT doc_id, len({duckdb_tokens_sql('text')})::INT AS n_tokens FROM documents
         ),
         "terms_filter_search": _bm25_oracle(
             "table query", k=10, filters={"source": ["src1", "src4"]}
+        ),
+        "multi_match_cross_fields": _multi_match_oracle(
+            "table src3", fields=["text", "source"], tie_breaker=0.0,
+            k=10, cross_fields=True,
         ),
         "suggest_terms": f"""
 WITH {_TOKS_CTE}

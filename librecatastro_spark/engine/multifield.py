@@ -166,6 +166,99 @@ class MultiFieldIndex:
         return ranked.limit(k)
 
 
+    def multi_match_cross_fields(self, text: str, k: int = 10,
+                                 offset: int = 0) -> DataFrame:
+        """ES multi_match type=cross_fields, frozen term-centric spec:
+
+            score(doc) = Σ over distinct query terms of
+                         max over fields of w_BM25(term, field, doc)
+
+        i.e. each TERM is taken from whichever field scores it best —
+        the "treat fields as one big field" intent — where best_fields/
+        most_fields combine whole per-field scores. Documented
+        divergence: ES blends df across fields before weighting; this
+        engine keeps each field's own statistics (simpler, rank-stable,
+        exactly twinnable in SQL). Per-(doc, term, field) weights are
+        rounded to ROUND_DECIMALS before the max, like every other
+        cross-path comparison point.
+
+        Same shard-local combine trick as multi_match (shared doc-id
+        shard split), so the shuffle stays O(shards x (k+offset)): the
+        per-shard kernel runs the single-field scorer once per (field,
+        term) pair — a per-term weight IS that term's single-term score
+        — takes the per-term max across fields, and sums per doc.
+        """
+        terms = sorted(set(analyze_text(text)))
+        if not terms:
+            raise ValueError("query analyzes to zero terms")
+        local_k = k + offset
+        fns: dict[tuple[str, str], object] = {}
+        parts = []
+        for f in self.fields:
+            s = self.sub[f]
+            idfs = s._idfs(terms)
+            live = [t for t in terms if t in idfs]
+            if not live:
+                continue
+            for t in live:
+                fns[(f, t)] = _shard_topk_fn(
+                    [t], {t: idfs[t]}, s.meta.avgdl, 1 << 60, filtered=False,
+                    must_not_terms=[], require_all=False,
+                    dense_hint=int(s.meta.n_docs),
+                )
+            parts.append(
+                s.postings.where(F.col("term").isin(live))
+                .withColumn("_field", F.lit(f))
+            )
+        if not parts:
+            return self.spark.createDataFrame([], _RESULT_SCHEMA)
+        blocks = parts[0]
+        for p in parts[1:]:
+            blocks = blocks.unionByName(p)
+
+        def combine(pdf: pd.DataFrame) -> pd.DataFrame:
+            per_term: dict[str, list] = {}
+            for (f, t), fd in fns.items():
+                sub = pdf[(pdf["_field"] == f) & (pdf["term"] == t)]
+                if len(sub) == 0:
+                    continue
+                r = fd(sub.drop(columns=["_field"]))
+                if len(r):
+                    per_term.setdefault(t, []).append(
+                        (r["doc_id"].to_numpy(dtype=np.int64),
+                         r["score"].to_numpy(dtype=np.float64))
+                    )
+            ids_l, w_l = [], []
+            for t, chunks in per_term.items():
+                ids = np.concatenate([c[0] for c in chunks])
+                w = np.concatenate([c[1] for c in chunks])
+                uids, inv = np.unique(ids, return_inverse=True)
+                best = np.zeros(len(uids))
+                np.maximum.at(best, inv, w)
+                ids_l.append(uids)
+                w_l.append(best)
+            if not ids_l:
+                return _empty()
+            ids = np.concatenate(ids_l)
+            w = np.concatenate(w_l)
+            uids, inv = np.unique(ids, return_inverse=True)
+            tot = np.round(
+                np.bincount(inv, weights=w, minlength=len(uids)),
+                ROUND_DECIMALS,
+            )
+            if len(uids) > local_k:
+                order = np.lexsort((uids, -tot))[:local_k]
+                uids, tot = uids[order], tot[order]
+            return pd.DataFrame({"doc_id": uids, "score": tot})
+
+        partial = blocks.groupBy("shard").applyInPandas(
+            lambda key, b: combine(b), schema=_RESULT_SCHEMA
+        )
+        ranked = partial.orderBy(F.desc("score"), F.asc("doc_id"))
+        if offset:
+            ranked = ranked.offset(offset)
+        return ranked.limit(k)
+
     def multi_match_local(
         self,
         text: str,
@@ -231,6 +324,56 @@ class MultiFieldIndex:
             ["score", "doc_id"], ascending=[False, True], kind="mergesort"
         ).iloc[offset : offset + k]
         return out.reset_index(drop=True)
+
+
+def cross_fields_exact(
+    engines: dict[str, "object"],
+    text: str,
+    k: int = 10,
+    offset: int = 0,
+) -> DataFrame:
+    """DataFrame twin of multi_match_cross_fields over per-field
+    ExactBM25 engines: per-(doc, term, field) BM25 weights (each field's
+    own df/dl/avgdl statistics, rounded), max per (doc, term) across
+    fields, sum per doc."""
+    from ..bm25 import bm25_weight_expr
+
+    terms = sorted(set(analyze_text(text)))
+    if not terms:
+        raise ValueError("query analyzes to zero terms")
+    weighted = []
+    for f, eng in sorted(engines.items()):
+        p = eng.postings.where(F.col("term").isin(terms))
+        dfreq = p.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+        weighted.append(
+            p.join(F.broadcast(dfreq), "term").select(
+                "doc_id",
+                "term",
+                F.round(
+                    bm25_weight_expr(
+                        F.col("tf").cast("double"),
+                        F.col("df").cast("double"),
+                        F.col("dl").cast("double"),
+                        eng.stats.n_docs,
+                        eng.stats.avgdl,
+                    ),
+                    ROUND_DECIMALS,
+                ).alias("w"),
+            )
+        )
+    allw = weighted[0]
+    for wdf in weighted[1:]:
+        allw = allw.unionByName(wdf)
+    ranked = (
+        allw.groupBy("doc_id", "term")
+        .agg(F.max("w").alias("w"))
+        .groupBy("doc_id")
+        .agg(F.round(F.sum("w"), ROUND_DECIMALS).alias("score"))
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+    )
+    if offset:
+        ranked = ranked.offset(offset)
+    return ranked.limit(k)
 
 
 def multi_match_exact(

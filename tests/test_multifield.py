@@ -141,3 +141,34 @@ def test_multi_match_local_rank_identical(exact_engines, mf, kw):
     pdf = mf.multi_match_local("def mod4", k=8, **kw)
     got = list(zip(pdf["doc_id"].tolist(), pdf["score"].tolist()))
     assert got == want and len(got) > 0
+
+
+from librecatastro_spark.engine.multifield import cross_fields_exact
+
+
+@pytest.mark.parametrize("q", QUERIES[:3])
+def test_cross_fields_rank_identical(exact_engines, mf, q):
+    e = rows(cross_fields_exact(exact_engines, q, k=15))
+    w = rows(mf.multi_match_cross_fields(q, k=15))
+    assert e == w and len(e) > 0
+
+
+def test_cross_fields_term_centric_vs_best_fields(exact_engines, mf):
+    """cross_fields takes the max PER TERM, best_fields per WHOLE score:
+    for a doc matching term A best in field 1 and term B best in field 2,
+    cross_fields >= best_fields; verify on the full ranking and confirm a
+    strict improvement occurs somewhere (mod4 lives only in path, def
+    only in content)."""
+    q = "def mod4"
+    cf = dict(rows(mf.multi_match_cross_fields(q, k=10**6)))
+    bf = dict(rows(mf.multi_match(q, k=10**6)))
+    assert set(cf) == set(bf)
+    assert all(cf[d] >= bf[d] - 1e-9 for d in cf)
+    assert any(cf[d] > bf[d] + 1e-9 for d in cf)
+
+
+def test_cross_fields_offset_pages_tile(exact_engines, mf):
+    full = rows(mf.multi_match_cross_fields("def mod4", k=20))
+    p1 = rows(mf.multi_match_cross_fields("def mod4", k=10))
+    p2 = rows(mf.multi_match_cross_fields("def mod4", k=10, offset=10))
+    assert p1 + p2 == full
