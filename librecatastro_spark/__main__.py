@@ -111,7 +111,7 @@ def main(argv: list[str] | None = None) -> int:
     ms.add_argument("--text", required=True)
     ms.add_argument("--k", type=int, default=10)
     ms.add_argument("--type", default="best_fields",
-                    choices=["best_fields", "most_fields"])
+                    choices=["best_fields", "most_fields", "cross_fields"])
     ms.add_argument("--tie-breaker", type=float, default=0.0)
     ms.add_argument("--fast", action="store_true",
                     help="serve from the coordinator fast path")
@@ -280,6 +280,12 @@ def main(argv: list[str] | None = None) -> int:
         from .engine.multifield import MultiFieldIndex
 
         mf = MultiFieldIndex(spark, args.index)
+        if args.type == "cross_fields":
+            if args.fast:
+                raise SystemExit("cross_fields has no coordinator fast path yet")
+            for r in mf.multi_match_cross_fields(args.text, k=args.k).collect():
+                print(json.dumps({"doc_id": r["doc_id"], "score": r["score"]}))
+            return 0
         kw = dict(k=args.k, match_type=args.type, tie_breaker=args.tie_breaker)
         if args.fast:
             pdf = mf.multi_match_local(args.text, **kw)
