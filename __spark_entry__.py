@@ -82,6 +82,23 @@ def _sql_terms(text: str) -> str:
     return ", ".join(f"'{t}'" for t in terms)
 
 
+def _dup_clusters_oracle() -> str:
+    """DuckDB twin of dup_clusters: the same simhash near-dup pairs as
+    the engine's graph, components via min-over-transitive-closure
+    (recursive CTE) — definitionally the same fixpoint the iterative
+    min-label propagation converges to."""
+    from librecatastro_spark.ops.cluster import duckdb_components_sql
+    from librecatastro_spark.ops.dedup import _simhash_sig_cte_sql
+
+    pairs_cte = f"""{_simhash_sig_cte_sql('doc_id', 'text')},
+pairs AS (
+  SELECT a.doc_id AS a, b.doc_id AS b
+  FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+  WHERE bit_count(xor(a.sig, b.sig)) <= 7
+)"""
+    return duckdb_components_sql(pairs_cte)
+
+
 def _collapse_oracle(text: str, collapse_col: str, k: int = 10) -> str:
     """DuckDB twin of collapse_search: best doc per distinct key (score
     DESC, doc_id ASC within key), keys ranked by their best."""
@@ -1184,6 +1201,18 @@ def _q_multi_match(spark, sf):
     return mf.multi_match("table src3", k=10, tie_breaker=0.3)
 
 
+def _q_dup_clusters(spark, sf):
+    """Duplicate clusters: connected components over the simhash
+    near-dup pair graph — pairwise dedup made actionable (one
+    representative per transitive duplicate group). Iterative min-label
+    propagation, O(diameter) shuffled rounds (ops/cluster.py)."""
+    from librecatastro_spark.ops.cluster import connected_components
+    from librecatastro_spark.ops.dedup import simhash_near_pairs
+
+    pairs = simhash_near_pairs(_docs(spark, sf), max_hamming=7, bands=8)
+    return connected_components(pairs, a_col="doc_a", b_col="doc_b")
+
+
 def _q_multi_match_cross(spark, sf):
     """multi_match type=cross_fields: term-centric combine (each term
     taken from its best field) over the same two sub-indexes."""
@@ -1349,6 +1378,8 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         .suggest_terms("s", k=10),
         # multi_match type=cross_fields (term-centric combine)
         "multi_match_cross_fields": _q_multi_match_cross,
+        # duplicate clusters: connected components over near-dup pairs
+        "dup_clusters": _q_dup_clusters,
         # exactness baseline for the gated banded near-dup (its oracle is
         # the exact cross-product, so this pairing keeps BOTH the exact
         # semantics and the approximate scale path oracle-checked)
@@ -1582,6 +1613,7 @@ def _ops_oracles() -> dict[str, str]:
         "minhash_signatures": minhash_signature_sql(n_hashes=8),
         "simhash16": f"SELECT doc_id, {simhash16_sql('text')} AS simhash16 FROM documents",
         "simhash_near_dup": simhash_near_pairs_sql(max_hamming=7),
+        "dup_clusters": _dup_clusters_oracle(),
         "simhash_dedup_scaled": simhash_dedup_sql(),
         "doc_fingerprint": (
             f"SELECT doc_id, {fingerprint_sql('text')} AS fingerprint FROM documents"

@@ -378,3 +378,34 @@ def test_unigram_logprob_ranks_rare_docs_low(spark, docs):
         want = round(sum(math.log(cf[t] / total) for t in ts) / len(ts), 4)
         assert abs(out[r["doc_id"]] - want) <= 1e-4
     assert out[4] < out[0]  # identifier soup below common-token doc
+
+
+# ----------------------------------------------- duplicate clustering ----
+
+def test_connected_components_chains_cycles_cliques(spark):
+    """Transitivity through chains (multi-round propagation), cycles,
+    cliques, direction- and duplicate-insensitivity, and singleton
+    omission."""
+    from librecatastro_spark.ops.cluster import connected_components
+
+    edges = [
+        (2, 1), (2, 3), (3, 4), (4, 5), (5, 6), (6, 7), (7, 8),  # chain
+        (10, 11), (11, 10),                                      # dup/dir
+        (30, 31), (31, 32), (32, 30),                            # cycle
+        (40, 40),                                                # self-loop
+    ]
+    df = spark.createDataFrame(edges, "doc_id_a long, doc_id_b long")
+    got = {r["doc_id"]: r["cluster_id"]
+           for r in connected_components(df, checkpoint_every=2).collect()}
+    want = {n: 1 for n in range(1, 9)}
+    want.update({10: 10, 11: 10, 30: 30, 31: 30, 32: 30})
+    assert got == want  # 40's self-loop emits nothing
+
+
+def test_connected_components_max_iter_raises(spark):
+    from librecatastro_spark.ops.cluster import connected_components
+
+    chain = [(i, i + 1) for i in range(12)]
+    df = spark.createDataFrame(chain, "doc_id_a long, doc_id_b long")
+    with pytest.raises(RuntimeError):
+        connected_components(df, max_iter=2)
