@@ -1376,6 +1376,22 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ES completion-suggester lite: prefix -> top dictionary terms
         "suggest_terms": lambda spark, sf: _index(spark, sf)
         .suggest_terms("s", k=10),
+        # ES wildcard / regexp term queries: dictionary expansion (vocab
+        # scan, prefix range pushed for wildcard) -> In(term) postings scan
+        "wildcard_term_search": lambda spark, sf: _index(spark, sf)
+        .wildcard_term_search("s?a*", k=10),
+        "regexp_term_search": lambda spark, sf: _index(spark, sf)
+        .regexp_term_search("(bat|dat|has)[a-z]+", k=10),
+        # ES aggregations over the FULL match set (stats / histogram /
+        # cardinality / top_hits) — per-shard map-side combine throughout
+        "stats_agg_nchars": lambda spark, sf: _index(spark, sf)
+        .stats_agg("spark", "n_chars"),
+        "histogram_agg_nchars": lambda spark, sf: _index(spark, sf)
+        .histogram_agg("spark", "n_chars", 25),
+        "cardinality_agg_source": lambda spark, sf: _index(spark, sf)
+        .cardinality_agg("spark", "source"),
+        "top_hits_by_source": lambda spark, sf: _index(spark, sf)
+        .top_hits_agg("table query", "source", k_per_group=2, n_groups=3),
         # multi_match type=cross_fields (term-centric combine)
         "multi_match_cross_fields": _q_multi_match_cross,
         # duplicate clusters: connected components over near-dup pairs
@@ -1528,6 +1544,75 @@ FROM matched m JOIN documents d USING (doc_id)
 GROUP BY d.source
 ORDER BY cnt DESC, facet_key ASC
 LIMIT 10""",
+        # wildcard 's?a*' == LIKE 's_a%' (same anchored-term semantics)
+        "wildcard_term_search": f"""
+WITH {_TOKS_CTE}
+SELECT doc_id, 1.0::DOUBLE AS score FROM (
+  SELECT DISTINCT doc_id FROM toks WHERE term LIKE 's_a%'
+) ORDER BY doc_id ASC LIMIT 10
+""",
+        "regexp_term_search": f"""
+WITH {_TOKS_CTE}
+SELECT doc_id, 1.0::DOUBLE AS score FROM (
+  SELECT DISTINCT doc_id FROM toks
+  WHERE regexp_full_match(term, '(bat|dat|has)[a-z]+')
+) ORDER BY doc_id ASC LIMIT 10
+""",
+        "stats_agg_nchars": f"""
+WITH {_TOKS_CTE},
+matched AS (
+  SELECT DISTINCT doc_id FROM toks WHERE term IN ({_sql_terms('spark')})
+)
+SELECT count(*)::BIGINT AS cnt,
+       min(n_chars)::DOUBLE AS min_val,
+       max(n_chars)::DOUBLE AS max_val,
+       sum(n_chars)::DOUBLE AS sum_val,
+       round(sum(n_chars)::DOUBLE / count(*), {ROUND_DECIMALS}) AS avg_val
+FROM matched JOIN documents USING (doc_id)""",
+        "histogram_agg_nchars": f"""
+WITH {_TOKS_CTE},
+matched AS (
+  SELECT DISTINCT doc_id FROM toks WHERE term IN ({_sql_terms('spark')})
+)
+SELECT floor(n_chars::DOUBLE / 25) * 25 AS bucket, count(*)::BIGINT AS cnt
+FROM matched JOIN documents USING (doc_id)
+GROUP BY 1 ORDER BY 1""",
+        "cardinality_agg_source": f"""
+WITH {_TOKS_CTE},
+matched AS (
+  SELECT DISTINCT doc_id FROM toks WHERE term IN ({_sql_terms('spark')})
+)
+SELECT count(DISTINCT source)::BIGINT AS cardinality
+FROM matched JOIN documents USING (doc_id)""",
+        "top_hits_by_source": f"""
+WITH {_TOKS_CTE},
+dfq AS (SELECT term, count(*)::DOUBLE AS df FROM tf
+        WHERE term IN ({_sql_terms('table query')}) GROUP BY 1),
+scored AS (
+  SELECT tf.doc_id, sum({bm25_sql('tf.tf', 'dfq.df', 'dl.dl', 'g.n', 'g.avgdl')}) AS raw
+  FROM tf JOIN dfq USING (term) JOIN dl USING (doc_id) CROSS JOIN g
+  WHERE tf.term IN ({_sql_terms('table query')}) GROUP BY tf.doc_id
+),
+ranked AS (
+  SELECT s.doc_id, round(s.raw, {ROUND_DECIMALS}) AS score, d.source AS group_key
+  FROM scored s JOIN documents d USING (doc_id)
+),
+inkey AS (
+  SELECT *, row_number() OVER (
+              PARTITION BY group_key ORDER BY score DESC, doc_id ASC) AS rn,
+         max(score) OVER (PARTITION BY group_key) AS best
+  FROM ranked
+),
+keys AS (
+  SELECT group_key FROM (
+    SELECT group_key, dense_rank() OVER (ORDER BY best DESC, group_key ASC) AS kr
+    FROM (SELECT DISTINCT group_key, best FROM inkey)
+  ) WHERE kr <= 3
+)
+SELECT doc_id, score, group_key
+FROM inkey JOIN keys USING (group_key)
+WHERE rn <= 2
+ORDER BY score DESC, doc_id ASC""",
         "wand_term_prefix": f"""
 WITH {_TOKS_CTE}
 SELECT doc_id, 1.0::DOUBLE AS score FROM (

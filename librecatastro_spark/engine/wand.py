@@ -44,6 +44,7 @@ from __future__ import annotations
 
 import math
 import os
+import re
 
 import numpy as np
 import pandas as pd
@@ -1374,3 +1375,310 @@ class CompressedIndex:
         return self._constant_score_docs(
             self.postings.where(F.col("term").isin(cands)), k
         )
+
+    def wildcard_term_search(self, pattern: str, k: int = 10) -> DataFrame:
+        """ES ``wildcard`` query: docs containing ≥1 indexed term matching
+        ``pattern``, where ``*`` = any sequence and ``?`` = one character
+        (anchored full-term match, ES semantics).
+
+        Same architecture as ``fuzzy_term_search``: expansion runs over
+        the TERM DICTIONARY (O(vocab), never O(corpus)) — the literal
+        prefix before the first wildcard pushes a [prefix, successor)
+        range into the vocab Parquet scan (so ``sp*k`` prunes row groups
+        like a prefix query; a leading wildcard degrades to a full vocab
+        scan, exactly ES's documented wildcard hazard), the survivors are
+        matched with one codegen'd ``rlike`` on an anchored regex, and
+        the matched terms push ``In(term, …)`` into the postings scan.
+        Constant score 1.0, deterministic doc_id order (same contract and
+        oracle shape as prefix/fuzzy; ES wildcard is constant-score too).
+        """
+        if not pattern:
+            raise ValueError("wildcard_term_search needs a non-empty pattern")
+        lit_prefix = ""
+        for ch in pattern:
+            if ch in "*?":
+                break
+            lit_prefix += ch
+        # translate to an anchored regex, escaping everything else —
+        # the analyzer lowercases, so match case-insensitively via lower()
+        rx = "^" + "".join(
+            ".*" if c == "*" else "." if c == "?" else re.escape(c)
+            for c in pattern.lower()
+        ) + "$"
+        vocab = self.term_stats.select("term")
+        if lit_prefix:
+            hi = _prefix_successor(lit_prefix.lower())
+            cond = F.col("term") >= lit_prefix.lower()
+            if hi is not None:
+                cond = cond & (F.col("term") < hi)
+            vocab = vocab.where(cond)
+        vocab = vocab.where(F.col("term").rlike(rx))
+        cands = [r["term"] for r in vocab.collect()]
+        if not cands:
+            return self.spark.createDataFrame([], _RESULT_SCHEMA)
+        return self._constant_score_docs(
+            self.postings.where(F.col("term").isin(cands)), k
+        )
+
+    def regexp_term_search(self, regex: str, k: int = 10) -> DataFrame:
+        """ES ``regexp`` query: docs containing ≥1 indexed term whose
+        ENTIRE text matches ``regex`` (ES anchors implicitly; so does
+        this). Dictionary-expansion architecture as above — one rlike
+        over the vocab scan, then In(term) into the postings. Patterns
+        must stay in the Java-regex ∩ RE2 common subset (char classes,
+        alternation, quantifiers — no backrefs) so the DuckDB twin
+        (regexp_full_match) is exact; documented engine contract, same
+        restriction ES's RE2-like Lucene syntax imposes in practice.
+        Constant score 1.0, deterministic doc_id order."""
+        if not regex:
+            raise ValueError("regexp_term_search needs a non-empty regex")
+        vocab = self.term_stats.select("term").where(
+            F.col("term").rlike(f"^(?:{regex})$")
+        )
+        cands = [r["term"] for r in vocab.collect()]
+        if not cands:
+            return self.spark.createDataFrame([], _RESULT_SCHEMA)
+        return self._constant_score_docs(
+            self.postings.where(F.col("term").isin(cands)), k
+        )
+
+    _STATS_SCHEMA = (
+        "cnt long, min_val double, max_val double, sum_val double, avg_val double"
+    )
+
+    def stats_agg(self, text: str, num_col: str) -> DataFrame:
+        """ES ``stats`` aggregation over the query's FULL match set:
+        count / min / max / sum / avg of a numeric attr column. Each
+        shard reduces its own match set to ONE partial row (the map-side
+        combine), so the shuffle is O(shards) regardless of match count;
+        the final reduce is a single Catalyst agg. Exact — sums are
+        integer-valued attr counts here, and avg is derived from
+        (sum, cnt) after the merge, so parallelism cannot reorder a
+        float accumulation."""
+        terms, idfs = self._match_terms(text)
+        if not terms:
+            return self.spark.createDataFrame([], self._STATS_SCHEMA)
+        blocks = self.postings.where(F.col("term").isin(terms))
+        fd = _shard_topk_fn(
+            terms, idfs, self.meta.avgdl, 1 << 60, filtered=False,
+            must_not_terms=[], require_all=False,
+            dense_hint=int(self.meta.n_docs),
+        )
+
+        def fn(bl: pd.DataFrame, at: pd.DataFrame) -> pd.DataFrame:
+            r = fd(bl)
+            if len(r) == 0 or len(at) == 0:
+                return pd.DataFrame(
+                    {"cnt": pd.Series(dtype="int64"),
+                     "min_val": pd.Series(dtype="float64"),
+                     "max_val": pd.Series(dtype="float64"),
+                     "sum_val": pd.Series(dtype="float64")}
+                )
+            cols = ["doc_id"] if num_col == "doc_id" else ["doc_id", num_col]
+            v = r.merge(at[cols], on="doc_id")[num_col]
+            v = v.astype("float64")
+            if len(v) == 0:
+                return pd.DataFrame(
+                    {"cnt": pd.Series(dtype="int64"),
+                     "min_val": pd.Series(dtype="float64"),
+                     "max_val": pd.Series(dtype="float64"),
+                     "sum_val": pd.Series(dtype="float64")}
+                )
+            return pd.DataFrame(
+                {"cnt": [len(v)], "min_val": [float(v.min())],
+                 "max_val": [float(v.max())], "sum_val": [float(v.sum())]}
+            )
+
+        sel = ["shard", "doc_id"] + ([num_col] if num_col != "doc_id" else [])
+        allowed = self.attrs.select(*sel)
+        partial = (
+            blocks.groupBy("shard")
+            .cogroup(allowed.groupBy("shard"))
+            .applyInPandas(
+                fn, schema="cnt long, min_val double, max_val double, sum_val double"
+            )
+        )
+        return partial.agg(
+            F.sum("cnt").alias("cnt"),
+            F.min("min_val").alias("min_val"),
+            F.max("max_val").alias("max_val"),
+            F.sum("sum_val").alias("sum_val"),
+        ).select(
+            "cnt", "min_val", "max_val", "sum_val",
+            F.round(F.col("sum_val") / F.col("cnt"), ROUND_DECIMALS).alias("avg_val"),
+        )
+
+    def histogram_agg(self, text: str, num_col: str, interval: int) -> DataFrame:
+        """ES ``histogram`` aggregation over the full match set: doc
+        counts per fixed-width bucket ``floor(val / interval) *
+        interval``. Per-shard bucket partials (map-side combine) keep the
+        shuffle O(shards × buckets); the final reduce sums per bucket.
+        Exact and complete (every non-empty bucket), bucket ASC order —
+        ES's min_doc_count=1 default."""
+        if interval <= 0:
+            raise ValueError("interval must be positive")
+        terms, idfs = self._match_terms(text)
+        if not terms:
+            return self.spark.createDataFrame([], "bucket double, cnt long")
+        blocks = self.postings.where(F.col("term").isin(terms))
+        fd = _shard_topk_fn(
+            terms, idfs, self.meta.avgdl, 1 << 60, filtered=False,
+            must_not_terms=[], require_all=False,
+            dense_hint=int(self.meta.n_docs),
+        )
+
+        def fn(bl: pd.DataFrame, at: pd.DataFrame) -> pd.DataFrame:
+            r = fd(bl)
+            if len(r) == 0 or len(at) == 0:
+                return pd.DataFrame(
+                    {"bucket": pd.Series(dtype="float64"),
+                     "cnt": pd.Series(dtype="int64")}
+                )
+            cols = ["doc_id"] if num_col == "doc_id" else ["doc_id", num_col]
+            v = r.merge(at[cols], on="doc_id")[num_col]
+            b = np.floor(v.to_numpy(dtype=np.float64) / interval) * interval
+            vc = pd.Series(b).value_counts()
+            return pd.DataFrame(
+                {"bucket": vc.index.to_numpy(dtype=np.float64),
+                 "cnt": vc.to_numpy()}
+            )
+
+        sel = ["shard", "doc_id"] + ([num_col] if num_col != "doc_id" else [])
+        allowed = self.attrs.select(*sel)
+        partial = (
+            blocks.groupBy("shard")
+            .cogroup(allowed.groupBy("shard"))
+            .applyInPandas(fn, schema="bucket double, cnt long")
+        )
+        return (
+            partial.groupBy("bucket")
+            .agg(F.sum("cnt").alias("cnt"))
+            .orderBy(F.asc("bucket"))
+        )
+
+    def cardinality_agg(self, text: str, col: str) -> DataFrame:
+        """ES ``cardinality`` aggregation over the full match set —
+        EXACT distinct count of ``col``, where ES ships an HLL++ sketch.
+        Per-shard local distinct (map-side dedup bounds the shuffle at
+        O(shards × distinct values)), then one global distinct count.
+        For web-scale cardinalities where exactness is not required,
+        ``F.approx_count_distinct`` over the same per-shard values is the
+        drop-in HLL twin (documented scale path; not gated because its
+        estimate is not oracle-reproducible)."""
+        terms, idfs = self._match_terms(text)
+        if not terms:
+            return self.spark.createDataFrame([], "cardinality long")
+        blocks = self.postings.where(F.col("term").isin(terms))
+        fd = _shard_topk_fn(
+            terms, idfs, self.meta.avgdl, 1 << 60, filtered=False,
+            must_not_terms=[], require_all=False,
+            dense_hint=int(self.meta.n_docs),
+        )
+
+        def fn(bl: pd.DataFrame, at: pd.DataFrame) -> pd.DataFrame:
+            r = fd(bl)
+            if len(r) == 0 or len(at) == 0:
+                return pd.DataFrame({"val": pd.Series(dtype="object")})
+            cols = ["doc_id"] if col == "doc_id" else ["doc_id", col]
+            m = r.merge(at[cols], on="doc_id")
+            return pd.DataFrame({"val": m[col].astype(str).unique()})
+
+        sel = ["shard", "doc_id"] + ([col] if col != "doc_id" else [])
+        allowed = self.attrs.select(*sel)
+        partial = (
+            blocks.groupBy("shard")
+            .cogroup(allowed.groupBy("shard"))
+            .applyInPandas(fn, schema="val string")
+        )
+        return partial.agg(
+            F.count_distinct(F.col("val")).alias("cardinality")
+        )
+
+    def top_hits_agg(
+        self, text: str, group_col: str, k_per_group: int = 3, n_groups: int = 5
+    ) -> DataFrame:
+        """ES ``top_hits`` sub-aggregation under a terms bucket: the top
+        ``n_groups`` values of ``group_col`` (ranked by their best hit's
+        score, value ASC tiebreak), each carrying its own top
+        ``k_per_group`` hits. Generalizes ``collapse_search``
+        (k_per_group=1).
+
+        Each shard emits its per-key local top-j for EVERY key in its
+        match set — collapse's top-k-keys pigeonhole does NOT extend to
+        depth j ≥ 2 (a key's j-th-best hit can be locally dominated in
+        its shard while the key still ranks top-n on a best hit living
+        elsewhere), so the cap here is the key cardinality, exactly
+        facet_counts' bound: shuffle O(shards × distinct keys × j),
+        never O(matches). The global pass re-ranks with two Windows
+        (per-key top-j, then keys by their best) + one final sort."""
+        if group_col == "doc_id" or group_col not in self.attrs.columns:
+            raise ValueError(f"index attrs lack group column {group_col!r}")
+        terms, idfs = self._match_terms(text)
+        schema = "doc_id long, score double, group_key string"
+        if not terms:
+            return self.spark.createDataFrame([], schema)
+        blocks = self.postings.where(F.col("term").isin(terms))
+        fd = _shard_topk_fn(
+            terms, idfs, self.meta.avgdl, 1 << 60, filtered=False,
+            must_not_terms=[], require_all=False,
+            dense_hint=int(self.meta.n_docs),
+        )
+        def fn(bl: pd.DataFrame, at: pd.DataFrame) -> pd.DataFrame:
+            r = fd(bl)
+            if len(r) == 0 or len(at) == 0:
+                return pd.DataFrame(
+                    {"doc_id": pd.Series(dtype="int64"),
+                     "score": pd.Series(dtype="float64"),
+                     "group_key": pd.Series(dtype="object")}
+                )
+            m = r.merge(
+                at.rename(columns={group_col: "group_key"})[
+                    ["doc_id", "group_key"]
+                ],
+                on="doc_id",
+            ).sort_values(
+                ["score", "doc_id"], ascending=[False, True], kind="mergesort"
+            )
+            top = m.groupby("group_key", sort=False).head(k_per_group)
+            return top[["doc_id", "score", "group_key"]]
+
+        allowed = self.attrs.select("shard", "doc_id", group_col)
+        partial = (
+            blocks.groupBy("shard")
+            .cogroup(allowed.groupBy("shard"))
+            .applyInPandas(fn, schema=schema)
+        )
+        from pyspark.sql import Window
+
+        in_key = Window.partitionBy("group_key").orderBy(
+            F.desc("score"), F.asc("doc_id")
+        )
+        ranked = (
+            partial.withColumn("_rn", F.row_number().over(in_key))
+            .where(F.col("_rn") <= k_per_group)
+        )
+        key_best = Window.partitionBy("group_key")
+        by_best = ranked.withColumn("_best", F.max("score").over(key_best))
+        # the key ranking runs over ≤ shards × n_groups × j rows (the
+        # partial cap), so the single-partition Window is driver-trivial
+        key_rank = Window.orderBy(F.desc("_best"), F.asc("group_key"))
+        keys = (
+            by_best.select("group_key", "_best").distinct()
+            .withColumn("_kr", F.dense_rank().over(key_rank))
+            .where(F.col("_kr") <= n_groups)
+            .select("group_key")
+        )
+        return (
+            ranked.join(F.broadcast(keys), "group_key", "left_semi")
+            .select("doc_id", "score", "group_key")
+            .orderBy(F.desc("score"), F.asc("doc_id"))
+        )
+
+    def _match_terms(self, text: str) -> tuple[list[str], dict[str, float]]:
+        """Analyzed query terms restricted to the dictionary + their idfs
+        (shared head of every full-match-set aggregation)."""
+        terms = sorted(set(analyze_text(text)))
+        if not terms:
+            raise ValueError("query analyzes to zero terms")
+        idfs = self._idfs(terms)
+        return [t for t in terms if t in idfs], idfs

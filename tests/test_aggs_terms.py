@@ -1,0 +1,178 @@
+"""Wildcard/regexp term queries and full-match-set aggregations
+(stats / histogram / cardinality / top_hits) vs independent Catalyst
+reference computations over the exact scorer's match set."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from librecatastro_spark.analyzer import tokenize_expr
+from librecatastro_spark.bm25 import ROUND_DECIMALS
+from librecatastro_spark.corpus import assign_doc_ids, generate_corpus
+from librecatastro_spark.engine import ExactBM25
+from librecatastro_spark.engine.wand import CompressedIndex
+from librecatastro_spark.index.builder import build_index
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    docs = generate_corpus(spark, 400, min_tokens=20, max_tokens=150, partitions=4)
+    return assign_doc_ids(docs).cache()
+
+
+@pytest.fixture(scope="module")
+def exact(corpus):
+    return ExactBM25(corpus, attr_cols=("repo", "path", "lang"), cache=True)
+
+
+@pytest.fixture(scope="module")
+def wand(spark, corpus, tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("aidx"))
+    build_index(
+        spark, corpus, out, attr_cols=("repo", "path", "lang"),
+        n_shards=4, block_size=16, salt_threshold=120, n_salts=4,
+    )
+    return CompressedIndex(spark, out)
+
+
+def _term_expansion_docs(corpus, rx, k):
+    """Reference: doc_ids containing >=1 token full-matching rx."""
+    return [
+        r["doc_id"]
+        for r in corpus.select(
+            "doc_id", F.explode(tokenize_expr("content")).alias("t")
+        )
+        .where(F.col("t").rlike(f"^(?:{rx})$"))
+        .select("doc_id")
+        .distinct()
+        .orderBy("doc_id")
+        .limit(k)
+        .collect()
+    ]
+
+
+def test_wildcard_matches_reference(corpus, wand):
+    got = [r["doc_id"] for r in wand.wildcard_term_search("re?ur*", k=15).collect()]
+    assert got == _term_expansion_docs(corpus, "re.ur.*", 15)
+    assert got  # non-degenerate: 'return' is in the generator vocabulary
+
+
+def test_wildcard_leading_star_full_vocab_scan(corpus, wand):
+    got = [r["doc_id"] for r in wand.wildcard_term_search("*ssion", k=10).collect()]
+    assert got == _term_expansion_docs(corpus, ".*ssion", 10)
+
+
+def test_wildcard_no_match(wand):
+    assert wand.wildcard_term_search("zz?qq*x", k=10).count() == 0
+
+
+def test_regexp_matches_reference(corpus, wand):
+    rx = "(def|class|imp[a-z]+)"
+    got = [r["doc_id"] for r in wand.regexp_term_search(rx, k=20).collect()]
+    assert got == _term_expansion_docs(corpus, rx, 20)
+    assert got
+
+
+def _match_docs(exact, text):
+    return exact.match_scores(text).select("doc_id")
+
+
+def test_stats_agg_matches_reference(corpus, exact, wand):
+    # reference: count/min/max/sum/avg of dl-independent attr over match set;
+    # the index stores no numeric attr in this fixture, so use doc length
+    # via n_chars analog: compare against the lang-cardinality-free column
+    # 'doc_id' is meaningless — use length(content) persisted as attr? the
+    # fixture attrs are strings, so stats run on doc_id as the numeric col.
+    got = wand.stats_agg("def return", "doc_id").collect()[0]
+    ref = (
+        _match_docs(exact, "def return")
+        .agg(
+            F.count("*").alias("cnt"),
+            F.min("doc_id").cast("double").alias("min_val"),
+            F.max("doc_id").cast("double").alias("max_val"),
+            F.sum("doc_id").cast("double").alias("sum_val"),
+        )
+        .collect()[0]
+    )
+    assert got["cnt"] == ref["cnt"]
+    assert got["min_val"] == ref["min_val"]
+    assert got["max_val"] == ref["max_val"]
+    assert got["sum_val"] == ref["sum_val"]
+    assert got["avg_val"] == round(ref["sum_val"] / ref["cnt"], ROUND_DECIMALS)
+
+
+def test_histogram_agg_matches_reference(exact, wand):
+    got = {
+        r["bucket"]: r["cnt"]
+        for r in wand.histogram_agg("def return", "doc_id", 50).collect()
+    }
+    ref = {
+        r["bucket"]: r["cnt"]
+        for r in _match_docs(exact, "def return")
+        .select((F.floor(F.col("doc_id") / 50) * 50).cast("double").alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count("*").alias("cnt"))
+        .collect()
+    }
+    assert got == ref and got
+
+
+def test_cardinality_agg_matches_reference(corpus, exact, wand):
+    got = wand.cardinality_agg("def return", "lang").collect()[0]["cardinality"]
+    ref = (
+        _match_docs(exact, "def return")
+        .join(corpus.select("doc_id", "lang"), "doc_id")
+        .agg(F.count_distinct("lang"))
+        .collect()[0][0]
+    )
+    assert got == ref and got > 0
+
+
+@pytest.mark.parametrize("text,j,n", [("def return import", 2, 3), ("id0001 def", 3, 2)])
+def test_top_hits_matches_reference(corpus, exact, wand, text, j, n):
+    got = [
+        (r["doc_id"], r["score"], r["group_key"])
+        for r in wand.top_hits_agg(text, "lang", k_per_group=j, n_groups=n).collect()
+    ]
+    scored = (
+        exact.match_scores(text)
+        .withColumn("score", F.round("score", ROUND_DECIMALS))
+        .join(corpus.select("doc_id", F.col("lang").alias("group_key")), "doc_id")
+    )
+    in_key = Window.partitionBy("group_key").orderBy(F.desc("score"), F.asc("doc_id"))
+    ranked = scored.withColumn("rn", F.row_number().over(in_key)).where(
+        F.col("rn") <= j
+    )
+    best = ranked.withColumn(
+        "best", F.max("score").over(Window.partitionBy("group_key"))
+    )
+    keys = (
+        best.select("group_key", "best")
+        .distinct()
+        .withColumn(
+            "kr", F.dense_rank().over(Window.orderBy(F.desc("best"), F.asc("group_key")))
+        )
+        .where(F.col("kr") <= n)
+        .select("group_key")
+    )
+    ref = [
+        (r["doc_id"], r["score"], r["group_key"])
+        for r in ranked.join(keys, "group_key", "left_semi")
+        .select("doc_id", "score", "group_key")
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .collect()
+    ]
+    assert got == ref and got
+
+
+def test_top_hits_cross_shard_key_depth(corpus, exact, wand):
+    # the j>=2 hazard the implementation documents: a key's j-th hit must
+    # survive even when locally dominated in its shard — n_groups=1 makes
+    # any per-shard key-cap cut observable
+    got = [
+        (r["doc_id"], r["group_key"])
+        for r in wand.top_hits_agg("def return import", "lang", 4, 1).collect()
+    ]
+    assert len({g for _, g in got}) == 1 and len(got) == 4
