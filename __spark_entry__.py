@@ -198,6 +198,7 @@ def _bm25_oracle(
     phrase: bool = False,
     search_after: bool = False,
     ranges: dict[str, tuple] | None = None,
+    min_match: int | None = None,
 ) -> str:
     terms = sorted(set(analyze_text(text)))
     should_terms = [
@@ -209,6 +210,8 @@ def _bm25_oracle(
     conds = []
     if require_all:
         conds.append(f"n_matched = {len(terms)}")
+    elif min_match:
+        conds.append(f"n_matched >= {min_match}")
     elif should_terms:
         conds.append("n_matched >= 1")
     doc_conds = []
@@ -1376,6 +1379,21 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ES completion-suggester lite: prefix -> top dictionary terms
         "suggest_terms": lambda spark, sf: _index(spark, sf)
         .suggest_terms("s", k=10),
+        # ES minimum_should_match: >= m distinct matched terms, all three
+        # paths (production WAND, coordinator fast path, exact oracle)
+        "wand_min_should_match": lambda spark, sf: _index(spark, sf)
+        .search("spark merge window batch", k=10, min_match=3),
+        "bm25_min_should_match": lambda spark, sf: _engine(spark, sf)
+        .search("spark merge window batch", k=10, min_match=3),
+        "fastpath_min_should_match": lambda spark, sf: spark.createDataFrame(
+            [
+                (int(r.doc_id), float(r.score))
+                for r in _index(spark, sf)
+                .search_local("spark merge window batch", k=10, min_match=3)
+                .itertuples()
+            ],
+            "doc_id long, score double",
+        ),
         # ES wildcard / regexp term queries: dictionary expansion (vocab
         # scan, prefix range pushed for wildcard) -> In(term) postings scan
         "wildcard_term_search": lambda spark, sf: _index(spark, sf)
@@ -1544,6 +1562,15 @@ FROM matched m JOIN documents d USING (doc_id)
 GROUP BY d.source
 ORDER BY cnt DESC, facet_key ASC
 LIMIT 10""",
+        "wand_min_should_match": _bm25_oracle(
+            "spark merge window batch", k=10, min_match=3
+        ),
+        "bm25_min_should_match": _bm25_oracle(
+            "spark merge window batch", k=10, min_match=3
+        ),
+        "fastpath_min_should_match": _bm25_oracle(
+            "spark merge window batch", k=10, min_match=3
+        ),
         # wildcard 's?a*' == LIKE 's_a%' (same anchored-term semantics)
         "wildcard_term_search": f"""
 WITH {_TOKS_CTE}

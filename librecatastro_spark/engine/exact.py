@@ -126,8 +126,13 @@ class ExactBM25:
         must_not_text: str | None = None,
         should_text: str | None = None,
         ranges: dict[str, tuple] | None = None,
+        min_match: int | None = None,
     ) -> DataFrame:
         """(doc_id, score) for every matching doc (unranked, unrounded).
+
+        ``min_match`` = ES minimum_should_match: require at least that
+        many DISTINCT matched query terms (mutually exclusive with
+        require_all, which is the min_match = len(terms) special case).
 
         ``should_text`` reproduces ES bool.should with a must clause present
         (reference query shape: src/utils/elasticsearch_utils.py:110-123 —
@@ -167,8 +172,12 @@ class ExactBM25:
                 ).alias("n_matched"),
             )
         )
+        if min_match is not None and (min_match < 1 or require_all):
+            raise ValueError("min_match must be >= 1 and not combine with require_all")
         if require_all:
             scored = scored.where(F.col("n_matched") == F.lit(len(terms)))
+        elif min_match:
+            scored = scored.where(F.col("n_matched") >= F.lit(min_match))
         elif should_terms:
             scored = scored.where(F.col("n_matched") >= F.lit(1))
         scored = scored.drop("n_matched")

@@ -106,6 +106,7 @@ def _shard_topk_fn(
     decoder=None,
     dense_hint: int = 0,
     cursor: tuple[float, int] | None = None,
+    min_match: int | None = None,
 ):
     """Per-shard scorer factory. ``fn(blocks)`` for the blocks-only fast
     path; ``fn(blocks, allowed_docs)`` for filtered queries, where
@@ -233,7 +234,7 @@ def _shard_topk_fn(
             * qb["term"].map(idfs).to_numpy()
             / np.maximum(qb["idf_build"].to_numpy(), 1e-12)
         )
-        if require_all or should_terms:
+        if require_all or should_terms or (min_match and min_match > 1):
             # matched-must-term counting constrains the result (AND
             # semantics / should boosts), so block-max pruning by score
             # bound doesn't apply — but INTERSECTION-AWARE pruning does:
@@ -275,7 +276,11 @@ def _shard_topk_fn(
             # matched.
             is_must = np.isin(th, must_hashes)
             uids, score, n = agg_sums(ids, w, is_must.astype(np.float64))
-            good = n == len(set(terms)) if require_all else n >= 1
+            # require_all ⇒ need every distinct must term; min_match ⇒ ES
+            # minimum_should_match (n can never exceed the distinct-term
+            # count, so >= expresses both)
+            need = len(set(terms)) if require_all else (min_match or 1)
+            good = n >= need
             cand_ids = uids[good]
             keep = ok_mask(cand_ids)
             out_ids, out_scores = cand_ids[keep], score[good][keep]
@@ -492,8 +497,16 @@ class CompressedIndex:
         should_text: str | None = None,
         search_after: tuple[float, int] | None = None,
         ranges: dict[str, tuple] | None = None,
+        min_match: int | None = None,
     ) -> DataFrame:
         """Top-k BM25 (doc_id, score), score DESC / doc_id ASC.
+
+        ``min_match`` is ES ``minimum_should_match`` on a match query: a
+        doc qualifies only if it matches at least that many DISTINCT
+        analyzed query terms (1 = the default OR; len(terms) ≡
+        require_all). Query terms absent from the index can never be
+        matched, so a min_match above the indexed-term count returns
+        empty — the ES behavior.
 
         ``ranges`` is the ES range query over keyword/numeric attr
         columns: {col: (lo, hi)}, bounds inclusive, either side None for
@@ -522,7 +535,9 @@ class CompressedIndex:
         terms = [t for t in terms if t in idfs]  # drop zero-df terms
         should_terms = [t for t in should_terms if t in idfs]
         must_not_terms = sorted(set(analyze_text(must_not_text or "")))
-        if not terms:
+        if min_match is not None and (min_match < 1 or require_all):
+            raise ValueError("min_match must be >= 1 and not combine with require_all")
+        if not terms or (min_match or 1) > len(terms):
             return self.spark.createDataFrame([], _RESULT_SCHEMA)
         wanted = terms + should_terms + must_not_terms
         blocks = self.postings.where(F.col("term").isin(wanted))
@@ -532,6 +547,7 @@ class CompressedIndex:
             bool(filters or prefix or ranges),
             must_not_terms, require_all, should_terms,
             dense_hint=int(self.meta.n_docs), cursor=search_after,
+            min_match=min_match,
         )
         if filters or prefix or ranges:
             # filter clauses stay in Catalyst: the predicate reaches the
@@ -932,6 +948,7 @@ class CompressedIndex:
         should_text: str | None = None,
         search_after: tuple[float, int] | None = None,
         ranges: dict[str, tuple] | None = None,
+        min_match: int | None = None,
     ) -> pd.DataFrame:
         """Coordinator fast path: identical semantics and the SAME numpy
         kernel as ``search`` (rank-identity tested in test_fastpath), but
@@ -959,7 +976,9 @@ class CompressedIndex:
         terms = [t for t in terms if t in idfs]  # drop zero-df terms
         should_terms = [t for t in should_terms if t in idfs]
         must_not_terms = sorted(set(analyze_text(must_not_text or "")))
-        if not terms:
+        if min_match is not None and (min_match < 1 or require_all):
+            raise ValueError("min_match must be >= 1 and not combine with require_all")
+        if not terms or (min_match or 1) > len(terms):
             return _empty()
         wanted = terms + should_terms + must_not_terms
         if getattr(self, "_pads_attrs", None) is None:
@@ -1024,6 +1043,7 @@ class CompressedIndex:
             bool(filters or prefix or ranges),
             must_not_terms, require_all, should_terms, decoder=decoder,
             dense_hint=int(self.meta.n_docs), cursor=search_after,
+            min_match=min_match,
         )
         if not len(blocks):
             return _empty()

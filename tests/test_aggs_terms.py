@@ -167,6 +167,43 @@ def test_top_hits_matches_reference(corpus, exact, wand, text, j, n):
     assert got == ref and got
 
 
+@pytest.mark.parametrize("m", [1, 2, 3])
+def test_min_should_match_rank_identity(exact, wand, m):
+    text = "def return import class"
+    got = [
+        (r["doc_id"], r["score"])
+        for r in wand.search(text, k=12, min_match=m).collect()
+    ]
+    ref = [
+        (r["doc_id"], r["score"])
+        for r in exact.search(text, k=12, min_match=m).collect()
+    ]
+    assert got == ref and got
+    fast = [
+        (int(r.doc_id), float(r.score))
+        for r in wand.search_local(text, k=12, min_match=m).itertuples()
+    ]
+    assert fast == ref
+
+
+def test_min_should_match_monotone_and_bounds(exact, wand):
+    text = "def return import class"
+    # m = len(terms) ≡ require_all; m beyond the vocab ⇒ empty; m<1 ⇒ error
+    all_m = [
+        (r["doc_id"], r["score"]) for r in wand.search(text, k=50, min_match=4).collect()
+    ]
+    req = [
+        (r["doc_id"], r["score"])
+        for r in wand.search(text, k=50, require_all=True).collect()
+    ]
+    assert all_m == req
+    assert wand.search(text, k=10, min_match=9).count() == 0
+    with pytest.raises(ValueError):
+        wand.search(text, min_match=0)
+    with pytest.raises(ValueError):
+        exact.search(text, min_match=2, require_all=True)
+
+
 def test_top_hits_cross_shard_key_depth(corpus, exact, wand):
     # the j>=2 hazard the implementation documents: a key's j-th hit must
     # survive even when locally dominated in its shard — n_groups=1 makes
