@@ -1410,6 +1410,13 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         .cardinality_agg("spark", "source"),
         "top_hits_by_source": lambda spark, sf: _index(spark, sf)
         .top_hits_agg("table query", "source", k_per_group=2, n_groups=3),
+        # ES significant_terms: JLH-scored over-representation of the
+        # match set's terms vs the index background (exact, unlike ES)
+        "significant_terms_dup": lambda spark, sf: _index(spark, sf)
+        .significant_terms(
+            "dup", _docs(spark, sf), top_n=10,
+            source_id_col="doc_id", source_text_col="text",
+        ),
         # multi_match type=cross_fields (term-centric combine)
         "multi_match_cross_fields": _q_multi_match_cross,
         # duplicate clusters: connected components over near-dup pairs
@@ -1571,6 +1578,22 @@ LIMIT 10""",
         "fastpath_min_should_match": _bm25_oracle(
             "spark merge window batch", k=10, min_match=3
         ),
+        "significant_terms_dup": f"""
+WITH {_TOKS_CTE},
+matched AS (SELECT DISTINCT doc_id FROM toks WHERE term IN ({_sql_terms('dup')})),
+nfg AS (SELECT count(*)::DOUBLE AS n_fg FROM matched),
+fg AS (
+  SELECT term, count(DISTINCT doc_id)::DOUBLE AS fg
+  FROM toks JOIN matched USING (doc_id) GROUP BY term
+),
+bg AS (SELECT term, count(DISTINCT doc_id)::DOUBLE AS df FROM toks GROUP BY term),
+nn AS (SELECT count(*)::DOUBLE AS n FROM documents)
+SELECT term, fg::BIGINT AS fg,
+       round((fg/n_fg - df/n) * ((fg/n_fg) / (df/n)), {ROUND_DECIMALS}) AS score
+FROM fg JOIN bg USING (term) CROSS JOIN nfg CROSS JOIN nn
+WHERE fg/n_fg > df/n
+ORDER BY score DESC, term ASC
+LIMIT 10""",
         # wildcard 's?a*' == LIKE 's_a%' (same anchored-term semantics)
         "wildcard_term_search": f"""
 WITH {_TOKS_CTE}

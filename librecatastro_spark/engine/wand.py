@@ -52,7 +52,7 @@ import pyarrow.parquet as pq
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..analyzer import analyze_text
+from ..analyzer import analyze_text, tokenize_expr
 from ..bm25 import B, K1, ROUND_DECIMALS
 from ..index.builder import (
     load_attrs,
@@ -1692,6 +1692,93 @@ class CompressedIndex:
             ranked.join(F.broadcast(keys), "group_key", "left_semi")
             .select("doc_id", "score", "group_key")
             .orderBy(F.desc("score"), F.asc("doc_id"))
+        )
+
+    def match_doc_ids(self, text: str) -> DataFrame:
+        """The query's FULL match set as a (doc_id) DataFrame — the
+        shared head of set-valued aggregations. Per-shard decode of the
+        query terms' postings only; no global ranking, no k cut."""
+        terms, idfs = self._match_terms(text)
+        if not terms:
+            return self.spark.createDataFrame([], "doc_id long")
+        blocks = self.postings.where(F.col("term").isin(terms))
+        fd = _shard_topk_fn(
+            terms, idfs, self.meta.avgdl, 1 << 60, filtered=False,
+            must_not_terms=[], require_all=False,
+            dense_hint=int(self.meta.n_docs),
+        )
+        return (
+            blocks.groupBy("shard")
+            .applyInPandas(lambda key, bl: fd(bl), schema=_RESULT_SCHEMA)
+            .select("doc_id")
+        )
+
+    def significant_terms(
+        self,
+        text: str,
+        source: DataFrame,
+        top_n: int = 10,
+        source_id_col: str = "doc_id",
+        source_text_col: str = "content",
+        min_doc_count: int = 1,
+    ) -> DataFrame:
+        """ES ``significant_terms`` aggregation: the terms most
+        over-represented in the query's match set (foreground) relative
+        to the whole index (background). Like ES, the stored source text
+        of the matching docs supplies the foreground counts (``source``
+        is the corpus table, the engine's _source analog — the same
+        contract as ``match_phrase``); the background df comes from the
+        index's term dictionary, never a corpus rescan.
+
+        Score is the JLH heuristic ES defaults to, on exact counts:
+        ``(fg_rate − bg_rate) · (fg_rate / bg_rate)`` with
+        fg_rate = fg_df / |match set| and bg_rate = df / N, keeping only
+        terms with fg_rate > bg_rate, rounded to ROUND_DECIMALS and
+        ranked (score DESC, term ASC). EXACT, unlike ES (whose fg counts
+        come from the top shard_size hits per shard) — the plan is one
+        semi-join of the tokenized match set (array_distinct before the
+        explode, so per-doc dedup is shuffle-free) against the match-id
+        set, one groupBy(term), and one join to term_stats; every stage
+        is O(match-set tokens + vocab), never O(corpus tokens).
+        Returns (term, fg long, score double).
+        """
+        matched = self.match_doc_ids(text)
+        n_fg = matched.agg(F.count(F.lit(1)).alias("n_fg"))
+        fg = (
+            source.join(
+                matched.withColumnRenamed("doc_id", source_id_col),
+                source_id_col,
+                "left_semi",
+            )
+            .select(
+                F.explode(
+                    F.array_distinct(tokenize_expr(source_text_col))
+                ).alias("term")
+            )
+            .groupBy("term")
+            .agg(F.count(F.lit(1)).alias("fg"))
+            .where(F.col("fg") >= min_doc_count)
+        )
+        n = float(self.meta.n_docs)
+        scored = (
+            fg.join(self.term_stats.select("term", "df"), "term")
+            .crossJoin(F.broadcast(n_fg))
+            .withColumn("fg_rate", F.col("fg") / F.col("n_fg"))
+            .withColumn("bg_rate", F.col("df") / F.lit(n))
+            .where(F.col("fg_rate") > F.col("bg_rate"))
+            .withColumn(
+                "score",
+                F.round(
+                    (F.col("fg_rate") - F.col("bg_rate"))
+                    * (F.col("fg_rate") / F.col("bg_rate")),
+                    ROUND_DECIMALS,
+                ),
+            )
+        )
+        return (
+            scored.select("term", F.col("fg").cast("long").alias("fg"), "score")
+            .orderBy(F.desc("score"), F.asc("term"))
+            .limit(top_n)
         )
 
     def _match_terms(self, text: str) -> tuple[list[str], dict[str, float]]:

@@ -204,6 +204,45 @@ def test_min_should_match_monotone_and_bounds(exact, wand):
         exact.search(text, min_match=2, require_all=True)
 
 
+def test_significant_terms_matches_reference(corpus, exact, wand):
+    got = [
+        (r["term"], r["fg"], r["score"])
+        for r in wand.significant_terms("id0001 id0002", corpus, top_n=8).collect()
+    ]
+    # independent reference: fg over the exact match set, bg over corpus
+    matched = _match_docs(exact, "id0001 id0002")
+    n_fg = matched.count()
+    n = corpus.count()
+    per_doc = corpus.join(matched, "doc_id", "left_semi").select(
+        "doc_id", F.explode(F.array_distinct(tokenize_expr("content"))).alias("t")
+    )
+    fg = {r["t"]: r["c"] for r in per_doc.groupBy("t").agg(F.count("*").alias("c")).collect()}
+    bg = {
+        r["t"]: r["c"]
+        for r in corpus.select(
+            F.explode(F.array_distinct(tokenize_expr("content"))).alias("t")
+        )
+        .groupBy("t")
+        .agg(F.count("*").alias("c"))
+        .collect()
+    }
+    scored = []
+    for t, f in fg.items():
+        fr, br = f / n_fg, bg[t] / n
+        if fr > br:
+            scored.append((t, f, round((fr - br) * (fr / br), ROUND_DECIMALS)))
+    ref = sorted(scored, key=lambda x: (-x[2], x[0]))[:8]
+    assert got == ref and got
+    # the query's own rare terms must rank as significant
+    assert {t for t, _, _ in got} >= {"id0001", "id0002"}
+
+
+def test_match_doc_ids_is_full_match_set(corpus, exact, wand):
+    got = sorted(r["doc_id"] for r in wand.match_doc_ids("def return").collect())
+    ref = sorted(r["doc_id"] for r in _match_docs(exact, "def return").collect())
+    assert got == ref and got
+
+
 def test_top_hits_cross_shard_key_depth(corpus, exact, wand):
     # the j>=2 hazard the implementation documents: a key's j-th hit must
     # survive even when locally dominated in its shard — n_groups=1 makes
