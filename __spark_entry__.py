@@ -199,6 +199,7 @@ def _bm25_oracle(
     search_after: bool = False,
     ranges: dict[str, tuple] | None = None,
     min_match: int | None = None,
+    phrase_slop: int = 0,
 ) -> str:
     terms = sorted(set(analyze_text(text)))
     should_terms = [
@@ -243,7 +244,7 @@ def _bm25_oracle(
         # of the ORIGINAL query sequence matter here, unlike the term set
         conds.append(
             "doc_id IN (SELECT doc_id FROM documents WHERE "
-            + duckdb_phrase_sql("text", analyze_text(text)) + ")"
+            + duckdb_phrase_sql("text", analyze_text(text), phrase_slop) + ")"
         )
     where = ("WHERE " + " AND ".join(conds)) if conds else ""
     off = f" OFFSET {offset}" if offset else ""
@@ -1379,6 +1380,13 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ES completion-suggester lite: prefix -> top dictionary terms
         "suggest_terms": lambda spark, sf: _index(spark, sf)
         .suggest_terms("s", k=10),
+        # sloppy phrase (per-gap slop; both paths share one regex with
+        # the RE2 oracle twin — analyzer._phrase_body)
+        "wand_match_phrase_slop": lambda spark, sf: _index(spark, sf)
+        .match_phrase("scan merge", _docs(spark, sf), k=10,
+                      source_text_col="text", slop=2),
+        "bm25_match_phrase_slop": lambda spark, sf: _engine(spark, sf)
+        .match_phrase("scan merge", k=10, slop=2),
         # ES minimum_should_match: >= m distinct matched terms, all three
         # paths (production WAND, coordinator fast path, exact oracle)
         "wand_min_should_match": lambda spark, sf: _index(spark, sf)
@@ -1569,6 +1577,12 @@ FROM matched m JOIN documents d USING (doc_id)
 GROUP BY d.source
 ORDER BY cnt DESC, facet_key ASC
 LIMIT 10""",
+        "wand_match_phrase_slop": _bm25_oracle(
+            "scan merge", k=10, require_all=True, phrase=True, phrase_slop=2
+        ),
+        "bm25_match_phrase_slop": _bm25_oracle(
+            "scan merge", k=10, require_all=True, phrase=True, phrase_slop=2
+        ),
         "wand_min_should_match": _bm25_oracle(
             "spark merge window batch", k=10, min_match=3
         ),

@@ -99,7 +99,24 @@ def phrase_expr(col: Column | str, terms_seq: list[str]) -> Column:
     return joined.contains(" " + " ".join(terms_seq) + " ")
 
 
-def phrase_rlike_expr(col: Column | str, terms_seq: list[str]) -> Column:
+def _phrase_body(terms_seq: list[str], slop: int = 0) -> str:
+    """Shared regex body for the phrase predicates: terms in order, each
+    inter-term gap = one non-token run plus up to ``slop`` intervening
+    (token + non-token-run) pairs. slop=0 is exact adjacency of maximal
+    token runs. PER-GAP slop — a deliberate, documented divergence from
+    ES's total-position-edit-distance slop (which also admits
+    transpositions at cost 2): per-gap keeps the predicate a single
+    regex pass that Spark, CPython sre, and DuckDB RE2 all evaluate
+    identically, so the oracle twin is exact by construction."""
+    if not terms_seq:
+        raise ValueError("phrase needs at least one term")
+    gap = "[^a-z0-9_]+"
+    if slop > 0:
+        gap = gap + "(?:[a-z0-9_]+[^a-z0-9_]+){0,%d}" % slop
+    return gap.join(terms_seq)
+
+
+def phrase_rlike_expr(col: Column | str, terms_seq: list[str], slop: int = 0) -> Column:
     """Single-regex-pass equivalent of ``phrase_expr`` (equality-tested in
     tests/test_phrase.py): tokens are MAXIMAL ``[a-z0-9_]+`` runs of the
     lowercased text, so the token sequence contains ``terms_seq``
@@ -122,13 +139,11 @@ def phrase_rlike_expr(col: Column | str, terms_seq: list[str]) -> Column:
     in a single scan with zero allocation.
     """
     c = F.col(col) if isinstance(col, str) else col
-    if not terms_seq:
-        raise ValueError("phrase needs at least one term")
-    body = "[^a-z0-9_]+".join(terms_seq)
+    body = _phrase_body(terms_seq, slop)
     return F.lower(c).rlike(r"(\A|[^a-z0-9_])" + body + r"([^a-z0-9_]|\z)")
 
 
-def phrase_match_udf(terms_seq: list[str]):
+def phrase_match_udf(terms_seq: list[str], slop: int = 0):
     """Arrow-vectorized twin of ``phrase_rlike_expr`` — the PRODUCTION
     phrase verify. Same regex (Python spells end-of-input ``\\Z`` where
     Java spells ``\\z``), but evaluated by CPython's sre over Arrow
@@ -137,9 +152,7 @@ def phrase_match_udf(terms_seq: list[str]):
     the same ~6-30x JVM-regex gap already measured and documented for
     ``token_count_udf`` above. Equality with the Catalyst forms is
     pinned in tests/test_phrase.py."""
-    if not terms_seq:
-        raise ValueError("phrase needs at least one term")
-    body = "[^a-z0-9_]+".join(terms_seq)
+    body = _phrase_body(terms_seq, slop)
     pat = re.compile(r"(?:\A|[^a-z0-9_])" + body + r"(?:[^a-z0-9_]|\Z)")
 
     @F.pandas_udf(BooleanType())
@@ -149,9 +162,16 @@ def phrase_match_udf(terms_seq: list[str]):
     return _matches
 
 
-def duckdb_phrase_sql(col: str, terms_seq: list[str]) -> str:
+def duckdb_phrase_sql(col: str, terms_seq: list[str], slop: int = 0) -> str:
     """DuckDB twin of phrase_expr — same sentinel-padded containment over
-    the same analyzed token array."""
+    the same analyzed token array (slop=0), or the same anchored regex
+    as phrase_rlike_expr via RE2 for sloppy phrases (slop>0; RE2 spells
+    the text anchors \\A/\\z like Java, and DuckDB regular strings keep
+    backslashes literal, so the pattern ships verbatim)."""
+    if slop > 0:
+        body = _phrase_body(terms_seq, slop)
+        pat = r"(\A|[^a-z0-9_])" + body + r"([^a-z0-9_]|\z)"
+        return f"regexp_matches(lower({col}), '{pat}')"
     phrase = " ".join(terms_seq)
     return (
         f"contains(' ' || array_to_string({duckdb_tokens_sql(col)}, ' ')"

@@ -230,8 +230,11 @@ class ExactBM25:
             ranked = ranked.offset(offset)
         return ranked.limit(k)
 
-    def match_phrase(self, text: str, k: int = 10, offset: int = 0) -> DataFrame:
-        """ES match_phrase analog (B6 extension; slop 0).
+    def match_phrase(
+        self, text: str, k: int = 10, offset: int = 0, slop: int = 0
+    ) -> DataFrame:
+        """ES match_phrase analog (B6 extension; per-gap ``slop``, see
+        analyzer._phrase_body for the documented ES divergence).
 
         Match set: documents whose ANALYZED token sequence contains the
         query's analyzed token sequence contiguously (duplicate terms and
@@ -250,12 +253,17 @@ class ExactBM25:
         seq = analyze_text(text)
         if not seq:
             raise ValueError("phrase analyzes to zero terms")
-        from ..analyzer import phrase_expr
+        from ..analyzer import phrase_expr, phrase_rlike_expr
 
         scored = self.match_scores(text, require_all=True).withColumn(
             "score", F.round("score", ROUND_DECIMALS)
         )
-        verified = self.docs.where(phrase_expr(self.text_col, seq)).select(
+        pred = (
+            phrase_expr(self.text_col, seq)
+            if slop == 0
+            else phrase_rlike_expr(self.text_col, seq, slop)
+        )
+        verified = self.docs.where(pred).select(
             F.col(self.id_col).alias("doc_id")
         )
         ranked = scored.join(verified, "doc_id", "left_semi").orderBy(

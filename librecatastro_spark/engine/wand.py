@@ -606,9 +606,15 @@ class CompressedIndex:
         offset: int = 0,
         source_id_col: str = "doc_id",
         source_text_col: str = "content",
+        slop: int = 0,
     ) -> DataFrame:
-        """ES match_phrase analog (B6 extension; slop 0) over the
-        compressed index — verify-first, no positional postings:
+        """ES match_phrase analog (B6 extension) over the compressed
+        index — verify-first, no positional postings. ``slop`` admits up
+        to that many intervening tokens PER GAP between consecutive
+        phrase terms, in order (analyzer._phrase_body documents the
+        deliberate divergence from ES's total-edit-distance slop); the
+        verify regex, the exact engine, and the DuckDB twin all share
+        the one pattern, so the semantics are identical on every path.
 
         1. **Verify on source**: the contiguous-sequence predicate
            (analyzer.phrase_match_udf — one Arrow-batched CPython-regex
@@ -675,7 +681,7 @@ class CompressedIndex:
                 F.col(source_text_col).alias("_text"),
             )
             .where(F.col("doc_id").between(lo, hi))
-            .where(phrase_match_udf(seq)(F.col("_text")))
+            .where(phrase_match_udf(seq, slop)(F.col("_text")))
             .select("doc_id")
         )
         allowed = self.attrs.select("shard", "doc_id").where(

@@ -107,6 +107,51 @@ def test_phrase_subset_of_and_match(exact, wand, corpus):
     assert ph_docs <= and_docs
 
 
+def _py_sloppy_docs(corpus, phrase: str, slop: int) -> set[int]:
+    """Driver-side replica of per-gap slop: terms in order, <= slop
+    intervening tokens between each consecutive pair."""
+    seq = analyze_text(phrase)
+    out = set()
+    for r in corpus.select("doc_id", "content").collect():
+        toks = analyze_text(r["content"])
+        starts = [i for i, t in enumerate(toks) if t == seq[0]]
+
+        def ok(i, rest):
+            if not rest:
+                return True
+            for j in range(i + 1, min(i + 2 + slop, len(toks))):
+                if toks[j] == rest[0] and ok(j, rest[1:]):
+                    return True
+            return False
+
+        if any(ok(i, seq[1:]) for i in starts):
+            out.add(r["doc_id"])
+    return out
+
+
+@pytest.mark.parametrize("slop", [1, 2])
+def test_sloppy_phrase_paths_and_semantics(exact, wand, corpus, slop):
+    phrase = "def return"
+    e = rows(exact.match_phrase(phrase, k=10_000, slop=slop))
+    w = rows(
+        wand.match_phrase(
+            phrase, corpus, k=10_000, source_text_col="content", slop=slop
+        )
+    )
+    assert e == w
+    assert {d for d, _ in e} == _py_sloppy_docs(corpus, phrase, slop)
+
+
+def test_slop_monotone_match_set(exact):
+    phrase = "def return"
+    sets = [
+        {r["doc_id"] for r in exact.match_phrase(phrase, k=10_000, slop=s).collect()}
+        for s in (0, 1, 3)
+    ]
+    assert sets[0] <= sets[1] <= sets[2]
+    assert sets[0] < sets[2], "slop must widen the match set on this corpus"
+
+
 def test_phrase_duplicate_term_sequence_semantics(spark):
     """'batch batch' must require ADJACENT duplicates — a doc with two
     scattered 'batch' tokens matches AND but not the phrase."""
