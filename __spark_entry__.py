@@ -20,6 +20,7 @@ from pyspark.sql import functions as F
 
 from librecatastro_spark.analyzer import (
     analyze_text,
+    duckdb_phrase_prefix_sql,
     duckdb_phrase_sql,
     duckdb_tokens_sql,
     tokenize_expr,
@@ -27,7 +28,10 @@ from librecatastro_spark.analyzer import (
 from librecatastro_spark.bm25 import ROUND_DECIMALS, bm25_sql
 from librecatastro_spark.engine import ExactBM25
 from librecatastro_spark.ops.chunk import duckdb_chunks_sql
-from librecatastro_spark.ops.text import unigram_logprob_sql
+from librecatastro_spark.ops.decontaminate import decontaminate_sql
+from librecatastro_spark.ops.events import date_histogram_sql
+from librecatastro_spark.ops.pii import redact_pii_sql
+from librecatastro_spark.ops.text import repetition_signals_sql, unigram_logprob_sql
 from librecatastro_spark.engine.wand import CompressedIndex
 from librecatastro_spark.index.builder import build_index
 
@@ -200,6 +204,7 @@ def _bm25_oracle(
     ranges: dict[str, tuple] | None = None,
     min_match: int | None = None,
     phrase_slop: int = 0,
+    phrase_prefix: str | None = None,
 ) -> str:
     terms = sorted(set(analyze_text(text)))
     should_terms = [
@@ -245,6 +250,14 @@ def _bm25_oracle(
         conds.append(
             "doc_id IN (SELECT doc_id FROM documents WHERE "
             + duckdb_phrase_sql("text", analyze_text(text), phrase_slop) + ")"
+        )
+    if phrase_prefix is not None:
+        # type-ahead phrase: the scored text's ORDERED sequence adjacent,
+        # then a token starting with the prefix (RE2 == Java == sre)
+        conds.append(
+            "doc_id IN (SELECT doc_id FROM documents WHERE "
+            + duckdb_phrase_prefix_sql("text", analyze_text(text), phrase_prefix)
+            + ")"
         )
     where = ("WHERE " + " AND ".join(conds)) if conds else ""
     off = f" OFFSET {offset}" if offset else ""
@@ -644,6 +657,44 @@ def _q_unigram_logprob(spark, sf):
     from librecatastro_spark.ops.text import unigram_logprob
 
     return unigram_logprob(_docs(spark, sf), text_col="text")
+
+
+def _q_decontaminate(spark, sf):
+    # n-gram-overlap decontamination against a deterministic eval slice
+    # (broadcast probe set, one doc-keyed shuffle — ops/decontaminate.py)
+    from librecatastro_spark.ops.decontaminate import decontaminate
+
+    docs = _docs(spark, sf)
+    bench = docs.where(F.col("doc_id") % 97 == 0)
+    return decontaminate(docs, bench, text_col="text", n=5)
+
+
+_PII_TAIL = " contact bob@example.com or 10.0.0.1 or +34912345678 now"
+
+
+def _q_redact_pii(spark, sf):
+    # PII scrub over a deterministically salted corpus (every 10th doc
+    # gets one email + one IPv4 + one phone appended — the synthetic
+    # corpus itself is PII-free, so the injection makes the op's
+    # positive path oracle-checkable); pure Catalyst regexp intrinsics,
+    # shuffle-free (ops/pii.py)
+    from librecatastro_spark.ops.pii import redact_pii
+
+    docs = _docs(spark, sf).select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 10 == 0, F.concat(F.col("text"), F.lit(_PII_TAIL))
+        ).otherwise(F.col("text")).alias("text"),
+    )
+    return redact_pii(docs, text_col="text")
+
+
+def _q_repetition_signals(spark, sf):
+    # Gopher-style repetition filters; top-bigram multiplicity via a
+    # shuffle-free sorted-run fold (ops/text.py)
+    from librecatastro_spark.ops.text import repetition_signals
+
+    return repetition_signals(_docs(spark, sf), text_col="text")
 
 
 def _q_quality(spark, sf):
@@ -1387,6 +1438,15 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                       source_text_col="text", slop=2),
         "bm25_match_phrase_slop": lambda spark, sf: _engine(spark, sf)
         .match_phrase("scan merge", k=10, slop=2),
+        # ES match_phrase_prefix ("type-ahead phrase"): complete terms
+        # adjacent, then a token starting with the last analyzed token;
+        # scored on the complete terms only (documented divergence from
+        # ES's max_expansions-dependent expansion scoring)
+        "wand_match_phrase_prefix": lambda spark, sf: _index(spark, sf)
+        .match_phrase_prefix("fast s", _docs(spark, sf), k=10,
+                             source_text_col="text"),
+        "bm25_match_phrase_prefix": lambda spark, sf: _engine(spark, sf)
+        .match_phrase_prefix("fast s", k=10),
         # ES minimum_should_match: >= m distinct matched terms, all three
         # paths (production WAND, coordinator fast path, exact oracle)
         "wand_min_should_match": lambda spark, sf: _index(spark, sf)
@@ -1418,6 +1478,25 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         .cardinality_agg("spark", "source"),
         "top_hits_by_source": lambda spark, sf: _index(spark, sf)
         .top_hits_agg("table query", "source", k_per_group=2, n_groups=3),
+        # ES terms agg WITH SUB-AGGREGATIONS: per-bucket count + numeric
+        # metrics, exact, O(shards x keys) shuffle (the dashboard shape)
+        "facet_metric_agg_source": lambda spark, sf: _index(spark, sf)
+        .facet_metric_agg("spark", "source", "n_chars", top_n=10),
+        # ES date_histogram (calendar intervals — months are calendar
+        # months, not fixed windows) over the events table, per type
+        "date_histogram_events": lambda spark, sf: __import__(
+            "librecatastro_spark.ops.events", fromlist=["date_histogram"]
+        ).date_histogram(
+            spark.read.parquet(f"{sf}/events.parquet"), "day", by_type=True
+        ),
+        # ES percentiles agg — EXACT interpolated quantiles (ES ships a
+        # t-digest); O(matches) value shuffle is the documented cost
+        "percentiles_agg_nchars": lambda spark, sf: _index(spark, sf)
+        .percentiles_agg("spark", "n_chars", [25.0, 50.0, 75.0, 95.0]),
+        # ES composite agg — keyset-paginated bucket export: page 2 of
+        # the source buckets, resuming after 'src12'
+        "composite_agg_page2": lambda spark, sf: _index(spark, sf)
+        .composite_agg("spark", "source", size=4, after="src12"),
         # ES significant_terms: JLH-scored over-representation of the
         # match set's terms vs the index background (exact, unlike ES)
         "significant_terms_dup": lambda spark, sf: _index(spark, sf)
@@ -1440,6 +1519,17 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # …and the same chain batch-by-batch against durable state,
         # gated against the ONE-SHOT twin (streaming/curation.py)
         "incremental_curation": _q_incremental_curation,
+        # benchmark decontamination: broadcast n-gram probe set from a
+        # deterministic "eval slice" (doc_id % 97 == 0), one doc-keyed
+        # shuffle (ops/decontaminate.py)
+        "decontaminate_ngram": _q_decontaminate,
+        # Gopher-style repetition filters: top-bigram fraction via a
+        # shuffle-free sorted-run fold; oracle recomputes it the
+        # set-based way (ops/text.py repetition_signals)
+        "repetition_signals": _q_repetition_signals,
+        # PII scrub (email/IP/phone regex families, sequential passes,
+        # Catalyst codegen) over a deterministically salted corpus
+        "redact_pii": _q_redact_pii,
     }
 
 
@@ -1583,6 +1673,12 @@ LIMIT 10""",
         "bm25_match_phrase_slop": _bm25_oracle(
             "scan merge", k=10, require_all=True, phrase=True, phrase_slop=2
         ),
+        "wand_match_phrase_prefix": _bm25_oracle(
+            "fast", k=10, require_all=True, phrase_prefix="s"
+        ),
+        "bm25_match_phrase_prefix": _bm25_oracle(
+            "fast", k=10, require_all=True, phrase_prefix="s"
+        ),
         "wand_min_should_match": _bm25_oracle(
             "spark merge window batch", k=10, min_match=3
         ),
@@ -1641,6 +1737,38 @@ matched AS (
 SELECT floor(n_chars::DOUBLE / 25) * 25 AS bucket, count(*)::BIGINT AS cnt
 FROM matched JOIN documents USING (doc_id)
 GROUP BY 1 ORDER BY 1""",
+        "facet_metric_agg_source": f"""
+WITH {_TOKS_CTE},
+matched AS (
+  SELECT DISTINCT doc_id FROM toks WHERE term IN ({_sql_terms('spark')})
+)
+SELECT source AS facet_key, count(*)::BIGINT AS cnt,
+       min(n_chars)::DOUBLE AS min_val,
+       max(n_chars)::DOUBLE AS max_val,
+       round(sum(n_chars)::DOUBLE / count(*), {ROUND_DECIMALS}) AS avg_val
+FROM matched JOIN documents USING (doc_id)
+GROUP BY 1 ORDER BY cnt DESC, facet_key ASC LIMIT 10""",
+        "date_histogram_events": date_histogram_sql("day", by_type=True),
+        "percentiles_agg_nchars": f"""
+WITH {_TOKS_CTE},
+matched AS (
+  SELECT DISTINCT doc_id FROM toks WHERE term IN ({_sql_terms('spark')})
+),
+v AS (SELECT n_chars::DOUBLE AS val FROM matched JOIN documents USING (doc_id)),
+q AS (SELECT quantile_cont(val, [0.25, 0.5, 0.75, 0.95]) AS qs FROM v)
+SELECT ([25.0, 50.0, 75.0, 95.0][i])::DOUBLE AS pct,
+       round(qs[i], {ROUND_DECIMALS}) AS value
+FROM q CROSS JOIN (SELECT unnest(generate_series(1, 4)) AS i)
+ORDER BY pct""",
+        "composite_agg_page2": f"""
+WITH {_TOKS_CTE},
+matched AS (
+  SELECT DISTINCT doc_id FROM toks WHERE term IN ({_sql_terms('spark')})
+)
+SELECT source AS facet_key, count(*)::BIGINT AS cnt
+FROM matched JOIN documents USING (doc_id)
+WHERE source > 'src12'
+GROUP BY 1 ORDER BY 1 LIMIT 4""",
         "cardinality_agg_source": f"""
 WITH {_TOKS_CTE},
 matched AS (
@@ -1790,6 +1918,17 @@ ORDER BY cosine DESC, vec_id ASC LIMIT 10
         "training_data_pipeline": training_data_pipeline_sql(),
         # incremental curation converges to the one-shot pipeline — same twin
         "incremental_curation": training_data_pipeline_sql(),
+        "decontaminate_ngram": decontaminate_sql(
+            "doc_id % 97 = 0", text_col="text", n=5
+        ),
+        "repetition_signals": repetition_signals_sql("text"),
+        "redact_pii": f"""
+WITH pii_docs AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 10 = 0 THEN text || '{_PII_TAIL}' ELSE text END AS text
+  FROM documents
+)
+{redact_pii_sql(source='pii_docs')}""",
         "embedding_near_dup_exact": f"""
 SELECT e.vec_id AS vec_a, b.vec_id AS vec_b, {cos.format(b='b.embedding::DOUBLE[]')} AS cosine
 FROM embeddings e JOIN embeddings b ON e.vec_id < b.vec_id

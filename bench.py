@@ -40,6 +40,8 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+from pyspark.sql import functions as F
+
 from librecatastro_spark.corpus import corpus_cache_valid, materialize_corpus
 from librecatastro_spark.engine.wand import CompressedIndex
 from librecatastro_spark.index.builder import build_index
@@ -200,6 +202,18 @@ def main() -> None:
             "q_highlight": lambda: index.search_highlighted(
                 "sort merge join", docs, k=10
             ),
+            # type-ahead phrase: complete term adjacency + prefix tail
+            "q_phrase_prefix": lambda: index.match_phrase_prefix(
+                "def re", docs, k=10
+            ),
+            # keyset-paged bucket export over the hot match set
+            "q_composite": lambda: index.composite_agg(
+                "def return", "lang", size=4, after="a"
+            ),
+            # exact quantiles over the hot match set (O(matches) values)
+            "q_percentiles": lambda: index.percentiles_agg(
+                "def return", "doc_id", [50.0, 95.0]
+            ),
         }
         for name, run_q in dsl_queries.items():
             rows = run_q().collect()  # warm (plan + page cache)
@@ -210,6 +224,35 @@ def main() -> None:
                 run_q().collect()
                 times.append(time.time() - t)
             dsl_ms[name] = round(statistics.mean(times) * 1000, 2)
+
+    # full-corpus curation passes (the training-data-pipeline ops added
+    # in round 3) — each is one scan over the whole corpus, timed cold
+    # then averaged over 2 warm runs; same BENCH_DSL gate as above
+    curation_ms: dict[str, float] = {}
+    if os.environ.get("BENCH_DSL", "1") != "0":
+        from librecatastro_spark.ops.decontaminate import decontaminate
+        from librecatastro_spark.ops.pii import redact_pii
+        from librecatastro_spark.ops.text import repetition_signals
+
+        curation_queries = {
+            # broadcast n-gram probe + one doc-keyed count shuffle
+            "q_decontaminate": lambda: decontaminate(
+                docs, docs.where(F.col("doc_id") % 97 == 0), text_col="content"
+            ),
+            # shuffle-free per-row sorted-run fold
+            "q_repetition": lambda: repetition_signals(docs, text_col="content"),
+            # shuffle-free codegen regexp passes
+            "q_pii": lambda: redact_pii(docs, text_col="content"),
+        }
+        for name, run_q in curation_queries.items():
+            n = run_q().count()  # warm
+            assert n > 0, f"curation bench query returned no rows: {name}"
+            times = []
+            for _ in range(2):
+                t = time.time()
+                run_q().count()
+                times.append(time.time() - t)
+            curation_ms[name] = round(statistics.mean(times) * 1000, 2)
 
     total = build_sec + sum(per_query.values())
     out = {
@@ -224,6 +267,7 @@ def main() -> None:
         "fastpath_ms": fastpath_ms,
         "fastpath_p95_ms": round(fp_p95, 2),
         "dsl_ms": dsl_ms,
+        "curation_ms": curation_ms,
         "corpus_docs": n_docs,
         "corpus_gb": round(input_bytes / 1e9, 3),
         "cores": cores,

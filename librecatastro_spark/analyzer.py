@@ -162,6 +162,54 @@ def phrase_match_udf(terms_seq: list[str], slop: int = 0):
     return _matches
 
 
+def _phrase_prefix_body(terms_seq: list[str], prefix: str) -> str:
+    """Regex body for match_phrase_prefix: the COMPLETE terms adjacent in
+    order, then a gap, then a token that STARTS WITH ``prefix`` — no
+    right anchor, so any completion of the prefix token matches. With no
+    complete terms the body is just the prefix at a token start (the
+    caller normally routes that case to the term-prefix query instead).
+    Prefix and terms come from the analyzer, so they are regex-safe
+    ``[a-z0-9_]+`` literals."""
+    if not prefix:
+        raise ValueError("phrase prefix needs a non-empty last term")
+    if not terms_seq:
+        return prefix
+    return _phrase_body(terms_seq) + "[^a-z0-9_]+" + prefix
+
+
+def phrase_prefix_rlike_expr(
+    col: Column | str, terms_seq: list[str], prefix: str
+) -> Column:
+    """Catalyst form of the phrase-prefix predicate (see
+    ``_phrase_prefix_body``): left-anchored at a token start, open on the
+    right."""
+    c = F.col(col) if isinstance(col, str) else col
+    body = _phrase_prefix_body(terms_seq, prefix)
+    return F.lower(c).rlike(r"(\A|[^a-z0-9_])" + body)
+
+
+def phrase_prefix_match_udf(terms_seq: list[str], prefix: str):
+    """Arrow-vectorized twin of ``phrase_prefix_rlike_expr`` — same
+    CPython-sre production role as ``phrase_match_udf``."""
+    body = _phrase_prefix_body(terms_seq, prefix)
+    pat = re.compile(r"(?:\A|[^a-z0-9_])" + body)
+
+    @F.pandas_udf(BooleanType())
+    def _matches(s: pd.Series) -> pd.Series:
+        return s.fillna("").str.lower().str.contains(pat, regex=True)
+
+    return _matches
+
+
+def duckdb_phrase_prefix_sql(col: str, terms_seq: list[str], prefix: str) -> str:
+    """DuckDB RE2 twin of ``phrase_prefix_rlike_expr`` (same pattern
+    verbatim; RE2 spells \\A like Java and the open right side needs no
+    anchor translation)."""
+    body = _phrase_prefix_body(terms_seq, prefix)
+    pat = r"(\A|[^a-z0-9_])" + body
+    return f"regexp_matches(lower({col}), '{pat}')"
+
+
 def duckdb_phrase_sql(col: str, terms_seq: list[str], slop: int = 0) -> str:
     """DuckDB twin of phrase_expr — same sentinel-padded containment over
     the same analyzed token array (slop=0), or the same anchored regex

@@ -273,6 +273,48 @@ class ExactBM25:
             ranked = ranked.offset(offset)
         return ranked.limit(k)
 
+    def match_phrase_prefix(
+        self, text: str, k: int = 10, offset: int = 0
+    ) -> DataFrame:
+        """ES match_phrase_prefix analog — "type-ahead phrase": the
+        analyzed sequence minus its last token must appear adjacent in
+        order, immediately followed by a token STARTING WITH the last
+        token (analyzer._phrase_prefix_body).
+
+        Score: BM25 require_all over the COMPLETE terms only — the
+        prefix contributes membership, not score (ES expands the prefix
+        against the term dictionary and scores the expansions; that
+        makes the score depend on max_expansions order — this engine's
+        fixed-terms score is deterministic and twinned in the oracle).
+        Single-token queries are pure prefix membership with no complete
+        terms to score, so they take the constant-score term-prefix
+        contract instead (score 1.0, doc_id ASC) — same as
+        CompressedIndex.term_prefix_search.
+        """
+        seq = analyze_text(text)
+        if not seq:
+            raise ValueError("phrase analyzes to zero terms")
+        from ..analyzer import phrase_prefix_rlike_expr
+
+        complete, pfx = seq[:-1], seq[-1]
+        verified = self.docs.where(
+            phrase_prefix_rlike_expr(self.text_col, complete, pfx)
+        ).select(F.col(self.id_col).alias("doc_id"))
+        if not complete:
+            ranked = verified.select(
+                "doc_id", F.lit(1.0).alias("score")
+            ).orderBy(F.asc("doc_id"))
+        else:
+            scored = self.match_scores(
+                " ".join(complete), require_all=True
+            ).withColumn("score", F.round("score", ROUND_DECIMALS))
+            ranked = scored.join(verified, "doc_id", "left_semi").orderBy(
+                F.desc("score"), F.asc("doc_id")
+            )
+        if offset:
+            ranked = ranked.offset(offset)
+        return ranked.limit(k)
+
     def collapse_search(self, text: str, collapse_col: str, k: int = 10) -> DataFrame:
         """ES field-collapsing twin (see CompressedIndex.collapse_search):
         best doc per distinct ``collapse_col`` value, keys ranked by their

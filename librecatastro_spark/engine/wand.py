@@ -704,6 +704,91 @@ class CompressedIndex:
             ranked = ranked.offset(offset)
         return ranked.limit(k)
 
+    def match_phrase_prefix(
+        self,
+        text: str,
+        source: DataFrame,
+        k: int = 10,
+        offset: int = 0,
+        source_id_col: str = "doc_id",
+        source_text_col: str = "content",
+    ) -> DataFrame:
+        """ES match_phrase_prefix analog ("type-ahead phrase") over the
+        compressed index — verify-first like ``match_phrase``: the
+        complete terms must appear adjacent in order, immediately
+        followed by a token STARTING WITH the last analyzed token.
+
+        Scoring contract matches ExactBM25.match_phrase_prefix: BM25
+        require_all over the COMPLETE terms only (the prefix gates
+        membership, not score — documented divergence from ES's
+        max_expansions-dependent expansion scoring), rank (score DESC,
+        doc_id ASC). A single-token query has no complete terms to score
+        and routes to ``term_prefix_search`` (constant score 1.0,
+        doc_id ASC — the same contract, and the vocab-range scan is the
+        cheaper plan for pure type-ahead).
+
+        Plan shape: identical to match_phrase — the doc-id window where
+        all COMPLETE terms coexist prunes both the source verify scan
+        and the postings scan (block metadata only, one vocab-bounded
+        collect); the Arrow CPython-regex verify yields the TRUE match
+        set (not a candidate superset); verified ids feed the FILTERED
+        shard scorer with the top-k cut enabled — every intermediate
+        O(phrase-prefix matches), merge O(shards × (k+offset)).
+        """
+        seq = analyze_text(text)
+        if not seq:
+            raise ValueError("phrase analyzes to zero terms")
+        from ..analyzer import phrase_prefix_match_udf
+
+        complete, pfx = seq[:-1], seq[-1]
+        if not complete:
+            return self.term_prefix_search(pfx, k=k)
+        terms = sorted(set(complete))
+        idfs = self._idfs(terms)
+        if len(idfs) < len(terms):
+            return self.spark.createDataFrame([], _RESULT_SCHEMA)
+        blocks = self.postings.where(F.col("term").isin(terms))
+        spans = blocks.groupBy("term").agg(
+            F.min("first_doc_id").alias("lo"), F.max("last_doc_id").alias("hi")
+        ).collect()
+        if len(spans) < len(terms):
+            return self.spark.createDataFrame([], _RESULT_SCHEMA)
+        lo = max(int(r["lo"]) for r in spans)
+        hi = min(int(r["hi"]) for r in spans)
+        if lo > hi:
+            return self.spark.createDataFrame([], _RESULT_SCHEMA)
+        blocks = blocks.where(
+            (F.col("last_doc_id") >= lo) & (F.col("first_doc_id") <= hi)
+        )
+        verified = (
+            source.select(
+                F.col(source_id_col).alias("doc_id"),
+                F.col(source_text_col).alias("_text"),
+            )
+            .where(F.col("doc_id").between(lo, hi))
+            .where(phrase_prefix_match_udf(complete, pfx)(F.col("_text")))
+            .select("doc_id")
+        )
+        allowed = self.attrs.select("shard", "doc_id").where(
+            F.col("doc_id").between(lo, hi)
+        ).join(verified, "doc_id")
+        fn = _shard_topk_fn(
+            terms, idfs, self.meta.avgdl, k + offset, filtered=True,
+            must_not_terms=[], require_all=True,
+            dense_hint=int(self.meta.n_docs),
+        )
+        partial = (
+            blocks.groupBy("shard")
+            .cogroup(allowed.groupBy("shard"))
+            .applyInPandas(lambda bl, at: fn(bl, at), schema=_RESULT_SCHEMA)
+        )
+        ranked = partial.withColumn(
+            "score", F.round("score", ROUND_DECIMALS)
+        ).orderBy(F.desc("score"), F.asc("doc_id"))
+        if offset:
+            ranked = ranked.offset(offset)
+        return ranked.limit(k)
+
     _SEEK_COLS = (
         "term", "n_docs", "docs_enc", "tfs_enc", "dls_enc",
         "block_max_w", "idf_build", "first_doc_id", "last_doc_id",
@@ -1618,6 +1703,227 @@ class CompressedIndex:
         )
         return partial.agg(
             F.count_distinct(F.col("val")).alias("cardinality")
+        )
+
+    def facet_metric_agg(
+        self,
+        text: str,
+        facet_col: str,
+        num_col: str,
+        top_n: int = 10,
+    ) -> DataFrame:
+        """ES terms aggregation WITH SUB-AGGREGATIONS: per facet bucket,
+        the doc count plus min/max/sum/avg of a numeric attr over the
+        query's full match set — the "terms + metrics" shape that powers
+        every ES dashboard panel. top_n buckets by count DESC (key ASC
+        tiebreak). Exact (ES's cross-shard terms agg is approximate).
+
+        Plan shape: each shard reduces its own match set to ONE partial
+        row per facet value — (key, cnt, sum, min, max) are all
+        mergeable, so the shuffle is O(shards × distinct keys) and the
+        final reduce derives avg from (sum, cnt) AFTER the merge
+        (parallelism cannot reorder a float accumulation).
+        """
+        terms = sorted(set(analyze_text(text)))
+        if not terms:
+            raise ValueError("query analyzes to zero terms")
+        for c in (facet_col, num_col):
+            if c not in self.attrs.columns and c != "doc_id":
+                raise ValueError(f"index attrs lack column {c!r}")
+        idfs = self._idfs(terms)
+        terms = [t for t in terms if t in idfs]
+        schema = (
+            "facet_key string, cnt long, sum_val double, "
+            "min_val double, max_val double"
+        )
+        if not terms:
+            return self.spark.createDataFrame([], schema)
+        blocks = self.postings.where(F.col("term").isin(terms))
+        fd = _shard_topk_fn(
+            terms, idfs, self.meta.avgdl, 1 << 60, filtered=False,
+            must_not_terms=[], require_all=False,
+            dense_hint=int(self.meta.n_docs),
+        )
+
+        def fn(bl: pd.DataFrame, at: pd.DataFrame) -> pd.DataFrame:
+            empty = pd.DataFrame(
+                {"facet_key": pd.Series(dtype="object"),
+                 "cnt": pd.Series(dtype="int64"),
+                 "sum_val": pd.Series(dtype="float64"),
+                 "min_val": pd.Series(dtype="float64"),
+                 "max_val": pd.Series(dtype="float64")}
+            )
+            r = fd(bl)
+            if len(r) == 0 or len(at) == 0:
+                return empty
+            cols = ["doc_id", facet_col] + (
+                [num_col] if num_col not in ("doc_id", facet_col) else []
+            )
+            m = r.merge(at[cols], on="doc_id")
+            if len(m) == 0:
+                return empty
+            v = m[num_col].astype("float64")
+            g = v.groupby(m[facet_col].astype(str)).agg(
+                ["count", "sum", "min", "max"]
+            )
+            return pd.DataFrame(
+                {"facet_key": g.index.to_numpy(dtype=object),
+                 "cnt": g["count"].to_numpy(dtype="int64"),
+                 "sum_val": g["sum"].to_numpy(dtype="float64"),
+                 "min_val": g["min"].to_numpy(dtype="float64"),
+                 "max_val": g["max"].to_numpy(dtype="float64")}
+            )
+
+        sel = ["shard", "doc_id", facet_col] + (
+            [num_col] if num_col not in ("doc_id", facet_col) else []
+        )
+        allowed = self.attrs.select(*sel)
+        partial = (
+            blocks.groupBy("shard")
+            .cogroup(allowed.groupBy("shard"))
+            .applyInPandas(fn, schema=schema)
+        )
+        return (
+            partial.groupBy("facet_key")
+            .agg(
+                F.sum("cnt").alias("cnt"),
+                F.sum("sum_val").alias("sum_val"),
+                F.min("min_val").alias("min_val"),
+                F.max("max_val").alias("max_val"),
+            )
+            .select(
+                "facet_key", "cnt", "min_val", "max_val",
+                F.round(F.col("sum_val") / F.col("cnt"), ROUND_DECIMALS)
+                .alias("avg_val"),
+            )
+            .orderBy(F.desc("cnt"), F.asc("facet_key"))
+            .limit(top_n)
+        )
+
+    def percentiles_agg(
+        self, text: str, num_col: str, percentiles: list[float] | None = None
+    ) -> DataFrame:
+        """ES ``percentiles`` aggregation over the full match set —
+        EXACT linear-interpolated quantiles, where ES ships a t-digest
+        sketch. Exact quantiles are not mergeable from constant-size
+        shard partials, so each shard emits its matched VALUES (an
+        O(matches) single-column shuffle — the honest cost of
+        exactness) and one Catalyst ``percentile`` aggregate reduces
+        them; Spark and DuckDB both interpolate at rank p·(n−1), so the
+        oracle twin (``quantile_cont``) is exact. For web-scale match
+        sets where the value shuffle is too big, ``F.percentile_approx``
+        over the same per-shard values is the drop-in t-digest twin
+        (documented scale path; not gated — its estimate is not
+        oracle-reproducible). Output: one (pct, value) row per requested
+        percentile, pct ASC."""
+        pcts = percentiles if percentiles is not None else [25.0, 50.0, 75.0, 95.0]
+        if not pcts or any(p < 0 or p > 100 for p in pcts):
+            raise ValueError("percentiles must be within [0, 100]")
+        terms, idfs = self._match_terms(text)
+        if not terms:
+            return self.spark.createDataFrame([], "pct double, value double")
+        blocks = self.postings.where(F.col("term").isin(terms))
+        fd = _shard_topk_fn(
+            terms, idfs, self.meta.avgdl, 1 << 60, filtered=False,
+            must_not_terms=[], require_all=False,
+            dense_hint=int(self.meta.n_docs),
+        )
+
+        def fn(bl: pd.DataFrame, at: pd.DataFrame) -> pd.DataFrame:
+            r = fd(bl)
+            if len(r) == 0 or len(at) == 0:
+                return pd.DataFrame({"val": pd.Series(dtype="float64")})
+            cols = ["doc_id"] if num_col == "doc_id" else ["doc_id", num_col]
+            v = r.merge(at[cols], on="doc_id")[num_col]
+            return pd.DataFrame({"val": v.astype("float64").to_numpy()})
+
+        sel = ["shard", "doc_id"] + ([num_col] if num_col != "doc_id" else [])
+        allowed = self.attrs.select(*sel)
+        vals = (
+            blocks.groupBy("shard")
+            .cogroup(allowed.groupBy("shard"))
+            .applyInPandas(fn, schema="val double")
+        )
+        qs = vals.agg(
+            F.percentile(
+                F.col("val"), F.array(*[F.lit(p / 100.0) for p in sorted(pcts)])
+            ).alias("qs")
+        ).select(
+            F.posexplode("qs").alias("pos", "value")
+        )
+        pct_arr = F.array(*[F.lit(float(p)) for p in sorted(pcts)])
+        return qs.select(
+            F.element_at(pct_arr, F.col("pos") + 1).alias("pct"),
+            F.round(F.col("value"), ROUND_DECIMALS).alias("value"),
+        ).orderBy("pct")
+
+    def composite_agg(
+        self,
+        text: str,
+        facet_col: str,
+        size: int = 10,
+        after: str | None = None,
+    ) -> DataFrame:
+        """ES ``composite`` aggregation: paginate through ALL buckets of
+        a terms source in key order, ``size`` buckets per page, resuming
+        from ``after`` (the last key of the previous page) — the ES-side
+        answer to "export every bucket" that terms-agg top-n cannot do.
+
+        Scale shape: the after-key predicate is applied INSIDE the
+        per-shard combine before partials are emitted (a predicate on
+        the group key commutes with sum-by-key), so a deep page's
+        shuffle carries only keys AFTER the cursor — O(shards ×
+        remaining keys), and the page cut is a TakeOrderedAndProject,
+        never a full sort. Same keyset-pagination contract as
+        ``search_after`` (engine/wand.py search), applied to buckets.
+        Exact counts (map-side per-shard combine), key ASC.
+        """
+        terms = sorted(set(analyze_text(text)))
+        if not terms:
+            raise ValueError("query analyzes to zero terms")
+        if facet_col not in self.attrs.columns:
+            raise ValueError(f"index attrs lack column {facet_col!r}")
+        idfs = self._idfs(terms)
+        terms = [t for t in terms if t in idfs]
+        if not terms:
+            return self.spark.createDataFrame([], "facet_key string, cnt long")
+        blocks = self.postings.where(F.col("term").isin(terms))
+        fd = _shard_topk_fn(
+            terms, idfs, self.meta.avgdl, 1 << 60, filtered=False,
+            must_not_terms=[], require_all=False,
+            dense_hint=int(self.meta.n_docs),
+        )
+
+        def fn(bl: pd.DataFrame, at: pd.DataFrame) -> pd.DataFrame:
+            empty = pd.DataFrame(
+                {"facet_key": pd.Series(dtype="object"),
+                 "cnt": pd.Series(dtype="int64")}
+            )
+            r = fd(bl)
+            if len(r) == 0 or len(at) == 0:
+                return empty
+            m = r.merge(at[["doc_id", facet_col]], on="doc_id")
+            keys = m[facet_col].astype(str)
+            if after is not None:
+                keys = keys[keys > after]
+            if len(keys) == 0:
+                return empty
+            vc = keys.value_counts()
+            return pd.DataFrame(
+                {"facet_key": vc.index.astype(str), "cnt": vc.to_numpy()}
+            )
+
+        allowed = self.attrs.select("shard", "doc_id", facet_col)
+        partial = (
+            blocks.groupBy("shard")
+            .cogroup(allowed.groupBy("shard"))
+            .applyInPandas(fn, schema="facet_key string, cnt long")
+        )
+        return (
+            partial.groupBy("facet_key")
+            .agg(F.sum("cnt").alias("cnt"))
+            .orderBy(F.asc("facet_key"))
+            .limit(size)
         )
 
     def top_hits_agg(

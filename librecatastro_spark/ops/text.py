@@ -134,6 +134,57 @@ def unigram_logprob(docs, id_col: str = "doc_id", text_col: str = "content"):
     )
 
 
+def repetition_signals(
+    docs, id_col: str = "doc_id", text_col: str = "text"
+) -> "DataFrame":
+    """(doc_id, top_bigram_frac, dup_trigram_frac): the Gopher-style
+    repetition filters (Rae et al. 2021 §A1.1) — fraction of all bigram
+    occurrences taken by the single most frequent bigram, and fraction
+    of trigram occurrences that are repeats (1 − distinct/total). High
+    values mark boilerplate / degenerate generations; threshold to drop.
+
+    Plan shape at 100 TB: ZERO shuffles. Both signals are per-row
+    Catalyst expressions — the top-bigram count folds over the SORTED
+    bigram array (max run length of equal neighbours == max multiplicity,
+    O(n log n) per row, JVM-side), instead of the explode → groupBy
+    (doc, bigram) → groupBy doc two-exchange alternative. The fold's
+    lambda only touches its own accumulator/element (no free outer
+    array), so the Catalyst per-element re-evaluation trap documented on
+    shingles_expr does not apply.
+    """
+    from .dedup import shingles_expr
+
+    bg = F.array_sort(shingles_expr(text_col, 2))
+    tg = shingles_expr(text_col, 3)
+    run = F.aggregate(
+        bg,
+        F.struct(
+            F.lit("").alias("prev"), F.lit(0).alias("run"), F.lit(0).alias("best")
+        ),
+        lambda acc, x: F.struct(
+            x.alias("prev"),
+            F.when(x == acc.prev, acc.run + 1).otherwise(F.lit(1)).alias("run"),
+            F.greatest(
+                acc.best,
+                F.when(x == acc.prev, acc.run + 1).otherwise(F.lit(1)),
+            ).alias("best"),
+        ),
+        lambda acc: acc.best,
+    )
+    top_bg = F.when(
+        F.size(bg) > 0, run.cast("double") / F.size(bg)
+    ).otherwise(F.lit(0.0))
+    dup_tg = F.when(
+        F.size(tg) > 0,
+        F.lit(1.0) - F.size(F.array_distinct(tg)).cast("double") / F.size(tg),
+    ).otherwise(F.lit(0.0))
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.round(top_bg, ROUND_DECIMALS).alias("top_bigram_frac"),
+        F.round(dup_tg, ROUND_DECIMALS).alias("dup_trigram_frac"),
+    )
+
+
 # ------------------------------------------------------------ SQL twins --
 
 def stopword_ratio_sql(col: str) -> str:
@@ -168,6 +219,33 @@ def quality_score_sql(col: str) -> str:
 
 def fingerprint_sql(col: str) -> str:
     return f"md5(array_to_string({duckdb_tokens_sql(col)}, ' '))"
+
+
+def repetition_signals_sql(col: str = "text") -> str:
+    """Full SELECT — DuckDB twin of repetition_signals over ``documents``.
+    The oracle computes top-bigram multiplicity the set-based way
+    (unnest → count per (doc, bigram) → max), deliberately a DIFFERENT
+    algorithm from the Spark sorted-run fold, so agreement checks the
+    semantics rather than mirroring the implementation."""
+    from .dedup import shingles_sql
+
+    bg = shingles_sql(col, 2)
+    tg = shingles_sql(col, 3)
+    return f"""
+WITH base AS (SELECT doc_id, {bg} AS bg, {tg} AS tg FROM documents),
+cnt AS (
+  SELECT doc_id, count(*) AS c
+  FROM (SELECT doc_id, unnest(bg) AS b FROM base) e
+  GROUP BY doc_id, b
+),
+top AS (SELECT doc_id, max(c) AS mx FROM cnt GROUP BY doc_id)
+SELECT b.doc_id,
+       round(CASE WHEN len(b.bg) > 0 THEN t.mx::DOUBLE / len(b.bg) ELSE 0.0 END,
+             {ROUND_DECIMALS}) AS top_bigram_frac,
+       round(CASE WHEN len(b.tg) > 0
+                  THEN 1.0 - len(list_distinct(b.tg))::DOUBLE / len(b.tg)
+                  ELSE 0.0 END, {ROUND_DECIMALS}) AS dup_trigram_frac
+FROM base b LEFT JOIN top t USING (doc_id)"""
 
 
 def unigram_logprob_sql(col: str = "text") -> str:

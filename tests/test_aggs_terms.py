@@ -252,3 +252,97 @@ def test_top_hits_cross_shard_key_depth(corpus, exact, wand):
         for r in wand.top_hits_agg("def return import", "lang", 4, 1).collect()
     ]
     assert len({g for _, g in got}) == 1 and len(got) == 4
+
+
+def test_percentiles_agg_matches_numpy(exact, wand):
+    import numpy as np
+
+    got = {r["pct"]: r["value"]
+           for r in wand.percentiles_agg("def return", "doc_id",
+                                         [10.0, 50.0, 90.0]).collect()}
+    vals = np.array(
+        [r["doc_id"] for r in _match_docs(exact, "def return").collect()],
+        dtype=np.float64,
+    )
+    for p in (10.0, 50.0, 90.0):
+        # numpy 'linear' == Spark percentile == DuckDB quantile_cont
+        assert got[p] == pytest.approx(
+            round(float(np.percentile(vals, p)), ROUND_DECIMALS), abs=1e-4
+        )
+    assert list(got) == sorted(got)
+
+
+def test_percentiles_empty_and_bounds(wand):
+    assert wand.percentiles_agg("zzzznotaterm", "doc_id").count() == 0
+    with pytest.raises(ValueError):
+        wand.percentiles_agg("def", "doc_id", [101.0])
+
+
+def test_composite_agg_pages_tile_facet_space(exact, wand, corpus):
+    """Walking composite pages with the after cursor must enumerate
+    EXACTLY the full (key, cnt) bucket set, in key order, no overlap."""
+    ref = {
+        r["lang"]: r["cnt"]
+        for r in _match_docs(exact, "def return")
+        .join(corpus.select("doc_id", "lang"), "doc_id")
+        .groupBy("lang").agg(F.count("*").alias("cnt")).collect()
+    }
+    pages, after, seen = [], None, 0
+    while True:
+        page = wand.composite_agg("def return", "lang", size=2, after=after).collect()
+        if not page:
+            break
+        keys = [r["facet_key"] for r in page]
+        assert keys == sorted(keys) and len(keys) <= 2
+        pages.extend((r["facet_key"], r["cnt"]) for r in page)
+        after = keys[-1]
+        seen += 1
+        assert seen < 50  # terminate
+    assert dict(pages) == ref and len(pages) == len(ref) > 2
+
+
+def test_facet_metric_agg_matches_reference(corpus, exact, wand):
+    got = {r["facet_key"]: r
+           for r in wand.facet_metric_agg("def return", "lang", "doc_id").collect()}
+    ref = {
+        r["lang"]: r
+        for r in _match_docs(exact, "def return")
+        .join(corpus.select("doc_id", "lang"), "doc_id")
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("cnt"),
+            F.min("doc_id").cast("double").alias("min_val"),
+            F.max("doc_id").cast("double").alias("max_val"),
+            F.sum("doc_id").cast("double").alias("sum_val"),
+        )
+        .collect()
+    }
+    assert set(got) == set(ref) and got
+    for k, r in ref.items():
+        g = got[k]
+        assert g["cnt"] == r["cnt"]
+        assert g["min_val"] == r["min_val"] and g["max_val"] == r["max_val"]
+        assert g["avg_val"] == round(r["sum_val"] / r["cnt"], ROUND_DECIMALS)
+
+
+def test_date_histogram_calendar_semantics(spark):
+    from datetime import datetime
+
+    from librecatastro_spark.ops.events import date_histogram
+
+    rows = [
+        (1, datetime(2024, 1, 31, 23, 59), "a", 1.0),
+        (2, datetime(2024, 2, 1, 0, 0), "a", 2.0),   # next calendar month
+        (3, datetime(2024, 2, 29, 12, 0), "b", 3.0),  # leap-day, same month
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, event_type string, value double"
+    )
+    got = [(r["bucket"], r["cnt"], r["sum_value"])
+           for r in date_histogram(ev, "month").collect()]
+    assert got == [
+        (datetime(2024, 1, 1), 1, 1.0),
+        (datetime(2024, 2, 1), 2, 5.0),
+    ]
+    with pytest.raises(ValueError):
+        date_histogram(ev, "fortnight")

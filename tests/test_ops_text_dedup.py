@@ -409,3 +409,96 @@ def test_connected_components_max_iter_raises(spark):
     df = spark.createDataFrame(chain, "doc_id_a long, doc_id_b long")
     with pytest.raises(RuntimeError):
         connected_components(df, max_iter=2)
+
+
+# -------------------------------- decontamination + repetition signals ----
+
+def test_decontaminate_hand_checked(spark):
+    """Doc 1 shares a 3-gram with the bench doc 0; doc 2 shares none;
+    doc 0 (in the bench itself) is fully contaminated; a too-short doc
+    has zero n-grams and is clean by definition."""
+    from librecatastro_spark.ops.decontaminate import decontaminate
+
+    rows = [
+        (0, "alpha beta gamma delta epsilon"),
+        (1, "prefix words then beta gamma delta and more tail words"),
+        (2, "totally different tokens nothing shared with the benchmark"),
+        (3, "tiny doc"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    bench = docs.where(F.col("doc_id") == 0)
+    got = {r["doc_id"]: r for r in
+           decontaminate(docs, bench, text_col="text", n=3).collect()}
+    assert set(got) == {0, 1, 2, 3}
+    assert got[0]["contaminated"] and got[0]["n_contaminated"] == got[0]["n_ngrams"] == 3
+    assert got[1]["contaminated"] and got[1]["n_contaminated"] == 1
+    assert not got[2]["contaminated"] and got[2]["n_contaminated"] == 0
+    assert not got[3]["contaminated"] and got[3]["n_ngrams"] == 0
+
+
+def test_decontaminate_counts_distinct_ngrams_once(spark):
+    """A doc repeating one contaminated n-gram 3x still counts it ONCE
+    (set semantics on both sides)."""
+    from librecatastro_spark.ops.decontaminate import decontaminate
+
+    docs = spark.createDataFrame(
+        [(0, "a b c"), (1, "a b c x a b c y a b c")],
+        "doc_id long, text string",
+    )
+    bench = docs.where(F.col("doc_id") == 0)
+    got = {r["doc_id"]: r for r in
+           decontaminate(docs, bench, text_col="text", n=3).collect()}
+    assert got[1]["n_contaminated"] == 1
+
+
+def test_repetition_signals_hand_checked(spark):
+    """top_bigram_frac = max bigram multiplicity / total bigrams;
+    dup_trigram_frac = 1 - distinct/total trigrams; zero-gram docs 0.0."""
+    from librecatastro_spark.ops.text import repetition_signals
+
+    rows = [
+        (0, "a b a b a b"),        # bigrams: ab,ba,ab,ba,ab -> top 3/5
+        (1, "w x y z"),            # all bigrams distinct -> 1/3
+        (2, "solo"),               # no bigrams/trigrams
+        (3, "a b c a b c a b c"),  # trigrams: 7 total, 3 distinct
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in
+           repetition_signals(docs, text_col="text").collect()}
+    assert got[0]["top_bigram_frac"] == pytest.approx(3 / 5, abs=1e-4)
+    assert got[1]["top_bigram_frac"] == pytest.approx(1 / 3, abs=1e-4)
+    assert got[2]["top_bigram_frac"] == 0.0 and got[2]["dup_trigram_frac"] == 0.0
+    assert got[3]["dup_trigram_frac"] == pytest.approx(1 - 3 / 7, abs=1e-4)
+
+
+def test_redact_pii_hand_checked(spark):
+    from librecatastro_spark.ops.pii import redact_pii
+
+    rows = [
+        (0, "mail a.b+c@ex-ample.org then 192.168.001.42 then +34912345678 ok"),
+        (1, "no pii here just words"),
+        (2, "two mails x@y.io and z@w.co; ip 1.2.3.4"),
+        (3, "digits 12345678 too short; 1234567890123456 too long"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in redact_pii(docs, text_col="text").collect()}
+    assert got[0]["n_email"] == got[0]["n_ip"] == got[0]["n_phone"] == 1
+    assert got[0]["clean_text"] == "mail <EMAIL> then <IP> then <PHONE> ok"
+    assert got[1]["clean_text"] == "no pii here just words"
+    assert (got[1]["n_email"], got[1]["n_ip"], got[1]["n_phone"]) == (0, 0, 0)
+    assert got[2]["n_email"] == 2 and got[2]["n_ip"] == 1
+    # 8 digits: below the phone floor; 16 digits: above the ceiling
+    assert got[3]["n_phone"] == 0 and "<PHONE>" not in got[3]["clean_text"]
+
+
+def test_redact_pii_sequential_no_double_count(spark):
+    """The email pass consumes 'user123456789@x.io' whole — the phone
+    pass must NOT count the digit run inside it."""
+    from librecatastro_spark.ops.pii import redact_pii
+
+    docs = spark.createDataFrame(
+        [(0, "user123456789@x.io wrote")], "doc_id long, text string"
+    )
+    r = redact_pii(docs, text_col="text").collect()[0]
+    assert r["n_email"] == 1 and r["n_phone"] == 0
+    assert r["clean_text"] == "<EMAIL> wrote"

@@ -383,3 +383,51 @@ def test_mlt_term_selection_rule(spark):
     assert mlt_select_terms(toks, dfs, 2, 1, 2) == ["d", "b"]
     assert mlt_select_terms(toks, dfs, 10, 2, 2) == ["d", "b", "a"]
     assert mlt_select_terms([], dfs, 10, 1, 1) == []
+
+
+def _py_phrase_prefix_docs(corpus, phrase: str) -> set[int]:
+    """Driver-side replica: complete terms adjacent in order, then a
+    token starting with the last analyzed token."""
+    seq = analyze_text(phrase)
+    complete, pfx = seq[:-1], seq[-1]
+    out = set()
+    for r in corpus.select("doc_id", "content").collect():
+        toks = analyze_text(r["content"])
+        for i in range(len(toks) - len(complete)):
+            if toks[i:i + len(complete)] == complete and toks[
+                i + len(complete)
+            ].startswith(pfx):
+                out.add(r["doc_id"])
+                break
+    return out
+
+
+def test_phrase_prefix_paths_and_semantics(exact, wand, corpus):
+    phrase = "def re"  # 'def return', 'def result', ... in the generator vocab
+    e = rows(exact.match_phrase_prefix(phrase, k=10_000))
+    w = rows(
+        wand.match_phrase_prefix(phrase, corpus, k=10_000, source_text_col="content")
+    )
+    assert e == w
+    assert {d for d, _ in e} == _py_phrase_prefix_docs(corpus, phrase)
+    assert e, "phrase prefix must match on this corpus"
+
+
+def test_phrase_prefix_superset_of_full_phrase(exact):
+    """Every 'def return' phrase doc must also match prefix 'def re'."""
+    full = {r["doc_id"] for r in exact.match_phrase("def return", k=10_000).collect()}
+    pre = {r["doc_id"] for r in exact.match_phrase_prefix("def re", k=10_000).collect()}
+    assert full <= pre and full < pre or full == pre
+
+
+def test_phrase_prefix_single_token_constant_score(exact, wand, corpus):
+    """One analyzed token -> pure type-ahead: constant score, doc_id ASC,
+    identical across engines."""
+    e = exact.match_phrase_prefix("re", k=20).collect()
+    w = wand.match_phrase_prefix("re", corpus, k=20, source_text_col="content").collect()
+    assert [(r["doc_id"], r["score"]) for r in e] == [
+        (r["doc_id"], r["score"]) for r in w
+    ]
+    assert all(r["score"] == 1.0 for r in e)
+    ids = [r["doc_id"] for r in e]
+    assert ids == sorted(ids) and ids

@@ -288,6 +288,69 @@ def main() -> int:
     sections.append(s); problems += p
 
     s, p = audit(
+        "match_phrase_prefix verify-first plan (r3)",
+        index.match_phrase_prefix("the sc", docs, k=10, source_text_col="text"),
+        {"pushed_filter": True, "take_ordered": True, "cartesian": False},
+        "Type-ahead phrase shares match_phrase's shape: source verify "
+        "scan pruned to the COMPLETE terms' posting-range window "
+        "(BETWEEN pushed), Arrow CPython-regex predicate with the open "
+        "prefix tail, verified ids feed the filtered scorer, "
+        "TakeOrderedAndProject merge. No cartesian.",
+    )
+    sections.append(s); problems += p
+
+    from librecatastro_spark.ops.decontaminate import decontaminate
+
+    s, p = audit(
+        "Benchmark decontamination plan (r3)",
+        decontaminate(docs, docs.where(F.col("doc_id") % 97 == 0),
+                      text_col="text", n=5),
+        {"broadcast": True, "cartesian": False, "explode": True},
+        "The eval slice's distinct n-grams BROADCAST into the corpus-side "
+        "n-gram explode as a LeftSemi BroadcastHashJoin — the corpus is "
+        "never shuffled on the join key; the only corpus-keyed exchange "
+        "is the per-doc hit-count aggregate (map-side combined).",
+    )
+    sections.append(s); problems += p
+
+    from librecatastro_spark.ops.text import repetition_signals
+
+    s, p = audit(
+        "Gopher repetition signals plan (r3)",
+        repetition_signals(docs, text_col="text"),
+        {"exchange": False, "explode": False, "cartesian": False},
+        "Both signals are per-row Catalyst expressions — the top-bigram "
+        "multiplicity is a sorted-run fold over the row's own bigram "
+        "array (max run of equal neighbours == max multiplicity), so the "
+        "plan is a bare scan projection: NO Exchange, NO Generate. The "
+        "explode→groupBy(doc,bigram)→groupBy(doc) alternative would cost "
+        "two corpus-sized shuffles.",
+    )
+    sections.append(s); problems += p
+
+    from librecatastro_spark.ops.pii import redact_pii
+
+    s, p = audit(
+        "PII redaction plan (r3)",
+        redact_pii(docs, text_col="text"),
+        {"exchange": False, "codegen": True, "cartesian": False},
+        "Sequential regexp_count/regexp_replace passes are JVM intrinsics "
+        "in one codegen'd scan projection — shuffle-free, Python-free.",
+    )
+    sections.append(s); problems += p
+
+    s, p = audit(
+        "composite agg keyset page plan (r3)",
+        index.composite_agg("the scan", "lang", size=4, after="a"),
+        {"take_ordered": True, "cartesian": False},
+        "The after-cursor filters keys INSIDE the per-shard combine "
+        "(key predicates commute with sum-by-key), so the shuffle "
+        "carries only post-cursor keys and the page cut is a "
+        "TakeOrderedAndProject, never a full sort.",
+    )
+    sections.append(s); problems += p
+
+    s, p = audit(
         "Shard partition pruning (resume-unit read)",
         index.postings.where(F.col("shard") == 2),
         {"pushed_filter": False, "codegen": True, "exchange": False},
