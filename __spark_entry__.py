@@ -27,7 +27,9 @@ from librecatastro_spark.analyzer import (
 )
 from librecatastro_spark.bm25 import ROUND_DECIMALS, bm25_sql
 from librecatastro_spark.engine import ExactBM25
-from librecatastro_spark.ops.chunk import duckdb_chunks_sql
+from librecatastro_spark.ops.chunk import duckdb_chunks_sql, pack_sequences_sql
+from librecatastro_spark.ops.dedup import dedup_paragraphs_sql
+from librecatastro_spark.ops.sampling import stratified_sample_sql
 from librecatastro_spark.ops.decontaminate import decontaminate_sql
 from librecatastro_spark.ops.events import date_histogram_sql
 from librecatastro_spark.ops.pii import redact_pii_sql
@@ -1530,6 +1532,25 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # PII scrub (email/IP/phone regex families, sequential passes,
         # Catalyst codegen) over a deterministically salted corpus
         "redact_pii": _q_redact_pii,
+        # CCNet/Dolma paragraph-level dedup: global paragraph df counts,
+        # duplicate set broadcast back, order-preserving rebuild
+        # (ops/dedup.py dedup_paragraphs)
+        "dedup_paragraphs": lambda spark, sf: __import__(
+            "librecatastro_spark.ops.dedup", fromlist=["dedup_paragraphs"]
+        ).dedup_paragraphs(_docs(spark, sf), para_tokens=3, min_df=2),
+        # sequence packing for pretraining: bucket-parallel cumulative
+        # token windows, seq_id = floor(begin/budget) (ops/chunk.py)
+        "pack_sequences": lambda spark, sf: __import__(
+            "librecatastro_spark.ops.chunk", fromlist=["pack_sequences"]
+        ).pack_sequences(_docs(spark, sf), budget=200, n_buckets=4,
+                         text_col="text"),
+        # deterministic stratified sampling (domain mixing): md5-bucket
+        # survival per lang rate, pure Catalyst (ops/sampling.py)
+        "stratified_sample": lambda spark, sf: __import__(
+            "librecatastro_spark.ops.sampling", fromlist=["stratified_sample"]
+        ).stratified_sample(
+            _docs(spark, sf), {"en": 0.8, "de": 0.25, "fr": 0.5}
+        ),
     }
 
 
@@ -1922,6 +1943,11 @@ ORDER BY cosine DESC, vec_id ASC LIMIT 10
             "doc_id % 97 = 0", text_col="text", n=5
         ),
         "repetition_signals": repetition_signals_sql("text"),
+        "dedup_paragraphs": dedup_paragraphs_sql(para_tokens=3, min_df=2),
+        "pack_sequences": pack_sequences_sql(budget=200, n_buckets=4),
+        "stratified_sample": stratified_sample_sql(
+            {"en": 0.8, "de": 0.25, "fr": 0.5}
+        ),
         "redact_pii": f"""
 WITH pii_docs AS (
   SELECT doc_id,

@@ -91,3 +91,80 @@ SELECT doc_id,
        len(toks[chunk_id * {stride} + 1 : chunk_id * {stride} + {max_tokens}])::BIGINT AS n_tokens,
        array_to_string(toks[chunk_id * {stride} + 1 : chunk_id * {stride} + {max_tokens}], ' ') AS chunk_text
 FROM cx"""
+
+
+def pack_sequences(
+    docs: DataFrame,
+    budget: int = 256,
+    n_buckets: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "content",
+) -> DataFrame:
+    """Sequence packing — the other half of the pretraining packing story
+    (chunk_documents splits long docs; this bins short ones): assign every
+    document to a fixed-token-budget training sequence by cumulative token
+    count. Returns ``(bucket, seq_id, doc_id, n_tokens, begin)`` where
+    ``begin`` is the number of tokens packed before this doc within its
+    bucket and ``seq_id = floor(begin / budget)`` — the sequence in which
+    the doc STARTS (docs may straddle a boundary; the trainer's collator
+    handles the tail, as in GPT-style packed pretraining).
+
+    Scale shape: a single global cumulative-sum window would serialize the
+    corpus through one partition, so packing is BUCKET-PARALLEL — docs are
+    hash-assigned to ``n_buckets`` independent streams (pmod(doc_id)),
+    each packed by a window partitioned on the bucket and ordered by
+    doc_id. One shuffle on the bucket key; n_buckets scales with the
+    cluster, and determinism holds at any parallelism because the order
+    inside a bucket is the doc_id total order, never partition layout.
+    Twinned verbatim in DuckDB (pack_sequences_sql).
+    """
+    if budget < 1 or n_buckets < 1:
+        raise ValueError("budget and n_buckets must be >= 1")
+    from pyspark.sql import Window
+
+    base = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.size(tokenize_expr(text_col)).cast("long").alias("n_tokens"),
+        F.pmod(F.col(id_col), F.lit(n_buckets)).cast("long").alias("bucket"),
+    )
+    w = (
+        Window.partitionBy("bucket")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    begin = (F.sum("n_tokens").over(w) - F.col("n_tokens")).alias("begin")
+    return base.select(
+        "bucket",
+        F.floor((F.sum("n_tokens").over(w) - F.col("n_tokens")) / F.lit(budget))
+        .cast("long")
+        .alias("seq_id"),
+        "doc_id",
+        "n_tokens",
+        begin,
+    )
+
+
+def pack_sequences_sql(
+    budget: int = 256,
+    n_buckets: int = 8,
+    text_col: str = "text",
+) -> str:
+    """DuckDB twin of pack_sequences over the ``documents`` view."""
+    toks = duckdb_tokens_sql(text_col)
+    return f"""
+WITH base AS (
+  SELECT doc_id,
+         len({toks})::BIGINT AS n_tokens,
+         (doc_id % {n_buckets})::BIGINT AS bucket
+  FROM documents
+),
+cum AS (
+  SELECT bucket, doc_id, n_tokens,
+         (sum(n_tokens) OVER (PARTITION BY bucket ORDER BY doc_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens)::BIGINT AS begin
+  FROM base
+)
+SELECT bucket,
+       (begin // {budget})::BIGINT AS seq_id,
+       doc_id, n_tokens, begin
+FROM cum"""

@@ -660,3 +660,147 @@ drop_reps AS (
 SELECT rep AS doc_id FROM reps
 WHERE rep NOT IN (SELECT rep FROM drop_reps)
 """
+
+
+# --------------------------------------------------------------------- #
+# Paragraph-level exact dedup (CCNet / Dolma / RefinedWeb line dedup)
+# --------------------------------------------------------------------- #
+
+
+def dedup_paragraphs(
+    docs: DataFrame,
+    para_tokens: int = 3,
+    min_df: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """CCNet/Dolma-style duplicated-paragraph removal, the curation pass
+    that strips boilerplate (license headers, nav bars, repeated footers)
+    before pretraining. Returns one row per input doc:
+    ``(doc_id, n_paras, n_removed, clean_text)``.
+
+    The synthetic corpus is single-line, so "paragraph" is DEFINED here
+    (frozen, twinned verbatim in ``dedup_paragraphs_sql``) as each
+    consecutive run of ``para_tokens`` analyzed tokens (the last run may
+    be shorter) — the same deterministic re-paragraphization trick
+    redact_pii uses for its PII-salted gate. A paragraph is removed when
+    its exact text occurs in >= ``min_df`` DISTINCT documents; surviving
+    paragraphs are re-joined with single spaces in original order
+    (analyzed form, like ops/chunk.py — the output feeds tokenizers, not
+    renderers). Zero-token docs keep a row with clean_text = ''.
+
+    Scale shape (the reason this beats a naive join): paragraph df counts
+    are one map-side-combinable groupBy; the duplicate SET (paras with
+    df >= min_df — a tiny fraction of distinct paragraphs in a real
+    corpus) is then BROADCAST back, so the removal pass is a
+    broadcast-hash semi-probe over the exploded paragraphs, and the
+    rebuild is one doc-keyed shuffle. No corpus-sized equi-join, nothing
+    driver-side. Reference analog: the A16 dedup gate
+    (src/utils/elasticsearch_utils.py:100-136) at paragraph granularity.
+    """
+    W = int(para_tokens)
+    if W < 1:
+        raise ValueError("para_tokens must be >= 1")
+    base = docs.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("_t"))
+    toks = base.select(
+        "doc_id", F.explode(F.array(tokenize_expr("_t"))).alias("_toks")
+    )
+    n = F.size("_toks")
+    paras = (
+        toks.where(n > 0)
+        .select(
+            "doc_id",
+            "_toks",
+            F.explode(
+                F.sequence(F.lit(0), ((n - F.lit(1)) / F.lit(W)).cast("int"))
+            ).alias("pidx"),
+        )
+        .select(
+            "doc_id",
+            "pidx",
+            F.array_join(
+                F.slice(F.col("_toks"), F.col("pidx") * W + 1, W), " "
+            ).alias("para"),
+        )
+    )
+    dup_set = (
+        paras.groupBy("para")
+        .agg(F.countDistinct("doc_id").alias("df"))
+        .where(F.col("df") >= min_df)
+        .select("para")
+    )
+    marked = paras.join(
+        F.broadcast(dup_set.withColumn("_dup", F.lit(1))), "para", "left"
+    )
+    rebuilt = marked.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("n_paras"),
+        F.sum(F.coalesce(F.col("_dup"), F.lit(0))).cast("long").alias("n_removed"),
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.when(F.col("_dup").isNull(), F.struct("pidx", "para"))
+                    )
+                ),
+                lambda s: s["para"],
+            ),
+            " ",
+        ).alias("clean_text"),
+    )
+    return (
+        base.select("doc_id")
+        .join(rebuilt, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_paras", F.lit(0)).cast("long").alias("n_paras"),
+            F.coalesce("n_removed", F.lit(0)).cast("long").alias("n_removed"),
+            F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+        )
+    )
+
+
+def dedup_paragraphs_sql(
+    para_tokens: int = 3,
+    min_df: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> str:
+    """DuckDB twin of dedup_paragraphs over the ``documents`` view."""
+    W = int(para_tokens)
+    toks = duckdb_tokens_sql(text_col)
+    return f"""
+WITH ct AS (SELECT {id_col} AS doc_id, {toks} AS toks FROM documents),
+cn AS (SELECT doc_id, toks, len(toks) AS n FROM ct WHERE len(toks) > 0),
+px AS (
+  SELECT doc_id, toks,
+         unnest(generate_series(0, (n - 1) // {W})) AS pidx
+  FROM cn
+),
+para AS (
+  SELECT doc_id, pidx,
+         array_to_string(toks[pidx * {W} + 1 : pidx * {W} + {W}], ' ') AS para
+  FROM px
+),
+dup AS (
+  SELECT para FROM para GROUP BY para
+  HAVING count(DISTINCT doc_id) >= {min_df}
+),
+marked AS (
+  SELECT p.doc_id, p.pidx, p.para,
+         CASE WHEN d.para IS NOT NULL THEN 1 ELSE 0 END AS is_dup
+  FROM para p LEFT JOIN dup d USING (para)
+),
+rebuilt AS (
+  SELECT doc_id,
+         count(*)::BIGINT AS n_paras,
+         sum(is_dup)::BIGINT AS n_removed,
+         coalesce(string_agg(CASE WHEN is_dup = 0 THEN para END, ' ' ORDER BY pidx), '') AS clean_text
+  FROM marked GROUP BY doc_id
+)
+SELECT d.doc_id,
+       coalesce(r.n_paras, 0)::BIGINT AS n_paras,
+       coalesce(r.n_removed, 0)::BIGINT AS n_removed,
+       coalesce(r.clean_text, '') AS clean_text
+FROM (SELECT {id_col} AS doc_id FROM documents) d
+LEFT JOIN rebuilt r USING (doc_id)
+"""
