@@ -373,6 +373,47 @@ def main() -> int:
     )
     sections.append(s); problems += p
 
+    from librecatastro_spark.ops.dedup import dedup_paragraphs
+
+    s, p = audit(
+        "Paragraph-level dedup plan (r3)",
+        dedup_paragraphs(docs, para_tokens=3, min_df=2),
+        {"broadcast": True, "cartesian": False, "explode": True},
+        "Paragraph df counts are one map-side-combinable groupBy over the "
+        "exploded paragraphs; the duplicate SET (df >= min_df — a tiny "
+        "fraction of distinct paragraphs) is explicitly BROADCAST back, "
+        "so the removal pass is a broadcast-hash probe, not a "
+        "corpus-keyed equi-join on paragraph text; the rebuild is one "
+        "doc-keyed shuffle.",
+    )
+    sections.append(s); problems += p
+
+    from librecatastro_spark.ops.chunk import pack_sequences
+
+    s, p = audit(
+        "Sequence packing plan (r3)",
+        pack_sequences(docs, budget=200, n_buckets=8, text_col="text"),
+        {"window": True, "explode": False, "cartesian": False},
+        "Cumulative-token packing is BUCKET-PARALLEL: one shuffle on the "
+        "hash bucket, then a per-bucket running-sum Window ordered by "
+        "doc_id — no single global window serializing the corpus through "
+        "one partition, and no Generate (token counts come from size(), "
+        "never an exploded token table).",
+    )
+    sections.append(s); problems += p
+
+    from librecatastro_spark.ops.sampling import stratified_sample
+
+    s, p = audit(
+        "Stratified sampling plan (r3)",
+        stratified_sample(docs, {"py": 0.5, "md": 0.25}),
+        {"exchange": False, "codegen": True, "cartesian": False},
+        "The md5-bucket survival test is a pure scan-projection filter "
+        "(md5/conv/CASE are codegen intrinsics) — shuffle-free, "
+        "Python-free, deterministic at any parallelism.",
+    )
+    sections.append(s); problems += p
+
     # broadcast evidence: stage-2 stats join
     staged = spark.read.parquet(os.path.join(idx_dir, "_stage", "postings"))
     tstats = load_term_stats(spark, idx_dir)
