@@ -440,6 +440,42 @@ def _q_wand_match_phrase(spark, sf):
     )
 
 
+def _pos_index(spark, sf_dir: str):
+    """Positional twin of _index (index_options="positions"): the ES
+    mapping with positions enabled. Built once per sf_dir next to the
+    freqs index; powers the index-only phrase path
+    (match_phrase_positional — no source-table scan at query time)."""
+    import hashlib
+
+    src = f"{sf_dir}/documents.parquet"
+    mtime = int(os.path.getmtime(src)) if os.path.exists(src) else 0
+    key = hashlib.sha256(f"{sf_dir}:{mtime}:pos-v1".encode()).hexdigest()[:16]
+    out = os.path.join("/tmp", f"lc_posindex_{key}")
+    docs = _docs(spark, sf_dir).withColumn(
+        "content_sha256", F.sha2(F.col("text"), 256)
+    )
+    build_index(
+        spark, docs, out, id_col="doc_id", text_col="text",
+        attr_cols=("lang", "source", "n_chars", "content_sha256"), n_shards=8,
+        block_size=128, salt_threshold=5_000, n_salts=8, resume=True,
+        index_options="positions",
+    )
+    return CompressedIndex(spark, out)
+
+
+def _q_wand_match_phrase_pos(spark, sf):
+    # index-only phrase path: position-chain intersection over positional
+    # postings, NO source scan (engine/positions.py); same oracle as the
+    # verify-first path — the regex twin is exact for both by construction
+    return _pos_index(spark, sf).match_phrase_positional("scan merge", k=10)
+
+
+def _q_wand_match_phrase_pos_slop(spark, sf):
+    return _pos_index(spark, sf).match_phrase_positional(
+        "scan merge", k=10, slop=2
+    )
+
+
 def _q_keyword(spark, sf):
     return _engine(spark, sf).search("merge sort", k=10, filters={"source": "src3"})
 
@@ -1440,6 +1476,13 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                       source_text_col="text", slop=2),
         "bm25_match_phrase_slop": lambda spark, sf: _engine(spark, sf)
         .match_phrase("scan merge", k=10, slop=2),
+        # positional-postings phrase path (index_options="positions"):
+        # answered ENTIRELY from the index — position-chain intersection,
+        # no source-table scan (engine/positions.py). Same regex oracle
+        # as the verify-first twins: position adjacency over the analyzed
+        # token stream IS the anchored-regex predicate by construction.
+        "wand_match_phrase_pos": _q_wand_match_phrase_pos,
+        "wand_match_phrase_pos_slop": _q_wand_match_phrase_pos_slop,
         # ES match_phrase_prefix ("type-ahead phrase"): complete terms
         # adjacent, then a token starting with the last analyzed token;
         # scored on the complete terms only (documented divergence from
@@ -1692,6 +1735,12 @@ LIMIT 10""",
             "scan merge", k=10, require_all=True, phrase=True, phrase_slop=2
         ),
         "bm25_match_phrase_slop": _bm25_oracle(
+            "scan merge", k=10, require_all=True, phrase=True, phrase_slop=2
+        ),
+        "wand_match_phrase_pos": _bm25_oracle(
+            "scan merge", k=10, require_all=True, phrase=True
+        ),
+        "wand_match_phrase_pos_slop": _bm25_oracle(
             "scan merge", k=10, require_all=True, phrase=True, phrase_slop=2
         ),
         "wand_match_phrase_prefix": _bm25_oracle(

@@ -14,7 +14,8 @@ Prints exactly ONE JSON line:
    "queries": {name: sec, ...}, "sf": ...,
    "build_sec": ..., "build_gb_per_hr": ..., "query_p95_ms": ...,
    "fastpath_ms": {name: ms, ...}, "fastpath_p95_ms": ...,
-   "dsl_ms": {name: ms, ...},
+   "dsl_ms": {name: ms, ...}, "curation_ms": {name: ms, ...},
+   "pos_ms": {name: ms, ...}, "pos_build_sec": ...,
    "corpus_docs": ..., "corpus_gb": ..., "cores": ..., "results_sha": ...}
 
 The distributed path (index.search) and the serving fast path
@@ -225,6 +226,74 @@ def main() -> None:
                 times.append(time.time() - t)
             dsl_ms[name] = round(statistics.mean(times) * 1000, 2)
 
+    # ---- positional postings (index_options="positions") ----------------
+    # A second index with positions enabled: its build overhead vs the
+    # freqs build is reported (pos_build_sec), and the phrase queries run
+    # INDEX-ONLY (no source scan — the 100 TB phrase story). Rank-identity
+    # with the verify-first path is asserted before timing. Same BENCH_DSL
+    # gate: scaling reps keep the committed composition.
+    pos_ms: dict[str, float] = {}
+    pos_build_sec = 0.0
+    if os.environ.get("BENCH_DSL", "1") != "0":
+        spark.conf.set("spark.sql.files.maxPartitionBytes", str(split))
+        t0 = time.time()
+        pos_dir = os.path.join(work, "posindex")
+        build_index(
+            spark, docs, pos_dir, id_col="doc_id", text_col="content",
+            attr_cols=("lang", "repo", "path", "content_sha256"),
+            n_shards=N_SHARDS, block_size=128, salt_threshold=20_000,
+            n_salts=8, shards_per_job=N_SHARDS, resume=False,
+            index_options="positions",
+        )
+        pos_build_sec = round(time.time() - t0, 3)
+        spark.conf.set("spark.sql.files.maxPartitionBytes", str(128 << 20))
+        pindex = CompressedIndex(spark, pos_dir)
+        pos_queries = {
+            # same phrases as q_phrase / q_phrase_sel above, index-only
+            "q_phrase_pos": lambda: pindex.match_phrase_positional(
+                "def return", k=10
+            ),
+            "q_phrase_pos_sel": lambda: pindex.match_phrase_positional(
+                "id0042 merge", k=10
+            ),
+        }
+        for name, run_q in pos_queries.items():
+            rows = run_q().collect()
+            assert rows, f"positional bench query returned no rows: {name}"
+            times = []
+            for _ in range(runs):
+                t = time.time()
+                run_q().collect()
+                times.append(time.time() - t)
+            pos_ms[name] = round(statistics.mean(times) * 1000, 2)
+        # rank-identity vs the verify-first path (source-scan based)
+        for text in ("def return", "id0042 merge"):
+            vf = [
+                (r["doc_id"], r["score"])
+                for r in index.match_phrase(text, docs, k=10).collect()
+            ]
+            po = [
+                (r["doc_id"], r["score"])
+                for r in pindex.match_phrase_positional(text, k=10).collect()
+            ]
+            assert po == vf, f"positional phrase diverged: {text}"
+            lo = pindex.match_phrase_local(text, k=10)
+            assert [
+                (int(r.doc_id), float(r.score)) for r in lo.itertuples()
+            ] == vf, f"positional fast path diverged: {text}"
+        # serving fast path for phrases (driver-side, no Spark job)
+        for name, text in (
+            ("q_phrase_pos_local", "def return"),
+            ("q_phrase_pos_sel_local", "id0042 merge"),
+        ):
+            pindex.match_phrase_local(text, k=10)  # warm
+            times = []
+            for _ in range(runs):
+                t = time.time()
+                pindex.match_phrase_local(text, k=10)
+                times.append(time.time() - t)
+            pos_ms[name] = round(statistics.mean(times) * 1000, 2)
+
     # full-corpus curation passes (the training-data-pipeline ops added
     # in round 3) — each is one scan over the whole corpus, timed cold
     # then averaged over 2 warm runs; same BENCH_DSL gate as above
@@ -268,6 +337,8 @@ def main() -> None:
         "fastpath_p95_ms": round(fp_p95, 2),
         "dsl_ms": dsl_ms,
         "curation_ms": curation_ms,
+        "pos_ms": pos_ms,
+        "pos_build_sec": pos_build_sec,
         "corpus_docs": n_docs,
         "corpus_gb": round(input_bytes / 1e9, 3),
         "cores": cores,

@@ -789,6 +789,109 @@ class CompressedIndex:
             ranked = ranked.offset(offset)
         return ranked.limit(k)
 
+    def match_phrase_positional(
+        self,
+        text: str,
+        k: int = 10,
+        offset: int = 0,
+        slop: int = 0,
+    ) -> DataFrame:
+        """ES match_phrase answered ENTIRELY from the index — requires an
+        index built with ``index_options="positions"``. Identical
+        semantics, scoring contract and rank to ``match_phrase`` (the
+        verify-first path; rank-identity-tested), but the source table is
+        never touched: phrase membership is decided by position-chain
+        intersection over the terms' position streams
+        (engine/positions.py), so the query's data volume is O(phrase
+        terms' postings) regardless of corpus size — at 100 TB the
+        verify-first path's pruned source scan is still corpus-shaped for
+        hot phrases, while this path reads exactly what a keyword AND
+        reads plus the position bytes. Intersection-aware decode prunes
+        hot terms' blocks against the rarest term's candidates before
+        any varbyte work.
+
+        Plan: postings scan pruned to the phrase terms (In filter +
+        doc-window BETWEEN from block metadata, as match_phrase) →
+        per-shard grouped map (verify + BM25 require_all top-k in one
+        decode pass) → global rounded (score DESC, doc_id ASC) merge.
+        """
+        if self.meta.index_options != "positions":
+            raise ValueError(
+                "match_phrase_positional needs index_options='positions' "
+                f"(index has {self.meta.index_options!r}); use match_phrase"
+            )
+        seq = analyze_text(text)
+        if not seq:
+            raise ValueError("phrase analyzes to zero terms")
+        terms = sorted(set(seq))
+        idfs = self._idfs(terms)
+        if len(idfs) < len(terms):
+            return self.spark.createDataFrame([], _RESULT_SCHEMA)
+        blocks = self.postings.where(F.col("term").isin(terms))
+        spans = blocks.groupBy("term").agg(
+            F.min("first_doc_id").alias("lo"), F.max("last_doc_id").alias("hi")
+        ).collect()
+        if len(spans) < len(terms):
+            return self.spark.createDataFrame([], _RESULT_SCHEMA)
+        lo = max(int(r["lo"]) for r in spans)
+        hi = min(int(r["hi"]) for r in spans)
+        if lo > hi:
+            return self.spark.createDataFrame([], _RESULT_SCHEMA)
+        blocks = blocks.where(
+            (F.col("last_doc_id") >= lo) & (F.col("first_doc_id") <= hi)
+        )
+        from .positions import phrase_topk_fn
+
+        fn = phrase_topk_fn(seq, idfs, self.meta.avgdl, k + offset, slop)
+        partial = blocks.groupBy("shard").applyInPandas(
+            lambda key, bl: fn(bl), schema=_RESULT_SCHEMA
+        )
+        ranked = partial.withColumn(
+            "score", F.round("score", ROUND_DECIMALS)
+        ).orderBy(F.desc("score"), F.asc("doc_id"))
+        if offset:
+            ranked = ranked.offset(offset)
+        return ranked.limit(k)
+
+    def match_phrase_local(
+        self,
+        text: str,
+        k: int = 10,
+        offset: int = 0,
+        slop: int = 0,
+    ) -> pd.DataFrame:
+        """Coordinator fast path for ``match_phrase_positional`` — the
+        same kernel (engine/positions.py) over a term-dictionary-seek
+        pyarrow read of the phrase terms' posting+position blocks, run
+        once whole-index on the driver (the phrase scorer has no θ
+        pruning, so the shard split cannot change results;
+        rank-identity with the distributed path is tested). This is the
+        serving-latency story for phrase queries: ms-latency off the
+        same index, no Spark job, no source scan."""
+        if self.meta.index_options != "positions":
+            raise ValueError(
+                "match_phrase_local needs index_options='positions'"
+            )
+        seq = analyze_text(text)
+        if not seq:
+            raise ValueError("phrase analyzes to zero terms")
+        terms = sorted(set(seq))
+        idfs = self._idfs(terms)
+        if len(idfs) < len(terms):
+            return _empty()
+        blocks = self._seek_blocks(terms, extra_cols=("pos_enc",))
+        if len(blocks) == 0:
+            return _empty()
+        from .positions import phrase_topk_fn
+
+        fn = phrase_topk_fn(seq, idfs, self.meta.avgdl, k + offset, slop)
+        out = fn(blocks)
+        out["score"] = out["score"].round(ROUND_DECIMALS)
+        out = out.sort_values(
+            ["score", "doc_id"], ascending=[False, True], kind="mergesort"
+        ).iloc[offset : offset + k]
+        return out.reset_index(drop=True)
+
     _SEEK_COLS = (
         "term", "n_docs", "docs_enc", "tfs_enc", "dls_enc",
         "block_max_w", "idf_build", "first_doc_id", "last_doc_id",
@@ -815,7 +918,9 @@ class CompressedIndex:
             self._pool_size = want
         return ex
 
-    def _seek_blocks(self, wanted: list[str]) -> pd.DataFrame:
+    def _seek_blocks(
+        self, wanted: list[str], extra_cols: tuple[str, ...] = ()
+    ) -> pd.DataFrame:
         """Coordinator term-dictionary seek: posting files are term-sorted
         (builder sorts ("shard", "term", ...) into the partitioned write),
         so each file's row-group term min/max forms two ascending lists and
@@ -876,7 +981,7 @@ class CompressedIndex:
                     handles.append((path, n_rgs, shard, mins, maxs))
             self._seek_handles = handles
         value_set = pa.array(sorted(set(wanted)), pa.string())
-        cols = list(self._SEEK_COLS)
+        cols = list(self._SEEK_COLS) + list(extra_cols)
 
         def read_one(handle):
             path, n_rgs, shard, mins, maxs = handle

@@ -30,9 +30,11 @@ Layout under ``out_dir``::
                                   build = delta=0, appends add one delta
                                   per batch, merged on read / compacted)
     _stage/postings/shard=S/…     doc_id, term, tf, dl
+                                  [+ pos_enc when index_options=positions]
     postings/shard=S/…            term, salt, block_seq, n_docs,
                                   first_doc_id, last_doc_id,
-                                  docs_enc, tfs_enc, block_max_w
+                                  docs_enc, tfs_enc, block_max_w,
+                                  pos_enc (null unless positions)
     _manifest/*.json              one lineage record per completed unit
 """
 
@@ -56,7 +58,7 @@ from .codec import encode_blocks_bulk
 BLOCK_SCHEMA = (
     "shard int, term string, salt int, block_seq int, n_docs int, "
     "first_doc_id long, last_doc_id long, docs_enc binary, tfs_enc binary, "
-    "dls_enc binary, block_max_w double, idf_build double"
+    "dls_enc binary, block_max_w double, idf_build double, pos_enc binary"
 )
 
 
@@ -71,6 +73,9 @@ class IndexMeta:
     attr_cols: list[str]
     n_buckets: int = 128
     version: int = 1
+    # "freqs" = docs+tf+norms (the default); "positions" additionally
+    # stores per-occurrence token positions (ES index_options analog)
+    index_options: str = "freqs"
 
 
 # ------------------------------------------------------------- manifest --
@@ -231,11 +236,13 @@ def assign_term_ids(tstats: DataFrame, n_buckets: int = 256) -> DataFrame:
 BLOCK_SCHEMA_TID = (
     "shard int, tbucket int, tid long, salt int, block_seq int, n_docs int, "
     "first_doc_id long, last_doc_id long, docs_enc binary, tfs_enc binary, "
-    "dls_enc binary, block_max_w double, idf_build double"
+    "dls_enc binary, block_max_w double, idf_build double, pos_enc binary"
 )
 
 
-def _bucket_builder(block_size: int, n_docs: float, avgdl: float):
+def _bucket_builder(
+    block_size: int, n_docs: float, avgdl: float, positions: bool = False
+):
     """Grouped-map fn over one (shard, tbucket) group — a hash bucket of
     MANY (tid, salt) posting runs. Bucket-coarsened grouping (~hundreds of
     groups, not one per term) amortizes the per-group Arrow exchange
@@ -260,7 +267,7 @@ def _bucket_builder(block_size: int, n_docs: float, avgdl: float):
                 columns=[
                     "shard", "tbucket", "tid", "salt", "block_seq", "n_docs",
                     "first_doc_id", "last_doc_id", "docs_enc", "tfs_enc",
-                    "dls_enc", "block_max_w", "idf_build",
+                    "dls_enc", "block_max_w", "idf_build", "pos_enc",
                 ]
             )
         tids = pdf["tid"].to_numpy(np.int64)
@@ -301,6 +308,25 @@ def _bucket_builder(block_size: int, n_docs: float, avgdl: float):
         )
         run_idx = blk["run_idx"]
         nb = len(run_idx)
+        if positions:
+            # per-row position streams were encoded in stage 1 (one bulk
+            # varbyte per batch, codec.encode_positions_bulk); a block's
+            # stream is the CONCATENATION of its rows' buffers, so the
+            # block column is built with one bytes-join over the whole
+            # bucket plus byte-offset slicing at block boundaries — the
+            # only per-object work is len() over already-materialized
+            # bytes (no decode, no re-encode).
+            pe = pdf["pos_enc"].to_numpy(dtype=object)[order]
+            lens = np.fromiter((len(x) for x in pe), dtype=np.int64, count=n)
+            joined = b"".join(pe)
+            bends = np.cumsum(lens)
+            bstarts = bends - lens
+            bs, be = blk["blk_starts"], blk["blk_ends"]
+            pos_col = [
+                joined[bstarts[s] : bends[e - 1]] for s, e in zip(bs, be)
+            ]
+        else:
+            pos_col = [None] * nb
         return pd.DataFrame(
             {
                 "shard": np.full(nb, shard, dtype=np.int32),
@@ -319,6 +345,7 @@ def _bucket_builder(block_size: int, n_docs: float, avgdl: float):
                 # the query-time scorer rescales the bound by
                 # idf_now / idf_build to keep pruning safe (wand.py).
                 "idf_build": idfs[starts[run_idx]],
+                "pos_enc": pos_col,
             }
         )
 
@@ -339,10 +366,19 @@ def build_index(
     shards_per_job: int = 4,
     n_buckets: int = 128,
     resume: bool = True,
+    index_options: str = "freqs",
 ) -> IndexMeta:
     """Build (or resume building) the index at out_dir. Idempotent: a
     completed out_dir is a no-op; a partially built one finishes only the
-    missing units."""
+    missing units.
+
+    ``index_options="positions"`` (the ES/Lucene mapping option) stores
+    per-occurrence token positions next to every posting block (delta +
+    varbyte, aligned with the block's doc/tf streams), enabling phrase
+    queries answered ENTIRELY from the index — no source-table scan at
+    query time (engine.wand.CompressedIndex.match_phrase_positional). The
+    default ("freqs") build is byte-identical to before the option
+    existed apart from an all-null pos_enc column."""
     # the build wants AQE (coalesced shuffles) regardless of what an open
     # CompressedIndex turned off for query latency in this session — set it
     # for the build's duration and restore the caller's value after
@@ -352,7 +388,7 @@ def build_index(
         return _build_index(
             spark, docs, out_dir, id_col, text_col, attr_cols, n_shards,
             block_size, salt_threshold, n_salts, shards_per_job, n_buckets,
-            resume,
+            resume, index_options,
         )
     finally:
         spark.conf.set("spark.sql.adaptive.enabled", prev_aqe)
@@ -372,7 +408,10 @@ def _build_index(
     shards_per_job: int,
     n_buckets: int,
     resume: bool,
+    index_options: str,
 ) -> IndexMeta:
+    if index_options not in ("freqs", "positions"):
+        raise ValueError("index_options must be 'freqs' or 'positions'")
     attr_cols = list(attr_cols)
     os.makedirs(out_dir, exist_ok=True)
     done = manifest_records(out_dir) if resume else {}
@@ -414,9 +453,10 @@ def _build_index(
         # durable stage checkpoint everything downstream re-reads.
         docs_tok, restore_conf = _widen_for_tokenize(spark, docs, id_col)
         try:
-            staged = term_freqs_arrow(docs_tok, id_col, text_col).withColumn(
-                "shard", shard_expr
-            )
+            staged = term_freqs_arrow(
+                docs_tok, id_col, text_col,
+                positions=(index_options == "positions"),
+            ).withColumn("shard", shard_expr)
             with _small_arrow_batches(spark):
                 staged.write.mode("overwrite").partitionBy("shard").parquet(
                     os.path.join(out_dir, "_stage", "postings")
@@ -452,6 +492,7 @@ def _build_index(
             n_salts=n_salts,
             attr_cols=attr_cols,
             n_buckets=n_buckets,
+            index_options=index_options,
         )
         with open(os.path.join(out_dir, "meta.json"), "w") as fh:
             json.dump(asdict(meta), fh)
@@ -530,15 +571,19 @@ def _build_index(
             # already satisfied, so the plan still has ONE shuffle — and AQE
             # never coalesces a user-specified partition count back up into the
             # spill regime. 48 B ≈ unsafe-row width of the six numeric columns.
+            row_w = 48 if meta.index_options != "positions" else 64
             rows_job = staged_rows * len(shards) / max(1, meta.n_shards)
             n_parts = max(
                 2 * spark.sparkContext.defaultParallelism,
-                math.ceil(rows_job * 48 / (96 << 20)),
+                math.ceil(rows_job * row_w / (96 << 20)),
             )
             blocks_tid = part.repartition(
                 n_parts, "shard", "tbucket"
             ).groupBy("shard", "tbucket").applyInPandas(
-                _bucket_builder(meta.block_size, float(meta.n_docs), meta.avgdl),
+                _bucket_builder(
+                    meta.block_size, float(meta.n_docs), meta.avgdl,
+                    positions=(meta.index_options == "positions"),
+                ),
                 schema=BLOCK_SCHEMA_TID,
             )
             # re-attach term strings JVM-side at BLOCK granularity (~1% of the

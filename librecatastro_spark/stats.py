@@ -25,6 +25,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from .analyzer import TOKEN_SPLIT_RE, tokenize_expr
+from .index.codec import encode_positions_bulk
 
 
 @dataclass(frozen=True)
@@ -62,7 +63,10 @@ def term_freqs(docs: DataFrame, id_col: str = "doc_id", text_col: str = "content
 
 
 def term_freqs_arrow(
-    docs: DataFrame, id_col: str = "doc_id", text_col: str = "content"
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "content",
+    positions: bool = False,
 ) -> DataFrame:
     """(doc_id, term, tf, dl) via ONE fused Arrow pass — the builder's hot
     path. Semantically identical to term_freqs (equality-tested), but:
@@ -89,6 +93,15 @@ def term_freqs_arrow(
         np.bincount over the doc×vocab key space was A/B-measured
         strictly worse at every batch shape (32 concurrent
         multi-hundred-MB zero+scan loops saturate memory bandwidth).
+
+    ``positions=True`` (the ES/Lucene ``index_options: positions`` analog)
+    additionally emits ``pos_enc``: the occurrence positions (token index
+    within the document, ascending) of each (doc, term) row, delta+varbyte
+    encoded per row by ``codec.encode_positions_bulk`` — one bulk encode
+    per batch, no per-token Python. The only kernel change is a STABLE
+    argsort in place of the plain key sort (keeps occurrences in document
+    order within each run) plus one arange-minus-offset pass; the default
+    path is byte-identical to before.
     """
     cols = docs.select(
         F.col(id_col).cast("long").alias("doc_id"), F.col(text_col).alias("_text")
@@ -130,7 +143,18 @@ def term_freqs_arrow(
                 )
             else:
                 key = par.astype(np.int64) * v + codes.astype(np.int64)
-            sk = np.sort(key)
+            spos = None
+            if positions:
+                # stable argsort keeps each (doc, term) run's occurrences
+                # in document order == ascending token position
+                order = np.argsort(key, kind="stable")
+                sk = key[order]
+                doc_off = np.cumsum(dl) - dl  # first token index per doc
+                spos = (
+                    np.arange(len(par), dtype=np.int64) - doc_off[par]
+                )[order]
+            else:
+                sk = np.sort(key)
             ch = np.empty(len(sk), dtype=bool)
             ch[0] = True
             ch[1:] = sk[1:] != sk[:-1]
@@ -140,17 +164,24 @@ def term_freqs_arrow(
             d = uk // v
             ids = rb.column(0).to_numpy(zero_copy_only=False)
             term = uniq.take(pa.array(uk % v, type=pa.int64()))
-            yield pa.RecordBatch.from_arrays(
-                [
-                    pa.array(ids[d], type=pa.int64()),
-                    pc.cast(term, pa.string()),
-                    pa.array(tf),
-                    pa.array(dl[d], type=pa.int64()),
-                ],
-                names=["doc_id", "term", "tf", "dl"],
-            )
+            arrays = [
+                pa.array(ids[d], type=pa.int64()),
+                pc.cast(term, pa.string()),
+                pa.array(tf),
+                pa.array(dl[d], type=pa.int64()),
+            ]
+            names = ["doc_id", "term", "tf", "dl"]
+            if positions:
+                arrays.append(
+                    pa.array(encode_positions_bulk(spos, st), type=pa.binary())
+                )
+                names.append("pos_enc")
+            yield pa.RecordBatch.from_arrays(arrays, names=names)
 
-    return cols.mapInArrow(gen, schema="doc_id long, term string, tf long, dl long")
+    schema = "doc_id long, term string, tf long, dl long"
+    if positions:
+        schema += ", pos_enc binary"
+    return cols.mapInArrow(gen, schema=schema)
 
 
 def doc_lengths(postings: DataFrame) -> DataFrame:

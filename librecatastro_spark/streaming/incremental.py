@@ -39,6 +39,7 @@ which is what ES's refresh gives (B15).
 
 from __future__ import annotations
 
+import dataclasses
 import json
 import os
 import shutil
@@ -239,9 +240,10 @@ def _append_batch(
     # the boundary shift is handled by rebuilding every TOUCHED shard below
     # (staged rows keep their original shard; doc_ids are absolute; a doc's
     # attrs and postings use the SAME shard expression, so they agree).
-    staged_new = term_freqs_arrow(fresh, "doc_id", text_col).withColumn(
-        "shard", shard_expr
-    ).cache()
+    staged_new = term_freqs_arrow(
+        fresh, "doc_id", text_col,
+        positions=(meta.index_options == "positions"),
+    ).withColumn("shard", shard_expr).cache()
     # small Arrow batches scoped to the tokenize pass — the same
     # allocation-churn mitigation as the batch build (builder.py:
     # _small_arrow_batches); the collect() materializes the cache here, so
@@ -306,18 +308,17 @@ def _append_batch(
         spark.read.parquet(*stats_delta_dirs(out_dir))
         .agg(F.sum("cf")).collect()[0][0]
     )
-    meta = IndexMeta(
+    # replace() so every other field (index_options, version, …) survives
+    # the append verbatim — reconstructing the dataclass field-by-field
+    # silently reset new fields to their defaults (caught by
+    # tests/test_positions.py::test_append_preserves_positions)
+    meta = dataclasses.replace(
+        meta,
         n_docs=new_n_docs,
         avgdl=float(total_tokens or 0) / new_n_docs if new_n_docs else 0.0,
-        n_shards=meta.n_shards,
-        block_size=meta.block_size,
-        salt_threshold=meta.salt_threshold,
-        n_salts=meta.n_salts,
-        attr_cols=meta.attr_cols,
-        n_buckets=meta.n_buckets,
     )
     with open(os.path.join(out_dir, "meta.json"), "w") as fh:
-        json.dump(meta.__dict__, fh)
+        json.dump(dataclasses.asdict(meta), fh)
     _crash_hook(_fail_after, "meta")
 
     # rebuild blocks for touched shards only (idf changed globally, but
@@ -392,7 +393,10 @@ def _rebuild_shards(
         F.pmod(F.xxhash64("tid", "salt"), F.lit(meta.n_buckets)).cast("int"),
     )
     blocks = part.groupBy("shard", "tbucket").applyInPandas(
-        _bucket_builder(meta.block_size, float(meta.n_docs), meta.avgdl),
+        _bucket_builder(
+            meta.block_size, float(meta.n_docs), meta.avgdl,
+            positions=(meta.index_options == "positions"),
+        ),
         schema=BLOCK_SCHEMA_TID,
     ).join(tids.select("tid", "term"), "tid").drop("tid", "tbucket")
     for s in touched:

@@ -46,6 +46,8 @@ CHECKS = {
     "pushed_startswith": "StartsWith",
     "window": "Window",
     "explode": "Generate",
+    "arrow_eval": "ArrowEvalPython",
+    "grouped_map": "FlatMapGroupsInPandas",
 }
 
 
@@ -149,6 +151,33 @@ def main() -> int:
         "every intermediate O(phrase matches), merge via "
         "TakeOrderedAndProject. The window also prunes the postings "
         "scan (first/last_doc_id footer stats). No cartesian.",
+    )
+    sections.append(s); problems += p
+
+    pos_dir = os.path.join(work, "posindex")
+    build_index(
+        spark, docs, pos_dir, id_col="doc_id", text_col="text",
+        attr_cols=("lang", "source"), n_shards=4, shards_per_job=4,
+        salt_threshold=10_000, n_salts=4, resume=False,
+        index_options="positions",
+    )
+    pindex = CompressedIndex(spark, pos_dir)
+    s, p = audit(
+        "match_phrase_positional index-only plan (r3 positional postings)",
+        pindex.match_phrase_positional("the scan", k=10),
+        {
+            "pushed_filter": True, "take_ordered": True, "cartesian": False,
+            "arrow_eval": False, "grouped_map": True,
+        },
+        "Index-only phrase: the ONLY relation in the plan is the postings "
+        "scan (In(term) + doc-window BETWEEN pushed to Parquet footer "
+        "stats); NO ArrowEvalPython means the source table is never "
+        "scanned — phrase verify + BM25 scoring happen inside the one "
+        "per-shard grouped map (FlatMapGroupsInPandas) over decoded "
+        "position streams, and the merge is TakeOrderedAndProject. The "
+        "query's data volume is O(phrase terms' postings) at any corpus "
+        "size — the property the verify-first path cannot give on hot "
+        "phrases.",
     )
     sections.append(s); problems += p
 
