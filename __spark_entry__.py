@@ -207,6 +207,8 @@ def _bm25_oracle(
     min_match: int | None = None,
     phrase_slop: int = 0,
     phrase_prefix: str | None = None,
+    exists_cols: list[str] | None = None,
+    ids: list[int] | None = None,
 ) -> str:
     terms = sorted(set(analyze_text(text)))
     should_terms = [
@@ -236,6 +238,12 @@ def _bm25_oracle(
             doc_conds.append(f"{col} >= {lo!r}")
         if hi is not None:
             doc_conds.append(f"{col} <= {hi!r}")
+    for col in exists_cols or []:
+        doc_conds.append(f"{col} IS NOT NULL")
+    if ids is not None:
+        doc_conds.append(
+            "doc_id IN (" + ", ".join(str(int(i)) for i in ids) + ")"
+        )
     if doc_conds:
         conds.append(
             "doc_id IN (SELECT doc_id FROM documents WHERE " + " AND ".join(doc_conds) + ")"
@@ -474,6 +482,85 @@ def _q_wand_match_phrase_pos_slop(spark, sf):
     return _pos_index(spark, sf).match_phrase_positional(
         "scan merge", k=10, slop=2
     )
+
+
+def _scored_raw_cte(text: str) -> str:
+    """CTE computing RAW (unrounded) BM25 sums for the OR match — the
+    shared base of the compound-score oracles (one final round, see
+    engine/score_queries.py rounding protocol)."""
+    terms = _sql_terms(text)
+    w = bm25_sql("tf.tf", "dfq.df", "dl.dl", "g.n", "g.avgdl")
+    return f"""
+dfq AS (SELECT term, count(*)::DOUBLE AS df FROM tf WHERE term IN ({terms}) GROUP BY 1),
+scored AS (
+  SELECT tf.doc_id, sum({w}) AS raw
+  FROM tf JOIN dfq USING (term) JOIN dl USING (doc_id) CROSS JOIN g
+  WHERE tf.term IN ({terms})
+  GROUP BY tf.doc_id
+)"""
+
+
+def _function_score_oracle(
+    text: str, field: str, modifier: str, factor: float, boost_mode: str,
+    k: int = 10,
+) -> str:
+    from librecatastro_spark.engine.fscore import combine_sql, field_factor_sql
+
+    fac = field_factor_sql(f"d.{field}", modifier, factor)
+    comb = combine_sql("s.raw", fac, boost_mode)
+    return f"""
+WITH {_TOKS_CTE},
+{_scored_raw_cte(text)[1:]}
+SELECT s.doc_id, round({comb}, {ROUND_DECIMALS}) AS score
+FROM scored s JOIN documents d USING (doc_id)
+ORDER BY score DESC, doc_id ASC
+LIMIT {k}"""
+
+
+def _dis_max_oracle(texts: list[str], tie_breaker: float, k: int = 10) -> str:
+    clause_ctes, selects = [], []
+    for i, t in enumerate(texts):
+        terms = _sql_terms(t)
+        clause_ctes.append(f"""
+dfq{i} AS (SELECT term, count(*)::DOUBLE AS df FROM tf WHERE term IN ({terms}) GROUP BY 1),
+c{i} AS (
+  SELECT tf.doc_id, sum({bm25_sql("tf.tf", f"dfq{i}.df", "dl.dl", "g.n", "g.avgdl")}) AS raw
+  FROM tf JOIN dfq{i} USING (term) JOIN dl USING (doc_id) CROSS JOIN g
+  WHERE tf.term IN ({terms})
+  GROUP BY tf.doc_id
+)""")
+        selects.append(f"SELECT doc_id, raw FROM c{i}")
+    u = " UNION ALL ".join(selects)
+    return f"""
+WITH {_TOKS_CTE},
+{",".join(clause_ctes)[1:]},
+u AS ({u}),
+m AS (SELECT doc_id, max(raw) AS mx, sum(raw) AS sm FROM u GROUP BY doc_id)
+SELECT doc_id,
+       round(mx + {float(tie_breaker)!r} * (sm - mx), {ROUND_DECIMALS}) AS score
+FROM m
+ORDER BY score DESC, doc_id ASC
+LIMIT {k}"""
+
+
+def _boosting_oracle(
+    positive: str, negative: str, negative_boost: float, k: int = 10
+) -> str:
+    neg_terms = _sql_terms(negative)
+    return f"""
+WITH {_TOKS_CTE},
+{_scored_raw_cte(positive)[1:]},
+neg AS (SELECT DISTINCT doc_id FROM toks WHERE term IN ({neg_terms}))
+SELECT s.doc_id,
+       round(s.raw * CASE WHEN n.doc_id IS NOT NULL
+                          THEN {float(negative_boost)!r} ELSE 1.0 END,
+             {ROUND_DECIMALS}) AS score
+FROM scored s LEFT JOIN neg n USING (doc_id)
+ORDER BY score DESC, doc_id ASC
+LIMIT {k}"""
+
+
+_CS_IDS = [3, 14, 159, 265, 358, 979, 323, 846, 264, 338, 327, 950]
 
 
 def _q_keyword(spark, sf):
@@ -1483,6 +1570,30 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # token stream IS the anchored-regex predicate by construction.
         "wand_match_phrase_pos": _q_wand_match_phrase_pos,
         "wand_match_phrase_pos_slop": _q_wand_match_phrase_pos_slop,
+        # ES compound scoring queries (engine/score_queries.py): transforms
+        # apply to RAW sums with ONE final round (cross-engine protocol)
+        "function_score_field": lambda spark, sf: _index(spark, sf)
+        .function_score("table query", "n_chars", k=10, modifier="log1p",
+                        factor=0.01, boost_mode="multiply"),
+        "bm25_function_score": lambda spark, sf: _engine(spark, sf)
+        .function_score("table query", "n_chars", k=10, modifier="log1p",
+                        factor=0.01, boost_mode="multiply"),
+        "dis_max_clauses": lambda spark, sf: _index(spark, sf)
+        .dis_max(["table query", "merge sort"], k=10, tie_breaker=0.3),
+        "bm25_dis_max": lambda spark, sf: _engine(spark, sf)
+        .dis_max(["table query", "merge sort"], k=10, tie_breaker=0.3),
+        "boosting_demote": lambda spark, sf: _index(spark, sf)
+        .boosting("table query", "merge", k=10, negative_boost=0.4),
+        "bm25_boosting": lambda spark, sf: _engine(spark, sf)
+        .boosting("table query", "merge", k=10, negative_boost=0.4),
+        # ES constant_score + ids query (In on the primary key)
+        "constant_score_ids": lambda spark, sf: _index(spark, sf)
+        .constant_score(k=20, boost=2.0, filters={"lang": "en"},
+                        ids=_CS_IDS),
+        # ES exists query as a search filter (IsNotNull pushed to the scan)
+        "exists_filter_search": lambda spark, sf: _index(spark, sf)
+        .search("table query", k=10, exists_cols=["source"],
+                filters={"lang": "en"}),
         # ES match_phrase_prefix ("type-ahead phrase"): complete terms
         # adjacent, then a token starting with the last analyzed token;
         # scored on the complete terms only (documented divergence from
@@ -1742,6 +1853,28 @@ LIMIT 10""",
         ),
         "wand_match_phrase_pos_slop": _bm25_oracle(
             "scan merge", k=10, require_all=True, phrase=True, phrase_slop=2
+        ),
+        "function_score_field": _function_score_oracle(
+            "table query", "n_chars", "log1p", 0.01, "multiply", k=10
+        ),
+        "bm25_function_score": _function_score_oracle(
+            "table query", "n_chars", "log1p", 0.01, "multiply", k=10
+        ),
+        "dis_max_clauses": _dis_max_oracle(
+            ["table query", "merge sort"], 0.3, k=10
+        ),
+        "bm25_dis_max": _dis_max_oracle(
+            ["table query", "merge sort"], 0.3, k=10
+        ),
+        "boosting_demote": _boosting_oracle("table query", "merge", 0.4, k=10),
+        "bm25_boosting": _boosting_oracle("table query", "merge", 0.4, k=10),
+        "constant_score_ids": f"""
+SELECT doc_id, 2.0::DOUBLE AS score FROM documents
+WHERE lang = 'en' AND doc_id IN ({", ".join(str(i) for i in _CS_IDS)})
+ORDER BY doc_id ASC LIMIT 20""",
+        "exists_filter_search": _bm25_oracle(
+            "table query", k=10, filters={"lang": "en"},
+            exists_cols=["source"],
         ),
         "wand_match_phrase_prefix": _bm25_oracle(
             "fast", k=10, require_all=True, phrase_prefix="s"

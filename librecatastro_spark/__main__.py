@@ -47,6 +47,10 @@ def main(argv: list[str] | None = None) -> int:
     b.add_argument("--block-size", type=int, default=128)
     b.add_argument("--salt-threshold", type=int, default=100_000)
     b.add_argument("--no-resume", action="store_true")
+    b.add_argument("--index-options", default="freqs",
+                   choices=("freqs", "positions"),
+                   help="'positions' stores per-occurrence token positions "
+                        "(index-only phrase queries)")
 
     s = sub.add_parser("search", help="top-k BM25 query against an index")
     s.add_argument("--index", required=True)
@@ -70,13 +74,47 @@ def main(argv: list[str] | None = None) -> int:
                    help="serve from the coordinator fast path "
                         "(search_local) instead of a cluster job")
 
-    p = sub.add_parser("phrase", help="match_phrase (slop 0) over the index")
+    p = sub.add_parser("phrase", help="match_phrase over the index")
     p.add_argument("--index", required=True)
-    p.add_argument("--input", required=True, help="source corpus (verify side)")
+    p.add_argument("--input", default=None,
+                   help="source corpus (verify side; not needed with "
+                        "--positional)")
     p.add_argument("--text", required=True)
     p.add_argument("--k", type=int, default=10)
+    p.add_argument("--slop", type=int, default=0)
     p.add_argument("--id-col", default="doc_id")
     p.add_argument("--text-col", default="text")
+    p.add_argument("--positional", action="store_true",
+                   help="answer from positional postings (index built with "
+                        "--index-options positions); no source scan")
+    p.add_argument("--fast", action="store_true",
+                   help="with --positional: serve from the coordinator "
+                        "fast path (no Spark job)")
+
+    fsq = sub.add_parser("fscore", help="function_score / field_value_factor")
+    fsq.add_argument("--index", required=True)
+    fsq.add_argument("--text", required=True)
+    fsq.add_argument("--field", required=True, help="numeric attr column")
+    fsq.add_argument("--modifier", default="log1p",
+                     choices=("none", "log1p", "sqrt"))
+    fsq.add_argument("--factor", type=float, default=1.0)
+    fsq.add_argument("--boost-mode", default="multiply",
+                     choices=("multiply", "sum"))
+    fsq.add_argument("--k", type=int, default=10)
+
+    dm = sub.add_parser("dismax", help="dis_max over match clauses")
+    dm.add_argument("--index", required=True)
+    dm.add_argument("--text", action="append", required=True,
+                    help="one clause per --text (repeatable)")
+    dm.add_argument("--tie-breaker", type=float, default=0.0)
+    dm.add_argument("--k", type=int, default=10)
+
+    bq = sub.add_parser("boosting", help="positive match, negative demotion")
+    bq.add_argument("--index", required=True)
+    bq.add_argument("--positive", required=True)
+    bq.add_argument("--negative", required=True)
+    bq.add_argument("--negative-boost", type=float, default=0.5)
+    bq.add_argument("--k", type=int, default=10)
 
     fz = sub.add_parser("fuzzy", help="fuzzy term query (edit-distance expansion)")
     fz.add_argument("--index", required=True)
@@ -164,6 +202,7 @@ def main(argv: list[str] | None = None) -> int:
             attr_cols=tuple(c for c in args.attr_cols.split(",") if c),
             n_shards=args.shards, block_size=args.block_size,
             salt_threshold=args.salt_threshold, resume=not args.no_resume,
+            index_options=args.index_options,
         )
         print(json.dumps({"n_docs": meta.n_docs, "avgdl": meta.avgdl,
                           "n_shards": meta.n_shards, "out": args.out}))
@@ -228,12 +267,57 @@ def main(argv: list[str] | None = None) -> int:
         from .engine.wand import CompressedIndex
 
         idx = CompressedIndex(spark, args.index)
-        docs = read_docs_table(spark, args.input)
-        rows = idx.match_phrase(
-            args.text, docs, k=args.k,
-            source_id_col=args.id_col, source_text_col=args.text_col,
-        ).collect()
+        if args.positional and args.fast:
+            pdf = idx.match_phrase_local(args.text, k=args.k, slop=args.slop)
+            for r in pdf.itertuples(index=False):
+                print(json.dumps({"doc_id": int(r.doc_id),
+                                  "score": float(r.score)}))
+            return 0
+        if args.positional:
+            rows = idx.match_phrase_positional(
+                args.text, k=args.k, slop=args.slop
+            ).collect()
+        else:
+            if not args.input:
+                raise SystemExit("phrase needs --input unless --positional")
+            docs = read_docs_table(spark, args.input)
+            rows = idx.match_phrase(
+                args.text, docs, k=args.k, slop=args.slop,
+                source_id_col=args.id_col, source_text_col=args.text_col,
+            ).collect()
         for r in rows:
+            print(json.dumps({"doc_id": r["doc_id"], "score": r["score"]}))
+        return 0
+
+    if args.cmd == "fscore":
+        from .engine.wand import CompressedIndex
+
+        idx = CompressedIndex(spark, args.index)
+        for r in idx.function_score(
+            args.text, args.field, k=args.k, modifier=args.modifier,
+            factor=args.factor, boost_mode=args.boost_mode,
+        ).collect():
+            print(json.dumps({"doc_id": r["doc_id"], "score": r["score"]}))
+        return 0
+
+    if args.cmd == "dismax":
+        from .engine.wand import CompressedIndex
+
+        idx = CompressedIndex(spark, args.index)
+        for r in idx.dis_max(
+            args.text, k=args.k, tie_breaker=args.tie_breaker
+        ).collect():
+            print(json.dumps({"doc_id": r["doc_id"], "score": r["score"]}))
+        return 0
+
+    if args.cmd == "boosting":
+        from .engine.wand import CompressedIndex
+
+        idx = CompressedIndex(spark, args.index)
+        for r in idx.boosting(
+            args.positive, args.negative, k=args.k,
+            negative_boost=args.negative_boost,
+        ).collect():
             print(json.dumps({"doc_id": r["doc_id"], "score": r["score"]}))
         return 0
 

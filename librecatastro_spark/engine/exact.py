@@ -94,11 +94,16 @@ class ExactBM25:
         filters: dict[str, str] | None,
         prefix: tuple[str, str] | None,
         ranges: dict[str, tuple] | None = None,
+        exists_cols: list[str] | None = None,
+        ids: list[int] | None = None,
     ) -> DataFrame | None:
         """Constant-score filter clauses → a doc_id set (semi-join side).
         ``ranges`` is the ES range query: {col: (lo, hi)}, bounds
-        inclusive, either side None for open-ended."""
-        if not filters and not prefix and not ranges:
+        inclusive, either side None for open-ended. ``exists_cols`` is the
+        ES exists query (field present = non-null); ``ids`` is the ES ids
+        query (explicit doc-id list — an In on the primary key, pushed to
+        the scan like every other filter)."""
+        if not filters and not prefix and not ranges and not exists_cols and ids is None:
             return None
         cond = F.lit(True)
         for col, val in (filters or {}).items():
@@ -115,6 +120,10 @@ class ExactBM25:
                 cond = cond & (F.col(col) >= F.lit(lo))
             if hi is not None:
                 cond = cond & (F.col(col) <= F.lit(hi))
+        for col in exists_cols or []:
+            cond = cond & F.col(col).isNotNull()
+        if ids is not None:
+            cond = cond & F.col("doc_id").isin([int(i) for i in ids])
         return self.attrs.where(cond).select("doc_id")
 
     def match_scores(
@@ -127,6 +136,8 @@ class ExactBM25:
         should_text: str | None = None,
         ranges: dict[str, tuple] | None = None,
         min_match: int | None = None,
+        exists_cols: list[str] | None = None,
+        ids: list[int] | None = None,
     ) -> DataFrame:
         """(doc_id, score) for every matching doc (unranked, unrounded).
 
@@ -181,7 +192,7 @@ class ExactBM25:
         elif should_terms:
             scored = scored.where(F.col("n_matched") >= F.lit(1))
         scored = scored.drop("n_matched")
-        doc_set = self._doc_filter(filters, prefix, ranges)
+        doc_set = self._doc_filter(filters, prefix, ranges, exists_cols, ids)
         if doc_set is not None:
             scored = scored.join(doc_set, "doc_id", "left_semi")
         if must_not_text:
@@ -468,6 +479,138 @@ class ExactBM25:
             frag_tokens=frag_tokens,
         )
         return hits.join(hl, "doc_id", "left").select("doc_id", "score", "snippet")
+
+    def function_score(
+        self,
+        text: str,
+        field: str,
+        k: int = 10,
+        modifier: str = "log1p",
+        factor: float = 1.0,
+        boost_mode: str = "multiply",
+        **kwargs,
+    ) -> DataFrame:
+        """ES function_score / field_value_factor analog: rescore the
+        match by a function of a numeric doc field (engine/fscore.py
+        freezes the modifier math + rounding protocol for every path).
+        Null field = 0.0 (ES ``missing`` pinned). The transform applies
+        to the RAW BM25 sum with ONE final rounding — rounding an
+        intermediate would create systematic half-boundary mismatches
+        between half-up (Spark/DuckDB) and half-even (numpy) rounders
+        (see engine/score_queries.py docstring)."""
+        from .fscore import _check, combine_expr, field_factor_expr
+
+        _check(modifier, boost_mode)
+        scored = self.match_scores(text, **kwargs)
+        fv = self.docs.select(
+            F.col(self.id_col).alias("doc_id"),
+            F.col(field).cast("double").alias("_fv"),
+        )
+        fac = field_factor_expr(F.col("_fv"), modifier, factor)
+        return (
+            scored.join(fv, "doc_id", "left")
+            .select(
+                "doc_id",
+                F.round(
+                    combine_expr(F.col("score"), fac, boost_mode),
+                    ROUND_DECIMALS,
+                ).alias("score"),
+            )
+            .orderBy(F.desc("score"), F.asc("doc_id"))
+            .limit(k)
+        )
+
+    def dis_max(
+        self, texts: list[str], k: int = 10, tie_breaker: float = 0.0
+    ) -> DataFrame:
+        """ES dis_max analog over match clauses on the analyzed field:
+        score = best clause + tie_breaker * (sum of the other clauses);
+        a doc matches if any clause does. Raw clause sums combine with
+        ONE final rounding (the cross-engine protocol — see
+        engine/score_queries.py)."""
+        if not texts:
+            raise ValueError("dis_max needs at least one clause")
+        parts = [self.match_scores(t) for t in texts]
+        u = parts[0]
+        for p in parts[1:]:
+            u = u.unionAll(p)
+        g = u.groupBy("doc_id").agg(
+            F.max("score").alias("_mx"), F.sum("score").alias("_sm")
+        )
+        return (
+            g.select(
+                "doc_id",
+                F.round(
+                    F.col("_mx")
+                    + F.lit(float(tie_breaker)) * (F.col("_sm") - F.col("_mx")),
+                    ROUND_DECIMALS,
+                ).alias("score"),
+            )
+            .orderBy(F.desc("score"), F.asc("doc_id"))
+            .limit(k)
+        )
+
+    def boosting(
+        self,
+        positive: str,
+        negative: str,
+        k: int = 10,
+        negative_boost: float = 0.5,
+    ) -> DataFrame:
+        """ES boosting query analog: positive match score, multiplied by
+        ``negative_boost`` for docs that also match the negative clause —
+        demotion, not the exclusion must_not gives. Raw positive sum ×
+        boost, ONE final rounding (see engine/score_queries.py — an
+        intermediate round would put every odd 4th decimal × 0.5 exactly
+        on the half-up/half-even boundary)."""
+        scored = self.match_scores(positive)
+        neg_terms = sorted(set(analyze_text(negative)))
+        neg = (
+            self.postings.where(F.col("term").isin(neg_terms))
+            .select("doc_id")
+            .distinct()
+            .withColumn("_neg", F.lit(True))
+        )
+        return (
+            scored.join(neg, "doc_id", "left")
+            .select(
+                "doc_id",
+                F.round(
+                    F.when(
+                        F.col("_neg").isNotNull(),
+                        F.col("score") * F.lit(float(negative_boost)),
+                    ).otherwise(F.col("score")),
+                    ROUND_DECIMALS,
+                ).alias("score"),
+            )
+            .orderBy(F.desc("score"), F.asc("doc_id"))
+            .limit(k)
+        )
+
+    def constant_score(
+        self,
+        k: int = 10,
+        boost: float = 1.0,
+        **filter_kwargs,
+    ) -> DataFrame:
+        """ES constant_score analog: every doc matching the filter
+        clauses scores ``boost`` — no BM25 at all (filters never
+        contribute score in ES either; this makes the wrapper explicit).
+        Deterministic doc_id ASC order."""
+        doc_set = self._doc_filter(
+            filter_kwargs.get("filters"),
+            filter_kwargs.get("prefix"),
+            filter_kwargs.get("ranges"),
+            filter_kwargs.get("exists_cols"),
+            filter_kwargs.get("ids"),
+        )
+        if doc_set is None:
+            doc_set = self.attrs.select("doc_id")
+        return (
+            doc_set.select("doc_id", F.lit(float(boost)).alias("score"))
+            .orderBy(F.asc("doc_id"))
+            .limit(k)
+        )
 
     def hits_total(self, text: str, **kwargs) -> int:
         """ES hits.total analog (B11) — exact count of the match set."""

@@ -498,8 +498,15 @@ class CompressedIndex:
         search_after: tuple[float, int] | None = None,
         ranges: dict[str, tuple] | None = None,
         min_match: int | None = None,
+        exists_cols: list[str] | None = None,
+        ids: list[int] | None = None,
     ) -> DataFrame:
         """Top-k BM25 (doc_id, score), score DESC / doc_id ASC.
+
+        ``exists_cols`` is the ES exists query (attr non-null);
+        ``ids`` the ES ids query (doc-id In list) — both evaluated in
+        Catalyst beside the other filters, pushed to the attrs scan
+        (IsNotNull / In reach Parquet row-group pruning).
 
         ``min_match`` is ES ``minimum_should_match`` on a match query: a
         doc qualifies only if it matches at least that many DISTINCT
@@ -542,14 +549,17 @@ class CompressedIndex:
         wanted = terms + should_terms + must_not_terms
         blocks = self.postings.where(F.col("term").isin(wanted))
         local_k = k + offset  # each shard must surface the whole window
+        has_filter = bool(
+            filters or prefix or ranges or exists_cols or ids is not None
+        )
         fn = _shard_topk_fn(
             terms, idfs, self.meta.avgdl, local_k,
-            bool(filters or prefix or ranges),
+            has_filter,
             must_not_terms, require_all, should_terms,
             dense_hint=int(self.meta.n_docs), cursor=search_after,
             min_match=min_match,
         )
-        if filters or prefix or ranges:
+        if has_filter:
             # filter clauses stay in Catalyst: the predicate reaches the
             # attrs Parquet scan (PushedFilters — equality and StartsWith
             # both push down), so the cogroup ships only the SURVIVING
@@ -570,6 +580,10 @@ class CompressedIndex:
                     cond = cond & (F.col(col) >= F.lit(lo))
                 if hi is not None:
                     cond = cond & (F.col(col) <= F.lit(hi))
+            for col in exists_cols or []:
+                cond = cond & F.col(col).isNotNull()
+            if ids is not None:
+                cond = cond & F.col("doc_id").isin([int(i) for i in ids])
             allowed = self.attrs.where(cond).select("shard", "doc_id")
             partial = (
                 blocks.groupBy("shard")
@@ -1145,6 +1159,8 @@ class CompressedIndex:
         search_after: tuple[float, int] | None = None,
         ranges: dict[str, tuple] | None = None,
         min_match: int | None = None,
+        exists_cols: list[str] | None = None,
+        ids: list[int] | None = None,
     ) -> pd.DataFrame:
         """Coordinator fast path: identical semantics and the SAME numpy
         kernel as ``search`` (rank-identity tested in test_fastpath), but
@@ -1184,7 +1200,10 @@ class CompressedIndex:
             )
         blocks = self._seek_blocks(wanted)
         attrs = None
-        if filters or prefix or ranges:
+        has_filter = bool(
+            filters or prefix or ranges or exists_cols or ids is not None
+        )
+        if has_filter:
             # predicates pushed into the pyarrow scan (row-group stats +
             # dictionary filtering), and only (shard, doc_id) is
             # materialized — the coordinator never holds the full attrs
@@ -1219,6 +1238,12 @@ class CompressedIndex:
                 if hi is not None:
                     e = pc.field(col) <= hi
                     expr = e if expr is None else expr & e
+            for col in exists_cols or []:
+                e = ~pc.field(col).is_null()
+                expr = e if expr is None else expr & e
+            if ids is not None:
+                e = pc.field("doc_id").isin([int(i) for i in ids])
+                expr = e if expr is None else expr & e
             cols = ["shard", "doc_id"]
             if prefix is not None:
                 cols.append(prefix[0])
@@ -1236,7 +1261,7 @@ class CompressedIndex:
             raise ValueError("offset and search_after are mutually exclusive")
         fn = _shard_topk_fn(
             terms, idfs, self.meta.avgdl, local_k,
-            bool(filters or prefix or ranges),
+            has_filter,
             must_not_terms, require_all, should_terms, decoder=decoder,
             dense_hint=int(self.meta.n_docs), cursor=search_after,
             min_match=min_match,
@@ -1254,11 +1279,7 @@ class CompressedIndex:
         # executors); rank-identity between the two is asserted in
         # bench.py and tests/test_fastpath.py.
         if decoder is not None:
-            parts = [
-                fn(blocks, attrs)
-                if (filters or prefix or ranges)
-                else fn(blocks)
-            ]
+            parts = [fn(blocks, attrs) if has_filter else fn(blocks)]
         else:
             # cache disabled: per-shard scoring on the pool (inline decode
             # is the dominant cost and releases the GIL in bulk ufuncs)
@@ -1266,7 +1287,7 @@ class CompressedIndex:
 
             def run_one(item):
                 shard, bl = item
-                if filters or prefix or ranges:
+                if has_filter:
                     return fn(bl, attrs[attrs["shard"] == shard])
                 return fn(bl)
 
@@ -1482,6 +1503,165 @@ class CompressedIndex:
             self.term_stats.where(cond)
             .select("term", F.col("df").cast("long").alias("df"))
             .orderBy(F.desc("df"), F.asc("term"))
+            .limit(k)
+        )
+
+    def function_score(
+        self,
+        text: str,
+        field: str,
+        k: int = 10,
+        modifier: str = "log1p",
+        factor: float = 1.0,
+        boost_mode: str = "multiply",
+    ) -> DataFrame:
+        """ES function_score / field_value_factor over the compressed
+        index: rescore the OR match by a function of a numeric attr
+        column (engine/fscore.py freezes the modifier math + rounding for
+        all paths; engine/score_queries.py has the kernel). Score
+        reshaping invalidates BM25 block-max pruning, so the kernel
+        decodes the query terms' postings fully — the AND-branch bill —
+        and the field values cogroup shard-locally (each shard ships only
+        its own (doc_id, field) rows). Rank-identical to
+        ExactBM25.function_score (tested)."""
+        from .fscore import _check
+        from .score_queries import function_score_fn
+
+        _check(modifier, boost_mode)
+        if field not in self.attrs.columns:
+            raise ValueError(f"index attrs lack column {field!r}")
+        terms = sorted(set(analyze_text(text)))
+        if not terms:
+            raise ValueError("query analyzes to zero terms")
+        idfs = self._idfs(terms)
+        terms = [t for t in terms if t in idfs]
+        if not terms:
+            return self.spark.createDataFrame([], _RESULT_SCHEMA)
+        blocks = self.postings.where(F.col("term").isin(terms))
+        fn = function_score_fn(
+            terms, idfs, self.meta.avgdl, k, modifier, factor, boost_mode
+        )
+        allowed = self.attrs.select(
+            "shard", "doc_id", F.col(field).cast("double").alias("_fv")
+        )
+        partial = (
+            blocks.groupBy("shard")
+            .cogroup(allowed.groupBy("shard"))
+            .applyInPandas(lambda bl, at: fn(bl, at), schema=_RESULT_SCHEMA)
+        )
+        return (
+            partial.withColumn("score", F.round("score", ROUND_DECIMALS))
+            .orderBy(F.desc("score"), F.asc("doc_id"))
+            .limit(k)
+        )
+
+    def dis_max(
+        self, texts: list[str], k: int = 10, tie_breaker: float = 0.0
+    ) -> DataFrame:
+        """ES dis_max over match clauses on the analyzed field: score =
+        best clause + tie_breaker * (sum of the others); membership = any
+        clause matches. One postings scan covers every clause's terms;
+        per-shard the kernel computes each clause's rounded sums and
+        combines — no pruning (max-combine invalidates the BM25 bound),
+        cost O(all clauses' postings). Rank-identical to
+        ExactBM25.dis_max (tested)."""
+        from .score_queries import dis_max_fn
+
+        if not texts:
+            raise ValueError("dis_max needs at least one clause")
+        clause_terms = [sorted(set(analyze_text(t))) for t in texts]
+        if any(not ct for ct in clause_terms):
+            raise ValueError("a dis_max clause analyzes to zero terms")
+        all_terms = sorted({t for ct in clause_terms for t in ct})
+        idfs = self._idfs(all_terms)
+        clause_terms = [[t for t in ct if t in idfs] for ct in clause_terms]
+        clause_terms = [ct for ct in clause_terms if ct]
+        if not clause_terms:
+            return self.spark.createDataFrame([], _RESULT_SCHEMA)
+        wanted = sorted({t for ct in clause_terms for t in ct})
+        blocks = self.postings.where(F.col("term").isin(wanted))
+        fn = dis_max_fn(
+            clause_terms, idfs, self.meta.avgdl, k, float(tie_breaker)
+        )
+        partial = blocks.groupBy("shard").applyInPandas(
+            lambda key, bl: fn(bl), schema=_RESULT_SCHEMA
+        )
+        return (
+            partial.withColumn("score", F.round("score", ROUND_DECIMALS))
+            .orderBy(F.desc("score"), F.asc("doc_id"))
+            .limit(k)
+        )
+
+    def boosting(
+        self,
+        positive: str,
+        negative: str,
+        k: int = 10,
+        negative_boost: float = 0.5,
+    ) -> DataFrame:
+        """ES boosting query: positive match scores, demoted (×
+        negative_boost) where the doc also matches the negative clause —
+        contrast with must_not, which excludes. One postings scan covers
+        both clauses; the negative side only needs doc ids. Rank-identical
+        to ExactBM25.boosting (tested)."""
+        from .score_queries import boosting_fn
+
+        pos_terms = sorted(set(analyze_text(positive)))
+        neg_terms = sorted(set(analyze_text(negative)))
+        if not pos_terms:
+            raise ValueError("positive clause analyzes to zero terms")
+        idfs = self._idfs(pos_terms + neg_terms)
+        pos_terms = [t for t in pos_terms if t in idfs]
+        neg_terms = [t for t in neg_terms if t in idfs]
+        if not pos_terms:
+            return self.spark.createDataFrame([], _RESULT_SCHEMA)
+        blocks = self.postings.where(
+            F.col("term").isin(pos_terms + neg_terms)
+        )
+        fn = boosting_fn(
+            pos_terms, neg_terms, idfs, self.meta.avgdl, k,
+            float(negative_boost),
+        )
+        partial = blocks.groupBy("shard").applyInPandas(
+            lambda key, bl: fn(bl), schema=_RESULT_SCHEMA
+        )
+        return (
+            partial.withColumn("score", F.round("score", ROUND_DECIMALS))
+            .orderBy(F.desc("score"), F.asc("doc_id"))
+            .limit(k)
+        )
+
+    def constant_score(
+        self, k: int = 10, boost: float = 1.0, **filter_kwargs
+    ) -> DataFrame:
+        """ES constant_score: every doc passing the filter clauses scores
+        ``boost`` — pure Catalyst over the attrs table (filters/prefix/
+        ranges/exists/ids pushed to the Parquet scan), postings never
+        touched. doc_id ASC, the constant-score contract every
+        filter-only path uses."""
+        cond = F.lit(True)
+        for col, val in (filter_kwargs.get("filters") or {}).items():
+            if isinstance(val, (list, tuple, set)):
+                cond = cond & F.col(col).isin(*sorted(val))
+            else:
+                cond = cond & (F.col(col) == F.lit(val))
+        prefix = filter_kwargs.get("prefix")
+        if prefix is not None:
+            cond = cond & F.col(prefix[0]).startswith(prefix[1])
+        for col, (lo, hi) in (filter_kwargs.get("ranges") or {}).items():
+            if lo is not None:
+                cond = cond & (F.col(col) >= F.lit(lo))
+            if hi is not None:
+                cond = cond & (F.col(col) <= F.lit(hi))
+        for col in filter_kwargs.get("exists_cols") or []:
+            cond = cond & F.col(col).isNotNull()
+        ids = filter_kwargs.get("ids")
+        if ids is not None:
+            cond = cond & F.col("doc_id").isin([int(i) for i in ids])
+        return (
+            self.attrs.where(cond)
+            .select("doc_id", F.lit(float(boost)).alias("score"))
+            .orderBy(F.asc("doc_id"))
             .limit(k)
         )
 

@@ -39,7 +39,7 @@ def cli_env(spark, tmp_path_factory):
         part.withColumn("content_sha256", F.sha2(F.col("text"), 256)).write.parquet(path)
     rc = main([
         "build", "--input", corpus, "--out", idx,
-        "--text-col", "text", "--attr-cols", "lang,source,content_sha256",
+        "--text-col", "text", "--attr-cols", "lang,source,n_chars,content_sha256",
         "--shards", "4",
     ])
     assert rc == 0
@@ -55,7 +55,7 @@ def test_cli_build_is_resumable_noop(cli_env, capsys):
     # second build over a completed out_dir: resume path, same meta
     rc = main([
         "build", "--input", cli_env["corpus"], "--out", cli_env["index"],
-        "--text-col", "text", "--attr-cols", "lang,source,content_sha256",
+        "--text-col", "text", "--attr-cols", "lang,source,n_chars,content_sha256",
         "--shards", "4",
     ])
     (out,) = _json_lines(capsys)[-1:]
@@ -211,3 +211,82 @@ def test_cli_range_and_facets(cli_env, capsys):
     with pytest.raises(SystemExit):
         main(["search", "--index", cli_env["index"], "--text", "x",
               "--range", "notaspec"])
+
+
+def test_cli_compound_score_queries(cli_env, spark, capsys):
+    """fscore / dismax / boosting subcommands agree with the library."""
+    from librecatastro_spark.engine.wand import CompressedIndex
+
+    idx = CompressedIndex(spark, cli_env["index"])
+    rc = main([
+        "fscore", "--index", cli_env["index"], "--text", "data model",
+        "--field", "n_chars", "--modifier", "log1p", "--factor", "0.01",
+        "--k", "5",
+    ])
+    got = [(r["doc_id"], r["score"]) for r in _json_lines(capsys)]
+    want = [
+        (r["doc_id"], r["score"])
+        for r in idx.function_score(
+            "data model", "n_chars", k=5, modifier="log1p", factor=0.01
+        ).collect()
+    ]
+    assert rc == 0 and got == want and got
+
+    rc = main([
+        "dismax", "--index", cli_env["index"], "--text", "data model",
+        "--text", "merge sort", "--tie-breaker", "0.3", "--k", "5",
+    ])
+    got = [(r["doc_id"], r["score"]) for r in _json_lines(capsys)]
+    want = [
+        (r["doc_id"], r["score"])
+        for r in idx.dis_max(
+            ["data model", "merge sort"], k=5, tie_breaker=0.3
+        ).collect()
+    ]
+    assert rc == 0 and got == want and got
+
+    rc = main([
+        "boosting", "--index", cli_env["index"], "--positive", "data model",
+        "--negative", "merge", "--negative-boost", "0.4", "--k", "5",
+    ])
+    got = [(r["doc_id"], r["score"]) for r in _json_lines(capsys)]
+    want = [
+        (r["doc_id"], r["score"])
+        for r in idx.boosting(
+            "data model", "merge", k=5, negative_boost=0.4
+        ).collect()
+    ]
+    assert rc == 0 and got == want and got
+
+
+def test_cli_positional_phrase(cli_env, spark, tmp_path, capsys):
+    """build --index-options positions, then phrase --positional (+--fast)
+    equals the verify-first phrase path."""
+    pidx = str(tmp_path / "posidx")
+    rc = main([
+        "build", "--input", cli_env["corpus"], "--out", pidx,
+        "--text-col", "text", "--attr-cols", "lang,source,content_sha256",
+        "--shards", "4", "--index-options", "positions",
+    ])
+    assert rc == 0
+    _json_lines(capsys)  # drain
+    rc = main([
+        "phrase", "--index", pidx, "--input", cli_env["corpus"],
+        "--text", "data model", "--k", "10",
+    ])
+    vf = [(r["doc_id"], r["score"]) for r in _json_lines(capsys)]
+    rc2 = main([
+        "phrase", "--index", pidx, "--text", "data model", "--k", "10",
+        "--positional",
+    ])
+    po = [(r["doc_id"], r["score"]) for r in _json_lines(capsys)]
+    rc3 = main([
+        "phrase", "--index", pidx, "--text", "data model", "--k", "10",
+        "--positional", "--fast",
+    ])
+    fp = [(r["doc_id"], r["score"]) for r in _json_lines(capsys)]
+    assert rc == rc2 == rc3 == 0
+    assert po == vf and fp == vf
+    # non-positional phrase without --input is a usage error
+    with pytest.raises(SystemExit):
+        main(["phrase", "--index", pidx, "--text", "data model"])

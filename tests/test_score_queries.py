@@ -1,0 +1,176 @@
+"""function_score / dis_max / boosting / constant_score + exists & ids
+filters — rank-identity between the exact engine and the compressed
+index, plus semantics pins.
+"""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from librecatastro_spark.bm25 import ROUND_DECIMALS
+from librecatastro_spark.corpus import assign_doc_ids, generate_corpus
+from librecatastro_spark.engine import ExactBM25
+from librecatastro_spark.engine.wand import CompressedIndex
+from librecatastro_spark.index.builder import build_index
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    docs = generate_corpus(spark, 400, min_tokens=20, max_tokens=150, partitions=4)
+    docs = assign_doc_ids(docs)
+    # numeric field for function_score + a nullable col for exists
+    return docs.withColumn(
+        "stars", (F.col("doc_id") % 17).cast("double")
+    ).withColumn(
+        "license",
+        F.when(F.col("doc_id") % 3 == 0, F.lit("mit")).otherwise(F.lit(None)),
+    ).cache()
+
+
+@pytest.fixture(scope="module")
+def exact(corpus):
+    return ExactBM25(corpus, attr_cols=("repo", "lang", "stars", "license"), cache=True)
+
+
+@pytest.fixture(scope="module")
+def cidx(spark, corpus, tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("sqidx"))
+    build_index(
+        spark, corpus, out, attr_cols=("repo", "lang", "stars", "license"),
+        n_shards=4, block_size=16, salt_threshold=120, n_salts=4,
+    )
+    return CompressedIndex(spark, out)
+
+
+def rows(df):
+    return [(r["doc_id"], r["score"]) for r in df.collect()]
+
+
+# ------------------------------------------------------- function_score --
+
+@pytest.mark.parametrize("modifier,boost_mode", [
+    ("log1p", "multiply"), ("sqrt", "multiply"), ("none", "sum"),
+])
+def test_function_score_paths_identical(exact, cidx, modifier, boost_mode):
+    e = rows(exact.function_score(
+        "def return", "stars", k=25, modifier=modifier, factor=2.0,
+        boost_mode=boost_mode,
+    ))
+    c = rows(cidx.function_score(
+        "def return", "stars", k=25, modifier=modifier, factor=2.0,
+        boost_mode=boost_mode,
+    ))
+    assert e == c
+    assert e, "function_score must match docs on this corpus"
+
+
+def test_function_score_semantics(exact):
+    """score' ≈ bm25 * log1p(factor*field) for sampled docs (the engine
+    transforms the RAW sum — the rounded-base replica here is within one
+    rounding quantum scaled by the factor)."""
+    base = {d: s for d, s in rows(exact.search("def return", k=10_000))}
+    out = rows(exact.function_score("def return", "stars", k=10_000,
+                                    modifier="log1p", factor=2.0))
+    assert out
+    for d, s in out[:20]:
+        want = round(base[d] * math.log1p(2.0 * (d % 17)), ROUND_DECIMALS)
+        assert s == pytest.approx(want, abs=4 * 10 ** (-ROUND_DECIMALS))
+
+
+def test_function_score_rejects_bad_args(exact, cidx):
+    with pytest.raises(ValueError):
+        exact.function_score("def", "stars", modifier="exp")
+    with pytest.raises(ValueError):
+        cidx.function_score("def", "nosuchcol")
+
+
+# --------------------------------------------------------------- dis_max --
+
+@pytest.mark.parametrize("tie", [0.0, 0.3, 1.0])
+def test_dis_max_paths_identical(exact, cidx, tie):
+    clauses = ["def return", "class self", "import"]
+    e = rows(exact.dis_max(clauses, k=25, tie_breaker=tie))
+    c = rows(cidx.dis_max(clauses, k=25, tie_breaker=tie))
+    assert e == c
+    assert e
+
+
+def test_dis_max_semantics(exact):
+    """tie=0 → best single clause; tie=1 → plain sum of clause scores."""
+    a = {d: s for d, s in rows(exact.search("def return", k=10_000))}
+    b = {d: s for d, s in rows(exact.search("import", k=10_000))}
+    t0 = {d: s for d, s in rows(exact.dis_max(["def return", "import"],
+                                              k=10_000, tie_breaker=0.0))}
+    t1 = {d: s for d, s in rows(exact.dis_max(["def return", "import"],
+                                              k=10_000, tie_breaker=1.0))}
+    assert set(t0) == set(a) | set(b)
+    for d in list(t0)[:30]:
+        best = max(a.get(d, 0.0), b.get(d, 0.0))
+        tot = a.get(d, 0.0) + b.get(d, 0.0)
+        assert t0[d] == pytest.approx(best, abs=2e-4)
+        assert t1[d] == pytest.approx(round(tot, ROUND_DECIMALS), abs=2e-4)
+
+
+# -------------------------------------------------------------- boosting --
+
+def test_boosting_paths_identical(exact, cidx):
+    e = rows(exact.boosting("def return", "import", k=25, negative_boost=0.3))
+    c = rows(cidx.boosting("def return", "import", k=25, negative_boost=0.3))
+    assert e == c
+    assert e
+
+
+def test_boosting_demotes_not_excludes(exact):
+    pos = {d for d, _ in rows(exact.search("def return", k=10_000))}
+    neg = {d for d, _ in rows(exact.search("import", k=10_000))}
+    out = {d: s for d, s in rows(exact.boosting("def return", "import",
+                                                k=10_000, negative_boost=0.5))}
+    # membership unchanged (demotion, not must_not)
+    assert set(out) == pos
+    base = {d: s for d, s in rows(exact.search("def return", k=10_000))}
+    both = pos & neg
+    assert both, "corpus must have overlap for this test"
+    for d in list(both)[:20]:
+        # the rounded-base replica is ambiguous exactly at half
+        # boundaries (odd 4th decimal x 0.5) — 1.5 quanta of slack
+        assert out[d] == pytest.approx(
+            round(base[d] * 0.5, ROUND_DECIMALS), abs=1.5e-4
+        )
+
+
+# -------------------------------------------- constant_score / exists/ids --
+
+def test_constant_score_paths_identical(exact, cidx):
+    e = rows(exact.constant_score(k=50, boost=1.5, filters={"lang": "py"},
+                                  exists_cols=["license"]))
+    c = rows(cidx.constant_score(k=50, boost=1.5, filters={"lang": "py"},
+                                 exists_cols=["license"]))
+    assert e == c
+    assert e
+    assert all(s == 1.5 for _, s in e)
+
+
+def test_exists_filter_search_paths(exact, cidx, corpus):
+    e = rows(exact.search("def return", k=10_000, exists_cols=["license"]))
+    c = rows(cidx.search("def return", k=10_000, exists_cols=["license"]))
+    assert e == c
+    want = {
+        r["doc_id"] for r in corpus.where(F.col("license").isNotNull())
+        .select("doc_id").collect()
+    }
+    assert {d for d, _ in e} <= want
+    lo = cidx.search_local("def return", k=10_000, exists_cols=["license"])
+    assert list(zip(lo["doc_id"], lo["score"])) == e
+
+
+def test_ids_filter_search_paths(exact, cidx):
+    ids = [3, 5, 8, 13, 21, 34, 55, 89]
+    e = rows(exact.search("def return", k=100, ids=ids))
+    c = rows(cidx.search("def return", k=100, ids=ids))
+    assert e == c
+    assert {d for d, _ in e} <= set(ids)
+    lo = cidx.search_local("def return", k=100, ids=ids)
+    assert list(zip(lo["doc_id"], lo["score"])) == e
