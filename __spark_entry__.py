@@ -562,6 +562,94 @@ LIMIT {k}"""
 
 _CS_IDS = [3, 14, 159, 265, 358, 979, 323, 846, 264, 338, 327, 950]
 
+# victims for the delete/update gates (ids absent from a small sf corpus
+# are ignored by delete_batch and excluded by NOT IN alike, so the gate
+# is consistent at every sf)
+_DEL_IDS = sorted(range(0, 400, 7))
+_UPD_IDS = [0, 1, 2, 3, 4]
+_UPD_MARK = " zzzupdated marker"
+
+
+def _del_index(spark, sf_dir: str):
+    """Index with _DEL_IDS deleted via the delete_batch write API
+    (streaming/incremental.py). Idempotent across driver runs: the
+    first run builds + deletes; reruns find the ids already gone
+    (delete_batch returns 0) and the index is byte-stable."""
+    import hashlib
+
+    from librecatastro_spark.streaming.incremental import delete_batch
+
+    src = f"{sf_dir}/documents.parquet"
+    mtime = int(os.path.getmtime(src)) if os.path.exists(src) else 0
+    key = hashlib.sha256(f"{sf_dir}:{mtime}:del-v1".encode()).hexdigest()[:16]
+    out = os.path.join("/tmp", f"lc_delindex_{key}")
+    docs = _docs(spark, sf_dir).withColumn(
+        "content_sha256", F.sha2(F.col("text"), 256)
+    )
+    build_index(
+        spark, docs, out, id_col="doc_id", text_col="text",
+        attr_cols=("lang", "source", "n_chars", "content_sha256"), n_shards=8,
+        block_size=128, salt_threshold=5_000, n_salts=8, resume=True,
+    )
+    delete_batch(spark, out, _DEL_IDS)
+    return CompressedIndex(spark, out)
+
+
+def _upd_index(spark, sf_dir: str):
+    """Index where _UPD_IDS' documents were REPLACED (content + marker)
+    via update_batch — the index-level last-write-wins upsert. Reruns
+    re-apply the identical update (delete + append of the same rows), so
+    the result is stable across driver invocations."""
+    import hashlib
+
+    from librecatastro_spark.streaming.incremental import update_batch
+
+    src = f"{sf_dir}/documents.parquet"
+    mtime = int(os.path.getmtime(src)) if os.path.exists(src) else 0
+    key = hashlib.sha256(f"{sf_dir}:{mtime}:upd-v1".encode()).hexdigest()[:16]
+    out = os.path.join("/tmp", f"lc_updindex_{key}")
+    docs = _docs(spark, sf_dir).withColumn(
+        "content_sha256", F.sha2(F.col("text"), 256)
+    )
+    build_index(
+        spark, docs, out, id_col="doc_id", text_col="text",
+        attr_cols=("lang", "source", "n_chars", "content_sha256"), n_shards=8,
+        block_size=128, salt_threshold=5_000, n_salts=8, resume=True,
+    )
+    new_rows = docs.where(F.col("doc_id").isin(_UPD_IDS)).withColumn(
+        "text", F.concat(F.col("text"), F.lit(_UPD_MARK))
+    ).withColumn("content_sha256", F.sha2(F.col("text"), 256))
+    update_batch(spark, out, new_rows, id_col="doc_id", text_col="text")
+    return CompressedIndex(spark, out)
+
+
+def _mutated_bm25_oracle(text: str, k: int, where_docs: str,
+                         text_expr: str = "text") -> str:
+    """BM25 top-k oracle over a MUTATED document set: ``where_docs``
+    filters the doc rows, ``text_expr`` rewrites the scored text — the
+    SQL image of delete_batch / update_batch, whose contract is exact
+    convergence to the batch build of the mutated corpus (N, avgdl, df
+    all recomputed)."""
+    terms = _sql_terms(text)
+    w = bm25_sql("tf.tf", "dfq.df", "dl.dl", "g.n", "g.avgdl")
+    return f"""
+WITH docs2 AS (
+  SELECT doc_id, {text_expr} AS text FROM documents {where_docs}
+),
+toks AS (
+  SELECT doc_id, unnest({duckdb_tokens_sql('text')}) AS term FROM docs2
+),
+tf AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM toks GROUP BY 1, 2),
+dl AS (SELECT doc_id, sum(tf) AS dl FROM tf GROUP BY 1),
+g  AS (SELECT count(*)::DOUBLE AS n, avg(dl)::DOUBLE AS avgdl FROM dl),
+dfq AS (SELECT term, count(*)::DOUBLE AS df FROM tf WHERE term IN ({terms}) GROUP BY 1)
+SELECT tf.doc_id, round(sum({w}), {ROUND_DECIMALS}) AS score
+FROM tf JOIN dfq USING (term) JOIN dl USING (doc_id) CROSS JOIN g
+WHERE tf.term IN ({terms})
+GROUP BY tf.doc_id
+ORDER BY score DESC, doc_id ASC
+LIMIT {k}"""
+
 
 def _q_keyword(spark, sf):
     return _engine(spark, sf).search("merge sort", k=10, filters={"source": "src3"})
@@ -1594,6 +1682,14 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "exists_filter_search": lambda spark, sf: _index(spark, sf)
         .search("table query", k=10, exists_cols=["source"],
                 filters={"lang": "en"}),
+        # index write API: delete_batch (ES _delete_by_query analog) —
+        # queries over the mutated index must equal BM25 over the corpus
+        # MINUS the victims with N/avgdl/df all recomputed (stronger than
+        # ES tombstones); update_batch = index-level last-write-wins
+        "delete_then_search": lambda spark, sf: _del_index(spark, sf)
+        .search("table query", k=10),
+        "update_then_search": lambda spark, sf: _upd_index(spark, sf)
+        .search("zzzupdated marker table", k=10, require_all=False),
         # ES match_phrase_prefix ("type-ahead phrase"): complete terms
         # adjacent, then a token starting with the last analyzed token;
         # scored on the complete terms only (documented divergence from
@@ -1875,6 +1971,17 @@ ORDER BY doc_id ASC LIMIT 20""",
         "exists_filter_search": _bm25_oracle(
             "table query", k=10, filters={"lang": "en"},
             exists_cols=["source"],
+        ),
+        "delete_then_search": _mutated_bm25_oracle(
+            "table query", 10,
+            "WHERE doc_id NOT IN (%s)" % ", ".join(map(str, _DEL_IDS)),
+        ),
+        "update_then_search": _mutated_bm25_oracle(
+            "zzzupdated marker table", 10, "",
+            text_expr=(
+                "CASE WHEN doc_id IN (%s) THEN text || '%s' ELSE text END"
+                % (", ".join(map(str, _UPD_IDS)), _UPD_MARK)
+            ),
         ),
         "wand_match_phrase_prefix": _bm25_oracle(
             "fast", k=10, require_all=True, phrase_prefix="s"

@@ -174,6 +174,21 @@ def main(argv: list[str] | None = None) -> int:
     a.add_argument("--id-col", default="doc_id")
     a.add_argument("--text-col", default="text")
 
+    de = sub.add_parser("delete", help="remove documents from an index")
+    de.add_argument("--index", required=True)
+    de.add_argument("--ids", default=None,
+                    help="comma-separated doc ids to delete")
+    de.add_argument("--input", default=None,
+                    help="parquet of doc_ids to delete (alternative to --ids)")
+
+    up = sub.add_parser("update",
+                        help="index-level upsert: delete old versions, "
+                             "append the new batch")
+    up.add_argument("--index", required=True)
+    up.add_argument("--input", required=True)
+    up.add_argument("--id-col", default="doc_id")
+    up.add_argument("--text-col", default="text")
+
     h = sub.add_parser("health", help="corpus sanity counts (A31 --health analog)")
     h.add_argument("--input", required=True)
     h.add_argument("--text-col", default="text")
@@ -216,6 +231,30 @@ def main(argv: list[str] | None = None) -> int:
             id_col=args.id_col, text_col=args.text_col,
         )
         print(json.dumps({"docs_added": added, "index": args.index}))
+        return 0
+
+    if args.cmd == "delete":
+        from .streaming.incremental import delete_batch
+
+        if args.ids:
+            victims = [int(x) for x in args.ids.split(",") if x]
+        elif args.input:
+            victims = spark.read.parquet(args.input)
+        else:
+            raise SystemExit("delete needs --ids or --input")
+        n = delete_batch(spark, args.index, victims)
+        print(json.dumps({"docs_deleted": n, "index": args.index}))
+        return 0
+
+    if args.cmd == "update":
+        from .streaming.incremental import update_batch
+
+        n_rep, n_idx = update_batch(
+            spark, args.index, read_docs_table(spark, args.input),
+            id_col=args.id_col, text_col=args.text_col,
+        )
+        print(json.dumps({"docs_replaced": n_rep, "docs_indexed": n_idx,
+                          "index": args.index}))
         return 0
 
     if args.cmd == "search":

@@ -119,11 +119,24 @@ def _recover_term_stats(out_dir: str) -> None:
 
 
 def recover_index(spark: SparkSession, out_dir: str) -> bool:
-    """Roll back an uncommitted append, if one crashed mid-flight. Safe to
-    call on a healthy index (no-op). Returns True if a rollback ran.
-    Single-writer assumption: never call concurrently with a live append
-    on the same out_dir."""
+    """Recover from a crashed mutation, if one is pending. Safe to call
+    on a healthy index (no-op). Returns True if recovery ran.
+    Single-writer assumption: never call concurrently with a live
+    append/delete on the same out_dir.
+
+    Two WAL kinds, two directions: a crashed APPEND rolls BACK (its
+    snapshot lists everything the batch added — purge it and the index
+    is exactly the pre-batch state); a crashed DELETE rolls FORWARD (its
+    durable id list + idempotent steps re-run to completion — rollback
+    is impossible once a staged partition has been rewritten, so the
+    protocol makes completion the safe direction instead)."""
     _recover_term_stats(out_dir)
+    dwal_path = os.path.join(out_dir, _DEL_WAL_NAME)
+    if os.path.exists(dwal_path):
+        with open(dwal_path) as fh:
+            dwal = json.load(fh)
+        _finish_delete(spark, out_dir, dwal, None)
+        return True
     wal_path = os.path.join(out_dir, _WAL_NAME)
     if not os.path.exists(wal_path):
         return False
@@ -358,6 +371,214 @@ def _append_batch(
     staged_new.unpersist()
     fresh.unpersist()
     return n_new
+
+
+_DEL_WAL_NAME = "_pending_delete.json"
+_DEL_IDS_DIR = "_pending_delete_ids"
+
+
+def delete_batch(
+    spark: SparkSession,
+    out_dir: str,
+    doc_ids,
+    _fail_after: str | None = None,
+) -> int:
+    """Remove documents from an existing index — the ES delete/_delete_by
+    _query write API the engine lacked. ``doc_ids`` is a list of ints or
+    a DataFrame with a doc_id column. Returns the number of docs actually
+    removed (ids absent from the index are ignored).
+
+    Unlike ES/Lucene — whose deletes are tombstone bitsets that leave
+    df/cf/N stale until a segment merge — this delete CONVERGES
+    IMMEDIATELY to the batch build of the remaining corpus, bit-for-bit
+    (pytest-asserted): a negative batch-vocabulary stats delta (df/cf are
+    additive counters, so the delta layout absorbs removals for free),
+    touched-shard staged/attrs rewrites, and a touched-shard block
+    rebuild. Cost O(touched shards + deleted-batch vocab), the same bill
+    as append_batch.
+
+    Crash safety is ROLL-FORWARD (vs append's rollback): the victim id
+    list is made durable before the first mutation, every step is
+    idempotent and guarded (the stats delta by dir existence, partition
+    rewrites by a rename-aside swap), so recover_index re-runs the
+    deletion to completion from any crash point — rollback is impossible
+    once a staged partition has been rewritten, so completion is the
+    safe direction. ``_fail_after`` is the TEST-ONLY crash hook."""
+    prev_aqe = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.enabled", "true")
+    try:
+        return _delete_batch(spark, out_dir, doc_ids, _fail_after)
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", prev_aqe)
+
+
+def _delete_batch(
+    spark: SparkSession, out_dir: str, doc_ids, _fail_after: str | None
+) -> int:
+    recover_index(spark, out_dir)
+    compact_term_stats(spark, out_dir)
+    meta = read_meta(out_dir)
+    if isinstance(doc_ids, (list, tuple, set)):
+        ids_df = spark.createDataFrame(
+            [(int(i),) for i in sorted(set(doc_ids))], "doc_id long"
+        )
+    else:
+        ids_df = doc_ids.select(F.col("doc_id").cast("long")).distinct()
+    attrs = load_attrs(spark, out_dir)
+    victims = attrs.select("doc_id", "shard").join(ids_df, "doc_id").cache()
+    n_del = victims.count()
+    if n_del == 0:
+        victims.unpersist()
+        return 0
+    touched = sorted(
+        r["shard"] for r in victims.select("shard").distinct().collect()
+    )
+    migrate_flat_stats(out_dir)
+    # durable victim id list — the roll-forward token; everything after
+    # the WAL write derives from THIS list, never the caller's frame
+    ids_dir = os.path.join(out_dir, _DEL_IDS_DIR)
+    shutil.rmtree(ids_dir, ignore_errors=True)
+    victims.select("doc_id").write.mode("overwrite").parquet(ids_dir)
+    victims.unpersist()
+    deltas = stats_delta_dirs(out_dir)
+    delta_id = 1 + max(
+        (int(os.path.basename(d).split("=", 1)[1]) for d in deltas), default=0
+    )
+    wal = {
+        "batch_token": f"del_{int(time.time() * 1000)}",
+        "touched_shards": touched,
+        "stats_delta": delta_id,
+        "n_deleted": n_del,
+        "old_meta": dataclasses.asdict(meta),
+    }
+    wal_path = os.path.join(out_dir, _DEL_WAL_NAME)
+    with open(wal_path + ".tmp", "w") as fh:
+        json.dump(wal, fh)
+    os.replace(wal_path + ".tmp", wal_path)
+    _crash_hook(_fail_after, "wal")
+    _finish_delete(spark, out_dir, wal, _fail_after)
+    return n_del
+
+
+def _swap_filtered_partition(
+    spark: SparkSession, root: str, shard: int, ids_dir: str,
+    sort_cols: tuple[str, ...],
+) -> None:
+    """Rewrite one hive partition dir minus the victim ids, via a
+    rename-aside swap (Spark refuses to overwrite a path it reads from,
+    and a crash mid-overwrite would lose the partition). Idempotent:
+    re-running on an already-filtered partition is a no-op filter, and
+    every intermediate crash state is repaired on entry — ``old`` exists
+    without ``src`` → restore it; a stale ``new`` is recomputed."""
+    src = os.path.join(root, f"shard={shard}")
+    new = os.path.join(root, f"_del_new_{shard}")
+    old = os.path.join(root, f"_del_old_{shard}")
+    if os.path.isdir(old) and not os.path.isdir(src):
+        os.rename(old, src)  # crashed between the two swap renames
+    shutil.rmtree(old, ignore_errors=True)
+    shutil.rmtree(new, ignore_errors=True)
+    if not os.path.isdir(src):
+        return  # nothing materialized for this shard (e.g. zero-token docs)
+    spark.catalog.refreshByPath(src)
+    ids = spark.read.parquet(ids_dir)
+    kept = spark.read.parquet(src).join(ids, "doc_id", "left_anti")
+    kept.sortWithinPartitions(*sort_cols).write.mode("overwrite").parquet(new)
+    os.rename(src, old)
+    os.rename(new, src)
+    shutil.rmtree(old)
+    spark.catalog.refreshByPath(src)
+
+
+def _finish_delete(
+    spark: SparkSession, out_dir: str, wal: dict, _fail_after: str | None
+) -> None:
+    """Steps (b)..(g) of the delete protocol — every one idempotent, so
+    this runs both inline and as crash recovery (roll-forward)."""
+    touched = wal["touched_shards"]
+    delta_id = wal["stats_delta"]
+    ids_dir = os.path.join(out_dir, _DEL_IDS_DIR)
+    staged_root = os.path.join(out_dir, "_stage", "postings")
+    ts = os.path.join(out_dir, "term_stats")
+    # (b) negative stats delta — computed from the STILL-INTACT staged
+    # rows, guarded by dir existence so a recovery after (c) started
+    # (staged already filtered) never recomputes it from missing rows:
+    # delta-absent ⇒ no (c) rewrite has run, by strict step order.
+    delta_dir = os.path.join(ts, f"delta={delta_id}")
+    if not os.path.isdir(delta_dir):
+        ids = spark.read.parquet(ids_dir)
+        dead = (
+            spark.read.parquet(staged_root)
+            .where(F.col("shard").isin(touched))
+            .join(ids, "doc_id", "left_semi")
+        )
+        tmp_delta = os.path.join(ts, "_tmp_delta")
+        shutil.rmtree(tmp_delta, ignore_errors=True)
+        dead.groupBy("term").agg(
+            (-F.count(F.lit(1))).alias("df"), (-F.sum("tf")).alias("cf")
+        ).write.mode("overwrite").parquet(tmp_delta)
+        os.rename(tmp_delta, delta_dir)
+    _crash_hook(_fail_after, "stats")
+    # (c) staged postings minus victims, touched shards only
+    staged_cols = ("doc_id", "term")
+    for s in touched:
+        _swap_filtered_partition(spark, staged_root, s, ids_dir, staged_cols)
+    _crash_hook(_fail_after, "staged")
+    # (d) attrs minus victims (monotone doc_id invariant preserved)
+    attrs_root = os.path.join(out_dir, "attrs")
+    for s in touched:
+        _swap_filtered_partition(spark, attrs_root, s, ids_dir, ("doc_id",))
+    _crash_hook(_fail_after, "attrs")
+    # (e) meta from the WAL's pre-state (idempotent on re-run): N shrinks
+    # by the recorded victim count; avgdl = Σcf / N over the delta-merged
+    # stats — identical to the batch-build derivation, so the index
+    # converges to the fresh build of the remaining corpus bit-for-bit
+    old_meta = IndexMeta(**wal["old_meta"])
+    new_n = old_meta.n_docs - wal["n_deleted"]
+    total_tokens = (
+        spark.read.parquet(*stats_delta_dirs(out_dir))
+        .agg(F.sum("cf")).collect()[0][0]
+    )
+    meta = dataclasses.replace(
+        old_meta,
+        n_docs=new_n,
+        avgdl=float(total_tokens or 0) / new_n if new_n else 0.0,
+    )
+    with open(os.path.join(out_dir, "meta.json"), "w") as fh:
+        json.dump(dataclasses.asdict(meta), fh)
+    _crash_hook(_fail_after, "meta")
+    # (f) rebuild the touched shards' blocks from the filtered staged
+    _rebuild_shards(spark, out_dir, meta, touched)
+    _crash_hook(_fail_after, "blocks")
+    # (g) COMMIT
+    shutil.rmtree(ids_dir, ignore_errors=True)
+    wal_path = os.path.join(out_dir, _DEL_WAL_NAME)
+    if os.path.exists(wal_path):
+        os.remove(wal_path)
+    _write_manifest(
+        out_dir, wal["batch_token"],
+        docs_deleted=wal["n_deleted"], shards=touched, stats_delta=delta_id,
+    )
+
+
+def update_batch(
+    spark: SparkSession,
+    out_dir: str,
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "content",
+) -> tuple[int, int]:
+    """Index-level upsert (the ES _update / last-write-wins analog):
+    delete any existing versions of the batch's doc_ids, then append the
+    new versions. Returns (n_replaced, n_indexed). Each half is
+    individually crash-safe; a crash between them leaves the ids deleted
+    but not yet re-added — re-running the same update converges (the
+    append half's A16 anti-join sees them as fresh)."""
+    ids = docs.select(F.col(id_col).cast("long").alias("doc_id"))
+    n_replaced = delete_batch(spark, out_dir, ids)
+    n_indexed = append_batch(
+        spark, out_dir, docs, id_col=id_col, text_col=text_col
+    )
+    return n_replaced, n_indexed
 
 
 def _rebuild_shards(

@@ -290,3 +290,32 @@ def test_cli_positional_phrase(cli_env, spark, tmp_path, capsys):
     # non-positional phrase without --input is a usage error
     with pytest.raises(SystemExit):
         main(["phrase", "--index", pidx, "--text", "data model"])
+
+
+def test_cli_delete_and_update(cli_env, spark, tmp_path, capsys):
+    """delete/update subcommands mutate a COPY of the index and agree
+    with the library write API."""
+    import shutil as _sh
+
+    idx2 = str(tmp_path / "idx2")
+    _sh.copytree(cli_env["index"], idx2)
+    rc = main(["delete", "--index", idx2, "--ids", "0,2,4,6,8"])
+    (out,) = _json_lines(capsys)
+    assert rc == 0 and out["docs_deleted"] == 5
+    # deleted ids vanish from every query path
+    rc = main(["search", "--index", idx2, "--text", "data model",
+               "--k", "10000"])
+    got = {r["doc_id"] for r in _json_lines(capsys)}
+    assert rc == 0 and not ({0, 2, 4, 6, 8} & got)
+    # update: re-add doc 0 with marker content via the upsert command
+    src = spark.read.parquet(cli_env["corpus"]).where(F.col("doc_id") == 0)
+    upd = src.withColumn("text", F.concat(F.col("text"), F.lit(" zzzcliupd")))
+    upd = upd.withColumn("content_sha256", F.sha2(F.col("text"), 256))
+    upd_path = str(tmp_path / "upd.parquet")
+    upd.write.parquet(upd_path)
+    rc = main(["update", "--index", idx2, "--input", upd_path])
+    (out,) = _json_lines(capsys)
+    assert rc == 0 and out["docs_indexed"] == 1
+    rc = main(["search", "--index", idx2, "--text", "zzzcliupd", "--k", "10"])
+    got = {r["doc_id"] for r in _json_lines(capsys)}
+    assert rc == 0 and got == {0}
