@@ -48,6 +48,7 @@ CHECKS = {
     "explode": "Generate",
     "arrow_eval": "ArrowEvalPython",
     "grouped_map": "FlatMapGroupsInPandas",
+    "cogrouped_map": "FlatMapCoGroupsInPandas",
 }
 
 
@@ -80,7 +81,7 @@ def main() -> int:
     idx_dir = os.path.join(work, "index")
     build_index(
         spark, docs, idx_dir, id_col="doc_id", text_col="text",
-        attr_cols=("lang", "source"), n_shards=4, shards_per_job=4,
+        attr_cols=("lang", "source", "n_chars"), n_shards=4, shards_per_job=4,
         salt_threshold=10_000, n_salts=4, resume=False,
     )
     index = CompressedIndex(spark, idx_dir)
@@ -178,6 +179,49 @@ def main() -> int:
         "query's data volume is O(phrase terms' postings) at any corpus "
         "size — the property the verify-first path cannot give on hot "
         "phrases.",
+    )
+    sections.append(s); problems += p
+
+    s, p = audit(
+        "function_score field-boost plan (r3 compound scoring)",
+        index.function_score("the scan", "n_chars", k=10),
+        {
+            "pushed_filter": True, "take_ordered": True, "cartesian": False,
+            "cogrouped_map": True,
+        },
+        "Score reshaping voids BM25 block-max bounds, so the kernel "
+        "decodes the query terms' postings fully (the AND-branch bill); "
+        "the numeric field cogroups shard-locally (each shard ships only "
+        "its own (doc_id, field) rows — never a global join), the "
+        "In(term) predicate is pushed to the postings scan, and the "
+        "merge is TakeOrderedAndProject.",
+    )
+    sections.append(s); problems += p
+
+    s, p = audit(
+        "dis_max multi-clause plan (r3 compound scoring)",
+        index.dis_max(["the scan", "data model"], k=10, tie_breaker=0.3),
+        {
+            "pushed_filter": True, "take_ordered": True, "cartesian": False,
+            "grouped_map": True,
+        },
+        "ONE postings scan covers every clause's terms (union of In "
+        "filters); per-shard the kernel computes each clause's sums and "
+        "max-combines — no second scan per clause, no cartesian.",
+    )
+    sections.append(s); problems += p
+
+    s, p = audit(
+        "constant_score filter plan (r3 compound scoring)",
+        index.constant_score(k=10, filters={"lang": "py"}),
+        {
+            "pushed_filter": True, "codegen": True, "grouped_map": False,
+            "arrow_eval": False,
+        },
+        "Pure Catalyst over the attrs table: the filter reaches the "
+        "Parquet scan as PushedFilters, postings are never read, and no "
+        "Python stage exists anywhere in the plan — a filter-only query "
+        "costs a pruned columnar scan plus a top-k, nothing else.",
     )
     sections.append(s); problems += p
 
