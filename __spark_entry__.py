@@ -1678,6 +1678,16 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "constant_score_ids": lambda spark, sf: _index(spark, sf)
         .constant_score(k=20, boost=2.0, filters={"lang": "en"},
                         ids=_CS_IDS),
+        # ES filters / range aggregations: named and numeric buckets over
+        # the match set, per-shard map-side combine (O(shards x buckets))
+        "filters_agg_buckets": lambda spark, sf: _index(spark, sf)
+        .filters_agg("table query", {
+            "en_src1": {"lang": "en", "source": "src1"},
+            "de_docs": {"lang": "de"},
+        }),
+        "range_agg_nchars": lambda spark, sf: _index(spark, sf)
+        .range_agg("table query", "n_chars",
+                   [(None, 150), (150, 250), (250, None)]),
         # ES exists query as a search filter (IsNotNull pushed to the scan)
         "exists_filter_search": lambda spark, sf: _index(spark, sf)
         .search("table query", k=10, exists_cols=["source"],
@@ -1972,6 +1982,38 @@ ORDER BY doc_id ASC LIMIT 20""",
             "table query", k=10, filters={"lang": "en"},
             exists_cols=["source"],
         ),
+        "filters_agg_buckets": f"""
+WITH toks AS (
+  SELECT doc_id, unnest({duckdb_tokens_sql('text')}) AS term FROM documents
+),
+matched AS (
+  SELECT DISTINCT doc_id FROM toks
+  WHERE term IN ({_sql_terms("table query")})
+),
+m AS (SELECT d.* FROM documents d JOIN matched USING (doc_id))
+SELECT * FROM (
+  SELECT 'de_docs' AS bucket,
+         (SELECT count(*) FROM m WHERE lang = 'de')::BIGINT AS cnt
+  UNION ALL
+  SELECT 'en_src1',
+         (SELECT count(*) FROM m WHERE lang = 'en' AND source = 'src1')::BIGINT
+) ORDER BY bucket""",
+        "range_agg_nchars": f"""
+WITH toks AS (
+  SELECT doc_id, unnest({duckdb_tokens_sql('text')}) AS term FROM documents
+),
+matched AS (
+  SELECT DISTINCT doc_id FROM toks
+  WHERE term IN ({_sql_terms("table query")})
+),
+m AS (SELECT d.n_chars::DOUBLE AS v FROM documents d JOIN matched USING (doc_id))
+SELECT bucket, cnt FROM (
+  SELECT '*-150' AS bucket, (SELECT count(*) FROM m WHERE v < 150)::BIGINT AS cnt, 0 AS o
+  UNION ALL
+  SELECT '150-250', (SELECT count(*) FROM m WHERE v >= 150 AND v < 250)::BIGINT, 1
+  UNION ALL
+  SELECT '250-*', (SELECT count(*) FROM m WHERE v >= 250)::BIGINT, 2
+) ORDER BY o""",
         "delete_then_search": _mutated_bm25_oracle(
             "table query", 10,
             "WHERE doc_id NOT IN (%s)" % ", ".join(map(str, _DEL_IDS)),

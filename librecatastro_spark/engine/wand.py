@@ -1990,6 +1990,142 @@ class CompressedIndex:
             F.count_distinct(F.col("val")).alias("cardinality")
         )
 
+    def filters_agg(
+        self, text: str, buckets: dict[str, dict[str, str]]
+    ) -> DataFrame:
+        """ES ``filters`` aggregation: NAMED buckets, each defined by
+        keyword equality filters, counting the query's matching docs per
+        bucket (a doc can land in several buckets — ES semantics, unlike
+        a terms agg). Per-shard map-side combine: each shard reduces its
+        match set to one partial count per bucket, so the shuffle is
+        O(shards × buckets). Rows ordered bucket ASC; empty buckets
+        reported with cnt 0 (ES keeps them too)."""
+        terms = sorted(set(analyze_text(text)))
+        if not terms:
+            raise ValueError("query analyzes to zero terms")
+        names = sorted(buckets)
+        need_cols = sorted({c for b in buckets.values() for c in b})
+        for c in need_cols:
+            if c not in self.attrs.columns:
+                raise ValueError(f"index attrs lack column {c!r}")
+        idfs = self._idfs(terms)
+        terms = [t for t in terms if t in idfs]
+        schema = "bucket string, cnt long"
+        zero = self.spark.createDataFrame(
+            [(n, 0) for n in names], schema
+        )
+        if not terms:
+            return zero.orderBy("bucket")
+        blocks = self.postings.where(F.col("term").isin(terms))
+        fd = _shard_topk_fn(
+            terms, idfs, self.meta.avgdl, 1 << 60, filtered=False,
+            must_not_terms=[], require_all=False,
+            dense_hint=int(self.meta.n_docs),
+        )
+        spec = {n: dict(buckets[n]) for n in names}
+
+        def fn(bl: pd.DataFrame, at: pd.DataFrame) -> pd.DataFrame:
+            empty = pd.DataFrame(
+                {"bucket": pd.Series(dtype="object"),
+                 "cnt": pd.Series(dtype="int64")}
+            )
+            r = fd(bl)
+            if len(r) == 0 or len(at) == 0:
+                return empty
+            m = r.merge(at[["doc_id"] + need_cols], on="doc_id")
+            rows = []
+            for n in names:
+                mask = pd.Series(True, index=m.index)
+                for c, v in spec[n].items():
+                    mask &= m[c] == v
+                rows.append((n, int(mask.sum())))
+            return pd.DataFrame(rows, columns=["bucket", "cnt"])
+
+        allowed = self.attrs.select("shard", "doc_id", *need_cols)
+        partial = (
+            blocks.groupBy("shard")
+            .cogroup(allowed.groupBy("shard"))
+            .applyInPandas(fn, schema=schema)
+        )
+        return (
+            partial.unionByName(zero)
+            .groupBy("bucket").agg(F.sum("cnt").alias("cnt"))
+            .orderBy(F.asc("bucket"))
+        )
+
+    def range_agg(
+        self, text: str, num_col: str, bounds: list[tuple]
+    ) -> DataFrame:
+        """ES ``range`` aggregation: custom numeric buckets over the
+        match set — each (lo, hi) is a half-open [lo, hi) interval, None
+        for an open end (the ES from/to contract). Per-shard map-side
+        combine, shuffle O(shards × buckets); empty buckets kept with
+        cnt 0. Rows ordered by bucket lower bound (key = "lo-hi")."""
+        terms = sorted(set(analyze_text(text)))
+        if not terms:
+            raise ValueError("query analyzes to zero terms")
+        if num_col not in self.attrs.columns and num_col != "doc_id":
+            raise ValueError(f"index attrs lack column {num_col!r}")
+        idfs = self._idfs(terms)
+        terms = [t for t in terms if t in idfs]
+        keys = [
+            f"{'*' if lo is None else lo}-{'*' if hi is None else hi}"
+            for lo, hi in bounds
+        ]
+        schema = "bucket string, cnt long"
+        zero = self.spark.createDataFrame([(k, 0) for k in keys], schema)
+        order = {k: i for i, k in enumerate(keys)}
+        oexpr = F.element_at(
+            F.create_map(*[F.lit(x) for k in keys for x in (k, order[k])]),
+            F.col("bucket"),
+        )
+        if not terms:
+            return zero.orderBy(oexpr).select("bucket", "cnt")
+        blocks = self.postings.where(F.col("term").isin(terms))
+        fd = _shard_topk_fn(
+            terms, idfs, self.meta.avgdl, 1 << 60, filtered=False,
+            must_not_terms=[], require_all=False,
+            dense_hint=int(self.meta.n_docs),
+        )
+        bspec = list(zip(keys, bounds))
+
+        def fn(bl: pd.DataFrame, at: pd.DataFrame) -> pd.DataFrame:
+            empty = pd.DataFrame(
+                {"bucket": pd.Series(dtype="object"),
+                 "cnt": pd.Series(dtype="int64")}
+            )
+            r = fd(bl)
+            if len(r) == 0 or len(at) == 0:
+                return empty
+            cols = ["doc_id"] + ([num_col] if num_col != "doc_id" else [])
+            m = r.merge(at[cols], on="doc_id")
+            v = m[num_col].astype("float64")
+            rows = []
+            for k, (lo, hi) in bspec:
+                mask = pd.Series(True, index=m.index)
+                if lo is not None:
+                    mask &= v >= lo
+                if hi is not None:
+                    mask &= v < hi
+                rows.append((k, int(mask.sum())))
+            return pd.DataFrame(rows, columns=["bucket", "cnt"])
+
+        acols = ["shard", "doc_id"] + (
+            [num_col] if num_col not in ("shard", "doc_id") else []
+        )
+        allowed = self.attrs.select(*acols)
+        partial = (
+            blocks.groupBy("shard")
+            .cogroup(allowed.groupBy("shard"))
+            .applyInPandas(fn, schema=schema)
+        )
+        return (
+            partial.unionByName(zero)
+            .groupBy("bucket").agg(F.sum("cnt").alias("cnt"))
+            .orderBy(oexpr)
+            .select("bucket", "cnt")
+        )
+
     def facet_metric_agg(
         self,
         text: str,

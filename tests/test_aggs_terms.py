@@ -346,3 +346,66 @@ def test_date_histogram_calendar_semantics(spark):
     ]
     with pytest.raises(ValueError):
         date_histogram(ev, "fortnight")
+
+
+def _match_docs_df(exact, text):
+    return exact.match_scores(text).select("doc_id")
+
+
+def test_filters_agg_vs_reference(wand, exact, corpus):
+    """ES filters agg: named equality-filter buckets over the match set;
+    a doc may land in several buckets; empty buckets stay with cnt 0."""
+    buckets = {
+        "py_docs": {"lang": "py"},
+        "go_docs": {"lang": "go"},
+        "none_such": {"lang": "zzz"},
+    }
+    got = {
+        r["bucket"]: r["cnt"]
+        for r in wand.filters_agg("def return", buckets).collect()
+    }
+    matched = _match_docs_df(exact, "def return")
+    joined = matched.join(corpus.select("doc_id", "lang"), "doc_id")
+    want = {
+        n: joined.where(F.col("lang") == spec["lang"]).count()
+        for n, spec in buckets.items()
+    }
+    assert got == want
+    assert got["none_such"] == 0
+    assert sum(v for k, v in got.items() if k != "none_such") > 0
+
+
+def test_filters_agg_multi_column_and_overlap(wand, exact, corpus):
+    """A bucket with two equality conditions ANDs them; overlapping
+    buckets double-count the same doc (ES semantics, unlike terms)."""
+    some_repo = corpus.select("repo").first()["repo"]
+    buckets = {
+        "all_py": {"lang": "py"},
+        "py_in_repo": {"lang": "py", "repo": some_repo},
+    }
+    got = {
+        r["bucket"]: r["cnt"]
+        for r in wand.filters_agg("def", buckets).collect()
+    }
+    assert got["py_in_repo"] <= got["all_py"]
+
+
+def test_range_agg_vs_reference(wand, exact, corpus):
+    """ES range agg: [lo, hi) half-open buckets, open ends, order by
+    bucket bound, empties kept."""
+    bounds = [(None, 50), (50, 120), (120, None), (100000, None)]
+    got = [(r["bucket"], r["cnt"]) for r in
+           wand.range_agg("def return", "doc_id", bounds).collect()]
+    assert [b for b, _ in got] == ["*-50", "50-120", "120-*", "100000-*"]
+    matched = _match_docs_df(exact, "def return")
+    joined = matched.select("doc_id")
+    v = F.col("doc_id").cast("double")
+    want = [
+        joined.where(v < 50).count(),
+        joined.where((v >= 50) & (v < 120)).count(),
+        joined.where(v >= 120).count(),
+        joined.where(v >= 100000).count(),
+    ]
+    assert [c for _, c in got] == want
+    assert got[-1][1] == 0  # out-of-domain bucket kept, empty
+    assert sum(c for _, c in got[:3]) == joined.count()
