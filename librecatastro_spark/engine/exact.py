@@ -504,7 +504,7 @@ class ExactBM25:
         scored = self.match_scores(text, **kwargs)
         fv = self.docs.select(
             F.col(self.id_col).alias("doc_id"),
-            F.col(field).cast("double").alias("_fv"),
+            F.col(field).try_cast("double").alias("_fv"),
         )
         fac = field_factor_expr(F.col("_fv"), modifier, factor)
         return (

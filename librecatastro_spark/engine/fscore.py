@@ -34,7 +34,10 @@ def _check(modifier: str, boost_mode: str) -> None:
 
 
 def field_factor_expr(col: Column, modifier: str, factor: float) -> Column:
-    v = F.coalesce(col.cast("double"), F.lit(0.0)) * F.lit(float(factor))
+    # try_cast: a malformed/non-numeric field value is a missing value
+    # (-> 0.0 via coalesce), not an ANSI cast error — matching the numpy
+    # path's nan_to_num and the SQL twin's TRY_CAST exactly
+    v = F.coalesce(col.try_cast("double"), F.lit(0.0)) * F.lit(float(factor))
     if modifier == "log1p":
         return F.log1p(v)
     if modifier == "sqrt":
@@ -52,7 +55,7 @@ def field_factor_np(v: np.ndarray, modifier: str, factor: float) -> np.ndarray:
 
 
 def field_factor_sql(col: str, modifier: str, factor: float) -> str:
-    v = f"(coalesce({col}::DOUBLE, 0.0) * {float(factor)!r})"
+    v = f"(coalesce(TRY_CAST({col} AS DOUBLE), 0.0) * {float(factor)!r})"
     if modifier == "log1p":
         return f"ln(1.0 + {v})"
     if modifier == "sqrt":

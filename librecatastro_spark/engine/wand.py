@@ -1542,7 +1542,7 @@ class CompressedIndex:
             terms, idfs, self.meta.avgdl, k, modifier, factor, boost_mode
         )
         allowed = self.attrs.select(
-            "shard", "doc_id", F.col(field).cast("double").alias("_fv")
+            "shard", "doc_id", F.col(field).try_cast("double").alias("_fv")
         )
         partial = (
             blocks.groupBy("shard")

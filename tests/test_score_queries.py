@@ -174,3 +174,19 @@ def test_ids_filter_search_paths(exact, cidx):
     assert {d for d, _ in e} <= set(ids)
     lo = cidx.search_local("def return", k=100, ids=ids)
     assert list(zip(lo["doc_id"], lo["score"])) == e
+
+
+def test_function_score_nonnumeric_field_is_missing_zero(exact, cidx):
+    """A non-numeric keyword field must follow the missing=0 contract
+    (try_cast -> null -> 0.0) on every path — under Spark's default ANSI
+    mode a plain cast would THROW CAST_INVALID_INPUT mid-query instead
+    (regression: hit on a string 'path'-like column)."""
+    import math as _m
+
+    e = rows(exact.function_score("def return", "repo", k=10,
+                                  modifier="log1p", factor=2.0))
+    c = rows(cidx.function_score("def return", "repo", k=10,
+                                 modifier="log1p", factor=2.0))
+    assert e == c and e
+    # log1p(0) == 0 and boost_mode=multiply -> every score is 0.0
+    assert all(s == 0.0 for _, s in e)
