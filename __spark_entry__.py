@@ -1231,6 +1231,25 @@ def _q_polygon_filter(spark, sf):
     return points_in_polygon(_synth_points(spark, sf), _SQUARE).select("c_custkey")
 
 
+def _q_geo_distance(spark, sf):
+    # ES geo_distance: points within 2,000 km of (60°W, 0°N) — bbox
+    # prune in Catalyst (pushed to the scan), exact haversine on the
+    # survivors; dist rounded to cm so both engines hash identically
+    from librecatastro_spark.ops.geo import geo_distance, haversine_m
+
+    pts = _synth_points(spark, sf)
+    return (
+        geo_distance(pts, -60.0, 0.0, 2_000_000.0)
+        .select(
+            "c_custkey",
+            F.round(
+                haversine_m(F.col("lon"), F.col("lat"), -60.0, 0.0), 2
+            ).alias("dist_m"),
+        )
+        .orderBy("c_custkey")
+    )
+
+
 def _addr_fixture(spark, sf) -> DataFrame:
     """Reference-format address strings synthesized from customer/nation:
     even custkeys urban ('CL … Es:/Pl:/Pt: … CP CITY (PROV)'), odd rural
@@ -1658,6 +1677,13 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # token stream IS the anchored-regex predicate by construction.
         "wand_match_phrase_pos": _q_wand_match_phrase_pos,
         "wand_match_phrase_pos_slop": _q_wand_match_phrase_pos_slop,
+        # type-ahead phrase, index-only (r4): complete-term position
+        # chain + zero-slop step into the [pfx, successor) vocab-range
+        # expansion streams — no source scan, no expansion collect;
+        # rank-identical to the verify-first wand_match_phrase_prefix,
+        # so it shares that entry's oracle
+        "wand_match_phrase_prefix_pos": lambda spark, sf: _pos_index(spark, sf)
+        .match_phrase_prefix_positional("fast s", k=10),
         # ES compound scoring queries (engine/score_queries.py): transforms
         # apply to RAW sums with ONE final round (cross-engine protocol)
         "function_score_field": lambda spark, sf: _index(spark, sf)
@@ -1811,6 +1837,10 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ).stratified_sample(
             _docs(spark, sf), {"en": 0.8, "de": 0.25, "fr": 0.5}
         ),
+        # ES geo_distance query (r4): haversine radius filter behind a
+        # conservative bbox pruner (ops/geo.py geo_distance; reference
+        # maps location as geo_point, elasticsearch_utils.py:35-37)
+        "geo_distance_search": _q_geo_distance,
     }
 
 
@@ -2026,6 +2056,9 @@ SELECT bucket, cnt FROM (
             ),
         ),
         "wand_match_phrase_prefix": _bm25_oracle(
+            "fast", k=10, require_all=True, phrase_prefix="s"
+        ),
+        "wand_match_phrase_prefix_pos": _bm25_oracle(
             "fast", k=10, require_all=True, phrase_prefix="s"
         ),
         "bm25_match_phrase_prefix": _bm25_oracle(
@@ -2365,6 +2398,28 @@ FROM m, d
         "nested_reform_exists": """
 SELECT DISTINCT l_orderkey AS orderkey FROM lineitem
 WHERE l_returnflag = 'R' AND year(l_shipdate) >= 2001
+""",
+        # same haversine, spelled out (sin*sin, not pow — matches the
+        # Spark expression term-for-term; mean Earth radius 6371 km)
+        "geo_distance_search": """
+WITH p AS (
+  SELECT c_custkey,
+         (c_custkey % 3600) / 10.0 - 180.0 AS lon,
+         ((c_custkey * 7) % 1800) / 10.0 - 90.0 AS lat
+  FROM customer
+),
+d AS (
+  SELECT c_custkey,
+         2.0 * 6371000.0 * asin(sqrt(
+             sin(radians(lat - 0.0) / 2) * sin(radians(lat - 0.0) / 2)
+           + cos(radians(0.0)) * cos(radians(lat))
+             * sin(radians(lon - -60.0) / 2) * sin(radians(lon - -60.0) / 2)
+         )) AS dist_m
+  FROM p
+)
+SELECT c_custkey, round(dist_m, 2) AS dist_m
+FROM d WHERE dist_m <= 2000000.0
+ORDER BY c_custkey
 """,
         "geohash_bucket_join": """
 WITH p AS (

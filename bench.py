@@ -256,6 +256,11 @@ def main() -> None:
             "q_phrase_pos_sel": lambda: pindex.match_phrase_positional(
                 "id0042 merge", k=10
             ),
+            # type-ahead index-only (r4): same query as q_phrase_prefix,
+            # no source scan, no expansion collect
+            "q_phrase_prefix_pos": lambda: pindex.match_phrase_prefix_positional(
+                "def re", k=10
+            ),
         }
         for name, run_q in pos_queries.items():
             rows = run_q().collect()
@@ -266,6 +271,16 @@ def main() -> None:
                 run_q().collect()
                 times.append(time.time() - t)
             pos_ms[name] = round(statistics.mean(times) * 1000, 2)
+        # rank-identity vs the verify-first type-ahead path (r4)
+        vf = [
+            (r["doc_id"], r["score"])
+            for r in index.match_phrase_prefix("def re", docs, k=10).collect()
+        ]
+        po = [
+            (r["doc_id"], r["score"])
+            for r in pindex.match_phrase_prefix_positional("def re", k=10).collect()
+        ]
+        assert po == vf, "positional phrase-prefix diverged"
         # rank-identity vs the verify-first path (source-scan based)
         for text in ("def return", "id0042 merge"):
             vf = [

@@ -96,14 +96,19 @@ class ExactBM25:
         ranges: dict[str, tuple] | None = None,
         exists_cols: list[str] | None = None,
         ids: list[int] | None = None,
+        geo: tuple | None = None,
     ) -> DataFrame | None:
         """Constant-score filter clauses → a doc_id set (semi-join side).
         ``ranges`` is the ES range query: {col: (lo, hi)}, bounds
         inclusive, either side None for open-ended. ``exists_cols`` is the
         ES exists query (field present = non-null); ``ids`` is the ES ids
         query (explicit doc-id list — an In on the primary key, pushed to
-        the scan like every other filter)."""
-        if not filters and not prefix and not ranges and not exists_cols and ids is None:
+        the scan like every other filter). ``geo`` is the ES geo_distance
+        query: (lon_col, lat_col, lon0, lat0, radius_m) — the shared
+        ops.geo predicate (conservative bbox pushed to the scan + exact
+        haversine, all Catalyst)."""
+        if (not filters and not prefix and not ranges and not exists_cols
+                and ids is None and geo is None):
             return None
         cond = F.lit(True)
         for col, val in (filters or {}).items():
@@ -124,6 +129,13 @@ class ExactBM25:
             cond = cond & F.col(col).isNotNull()
         if ids is not None:
             cond = cond & F.col("doc_id").isin([int(i) for i in ids])
+        if geo is not None:
+            from ..ops.geo import geo_distance_cond
+
+            lon_c, lat_c, lon0, lat0, radius_m = geo
+            cond = cond & geo_distance_cond(
+                F.col(lon_c), F.col(lat_c), lon0, lat0, radius_m
+            )
         return self.attrs.where(cond).select("doc_id")
 
     def match_scores(
@@ -138,6 +150,7 @@ class ExactBM25:
         min_match: int | None = None,
         exists_cols: list[str] | None = None,
         ids: list[int] | None = None,
+        geo: tuple | None = None,
     ) -> DataFrame:
         """(doc_id, score) for every matching doc (unranked, unrounded).
 
@@ -192,7 +205,7 @@ class ExactBM25:
         elif should_terms:
             scored = scored.where(F.col("n_matched") >= F.lit(1))
         scored = scored.drop("n_matched")
-        doc_set = self._doc_filter(filters, prefix, ranges, exists_cols, ids)
+        doc_set = self._doc_filter(filters, prefix, ranges, exists_cols, ids, geo)
         if doc_set is not None:
             scored = scored.join(doc_set, "doc_id", "left_semi")
         if must_not_text:

@@ -8,13 +8,21 @@ is the ES trio that needs no per-doc state: none / log1p / sqrt.
 One definition serves every path — the exact Catalyst engine, the
 compressed-index numpy kernel, and the DuckDB oracle twin — so a modifier
 can never drift between engines. Cross-engine float reproducibility
-follows the repo's rounding protocol: the BM25 sum is rounded FIRST
-(ROUND_DECIMALS, as every path already does), the field factor is applied
-to the rounded score, and the combined score is rounded again; ln/sqrt
-agree across Spark, numpy and DuckDB to well under the rounding quantum.
+follows the repo's rounding protocol: the field factor is applied to the
+RAW (unrounded) BM25 sum and the combined score is rounded ONCE at the
+end (ROUND_DECIMALS). Rounding an intermediate and then transforming it
+would land scores exactly on the half-up (Spark/DuckDB) vs half-even
+(numpy/Python) boundary — see ``engine/score_queries.py`` for the full
+hazard analysis; ln/sqrt agree across Spark, numpy and DuckDB to well
+under the rounding quantum.
 
 Null field values count as 0.0 (ES's ``missing`` parameter, pinned to 0)
-— documented, and mirrored in the SQL twin via coalesce.
+— documented, and mirrored in the SQL twin via coalesce. Negative
+``field * factor`` inputs are clamped to 0.0 before ``sqrt``/``log1p``
+(identically in all three twins): ES rejects NaN function_score results
+outright, and without the clamp a negative product yields NaN, which
+numpy's lexsort drops from per-shard top-k while Spark's desc ordering
+ranks it FIRST — silently breaking cross-path rank identity.
 """
 
 from __future__ import annotations
@@ -39,27 +47,27 @@ def field_factor_expr(col: Column, modifier: str, factor: float) -> Column:
     # path's nan_to_num and the SQL twin's TRY_CAST exactly
     v = F.coalesce(col.try_cast("double"), F.lit(0.0)) * F.lit(float(factor))
     if modifier == "log1p":
-        return F.log1p(v)
+        return F.log1p(F.greatest(v, F.lit(0.0)))
     if modifier == "sqrt":
-        return F.sqrt(v)
+        return F.sqrt(F.greatest(v, F.lit(0.0)))
     return v
 
 
 def field_factor_np(v: np.ndarray, modifier: str, factor: float) -> np.ndarray:
     v = np.nan_to_num(v.astype(np.float64), nan=0.0) * float(factor)
     if modifier == "log1p":
-        return np.log1p(v)
+        return np.log1p(np.maximum(v, 0.0))
     if modifier == "sqrt":
-        return np.sqrt(v)
+        return np.sqrt(np.maximum(v, 0.0))
     return v
 
 
 def field_factor_sql(col: str, modifier: str, factor: float) -> str:
     v = f"(coalesce(TRY_CAST({col} AS DOUBLE), 0.0) * {float(factor)!r})"
     if modifier == "log1p":
-        return f"ln(1.0 + {v})"
+        return f"ln(1.0 + greatest({v}, 0.0))"
     if modifier == "sqrt":
-        return f"sqrt({v})"
+        return f"sqrt(greatest({v}, 0.0))"
     return v
 
 

@@ -51,10 +51,27 @@ def _decode_term(rows: pd.DataFrame, with_pos: bool):
     return ids, tfs, dls, pos
 
 
-def phrase_verify(term_data: dict, seq: list[str], slop: int) -> np.ndarray:
+#: pseudo-term key for the type-ahead expansion stream — analyzer tokens
+#: can never contain NUL, so it cannot collide with a real term
+_NEXT = "\x00next"
+
+
+def phrase_verify(
+    term_data: dict, seq: list[str], slop: int,
+    next_term_data: tuple | None = None,
+) -> np.ndarray:
     """Documents whose analyzed token stream contains ``seq`` with at most
     ``slop`` intervening tokens per gap. ``term_data[t] = (ids, tfs, pos)``
     with ids sorted, pos aligned to repeat(ids, tfs).
+
+    ``next_term_data`` (ids, tfs, pos — ids need NOT be sorted: it is a
+    concatenation of many expansion terms' streams) is the type-ahead
+    tail: when given, a document additionally needs one of those
+    occurrences at EXACTLY last-kept-position + 1 (the ES
+    match_phrase_prefix adjacency), chained as one more step with a
+    zero-slop window. The expansion never constrains the candidate doc
+    set (docs must contain all of ``seq``; the tail only gates the final
+    keep), and is only ever a probe array — so its ordering is free.
 
     Vectorized chain: candidates = docs containing ALL distinct terms;
     occurrences are packed into int64 keys ordinal*CAP + position (ordinal
@@ -62,9 +79,9 @@ def phrase_verify(term_data: dict, seq: list[str], slop: int) -> np.ndarray:
     absolute doc ids — no overflow at 10^12-doc id spaces). Step i keeps
     an occurrence of seq[i] at position p iff some kept occurrence of
     seq[i-1] sits at q with 1 <= p-q <= slop+1 (same doc, enforced by
-    clamping the probe window at the ordinal's key base). Both sides are
-    ascending, so the window test is two searchsorteds over the whole
-    occurrence array at once."""
+    clamping the probe window at the ordinal's key base). The kept side
+    is always ascending, so the window test is two searchsorteds over the
+    whole occurrence array at once."""
     distinct = sorted(set(seq))
     common = None
     for t in distinct:
@@ -72,12 +89,14 @@ def phrase_verify(term_data: dict, seq: list[str], slop: int) -> np.ndarray:
         common = ids if common is None else np.intersect1d(common, ids)
         if len(common) == 0:
             return np.empty(0, dtype=np.int64)
-    if len(seq) == 1:
+    if len(seq) == 1 and next_term_data is None:
         return common
+    streams = {t: term_data[t] for t in distinct}
+    if next_term_data is not None:
+        streams[_NEXT] = next_term_data
     maxpos = 0
     occ = {}
-    for t in distinct:
-        ids, tfs, pos = term_data[t]
+    for t, (ids, tfs, pos) in streams.items():
         mask_d = np.isin(ids, common)
         ord_d = np.searchsorted(common, ids)
         occ_mask = np.repeat(mask_d, tfs)
@@ -86,6 +105,8 @@ def phrase_verify(term_data: dict, seq: list[str], slop: int) -> np.ndarray:
         if len(pos_occ):
             maxpos = max(maxpos, int(pos_occ.max()))
         occ[t] = (ord_occ, pos_occ)
+    if next_term_data is not None and len(occ[_NEXT][0]) == 0:
+        return np.empty(0, dtype=np.int64)
     cap = np.int64(1) << np.int64(max(1, int(maxpos) + slop + 2).bit_length())
     # int32 keys when the packed space fits: halves the bytes every
     # searchsorted of the chain touches (the measured hot-phrase cost)
@@ -93,15 +114,18 @@ def phrase_verify(term_data: dict, seq: list[str], slop: int) -> np.ndarray:
     cap = kdt(cap)
     keys = {
         t: occ[t][0].astype(kdt) * cap + occ[t][1].astype(kdt)
-        for t in distinct
+        for t in occ
     }
+    steps = [(t, slop) for t in seq[1:]]
+    if next_term_data is not None:
+        steps.append((_NEXT, 0))  # "immediately followed": gap exactly 1
     cur = keys[seq[0]]
-    for t in seq[1:]:
+    for t, s in steps:
         if len(cur) == 0:
             return np.empty(0, dtype=np.int64)
         kt = keys[t]
         base = (kt // cap) * cap  # same-doc clamp for the probe window
-        lo = np.maximum(kt - kdt(slop + 1), base)
+        lo = np.maximum(kt - kdt(s + 1), base)
         hit = np.searchsorted(cur, lo, side="left") < np.searchsorted(
             cur, kt, side="left"
         )
@@ -131,8 +155,6 @@ def phrase_topk_fn(
     over the distinct terms, accumulated in sorted-term order with the
     same _impact factoring as every other path — bit-identical floats to
     the verify-first match_phrase (rank-identity-tested)."""
-    from .wand import _impact
-
     distinct = sorted(set(seq))
 
     def fn(blocks: pd.DataFrame, attrs=None) -> pd.DataFrame:
@@ -173,25 +195,129 @@ def phrase_topk_fn(
         )
         if len(verified) == 0:
             return empty
-        # BM25 require_all over distinct terms, term-major accumulation
-        acc = np.zeros(len(verified), dtype=np.float64)
-        for t in distinct:
-            ids, tfs, dls, _ = decoded[t]
-            m = np.isin(ids, verified)
-            idx = np.searchsorted(verified, ids[m])
-            w = idfs[t] * _impact(
-                tfs[m].astype(np.float64), dls[m].astype(np.float64), avgdl
-            )
-            acc += np.bincount(idx, weights=w, minlength=len(verified))
-        scores = np.round(acc, ROUND_DECIMALS)
-        if len(verified) > k:
-            order = np.lexsort((verified, -scores))[:k]
-            verified, scores = verified[order], scores[order]
-        return pd.DataFrame(
-            {
-                "doc_id": verified.astype(np.int64, copy=False),
-                "score": scores.astype(np.float64, copy=False),
-            }
+        return _score_verified(decoded, distinct, idfs, avgdl, verified, k)
+
+    return fn
+
+
+def _score_verified(
+    decoded: dict, distinct: list[str], idfs: dict, avgdl: float,
+    verified: np.ndarray, k: int,
+) -> pd.DataFrame:
+    """BM25 require_all over ``distinct`` terms for the ``verified`` doc
+    set, term-major accumulation in sorted-term order — the same _impact
+    factoring as every other path, so floats are bit-identical to the
+    verify-first phrase scorers (rank-identity-tested). Shared by the
+    phrase and phrase-prefix positional kernels."""
+    from .wand import _impact
+
+    acc = np.zeros(len(verified), dtype=np.float64)
+    for t in distinct:
+        ids, tfs, dls, _ = decoded[t]
+        m = np.isin(ids, verified)
+        idx = np.searchsorted(verified, ids[m])
+        w = idfs[t] * _impact(
+            tfs[m].astype(np.float64), dls[m].astype(np.float64), avgdl
         )
+        acc += np.bincount(idx, weights=w, minlength=len(verified))
+    scores = np.round(acc, ROUND_DECIMALS)
+    if len(verified) > k:
+        order = np.lexsort((verified, -scores))[:k]
+        verified, scores = verified[order], scores[order]
+    return pd.DataFrame(
+        {
+            "doc_id": verified.astype(np.int64, copy=False),
+            "score": scores.astype(np.float64, copy=False),
+        }
+    )
+
+
+def phrase_prefix_topk_fn(
+    seq: list[str],
+    pfx: str,
+    idfs: dict[str, float],
+    avgdl: float,
+    k: int,
+):
+    """Per-shard positional type-ahead scorer (ES match_phrase_prefix,
+    index-only): ``seq`` = the COMPLETE analyzed terms (scored, BM25
+    require_all), ``pfx`` = the trailing prefix (membership only — a doc
+    qualifies iff the complete sequence appears adjacent in order with a
+    token starting with ``pfx`` at the NEXT position).
+
+    The input blocks carry BOTH roles: rows whose term is in ``seq`` and
+    rows whose term starts with ``pfx`` (the Catalyst scan unions the two
+    pushed predicates); a complete term that itself starts with ``pfx``
+    legitimately serves both. Complete terms decode intersection-aware
+    (rarest seeds candidates, exactly phrase_topk_fn); the expansion rows
+    are range-pruned against those candidates BEFORE decode, then their
+    occurrence streams concatenate into the chain's zero-slop tail —
+    never collected, never scored, so there is no max_expansions
+    dependence (the verify-first semantics, preserved exactly)."""
+    distinct = sorted(set(seq))
+
+    def fn(blocks: pd.DataFrame, attrs=None) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {"doc_id": pd.Series(dtype="int64"), "score": pd.Series(dtype="float64")}
+        )
+        if len(blocks) == 0:
+            return empty
+        exp_rows = blocks[blocks["term"].str.startswith(pfx)]
+        if len(exp_rows) == 0:
+            return empty
+        per_term = {}
+        for t in distinct:
+            sub = blocks[blocks["term"] == t]
+            if len(sub) == 0:
+                return empty
+            per_term[t] = sub.sort_values("first_doc_id", kind="stable")
+        rare = max(distinct, key=lambda t: idfs[t])
+        decoded = {rare: _decode_term(per_term[rare], True)}
+        cand = decoded[rare][0]
+        for t in distinct:
+            if t == rare:
+                continue
+            sub = per_term[t]
+            lo = np.searchsorted(
+                cand, sub["first_doc_id"].to_numpy(dtype=np.int64), side="left"
+            )
+            hi = np.searchsorted(
+                cand, sub["last_doc_id"].to_numpy(dtype=np.int64), side="right"
+            )
+            sub = sub[hi > lo]
+            if len(sub) == 0:
+                return empty
+            decoded[t] = _decode_term(sub, True)
+        lo = np.searchsorted(
+            cand, exp_rows["first_doc_id"].to_numpy(dtype=np.int64), side="left"
+        )
+        hi = np.searchsorted(
+            cand, exp_rows["last_doc_id"].to_numpy(dtype=np.int64), side="right"
+        )
+        exp_rows = exp_rows[hi > lo]
+        if len(exp_rows) == 0:
+            return empty
+        ids_l, tfs_l, pos_l = [], [], []
+        for _, grp in exp_rows.groupby("term", sort=False):
+            gi, gt, _, gp = _decode_term(
+                grp.sort_values("first_doc_id", kind="stable"), True
+            )
+            ids_l.append(gi)
+            tfs_l.append(gt)
+            pos_l.append(gp)
+        nxt = (
+            np.concatenate(ids_l),
+            np.concatenate(tfs_l),
+            np.concatenate(pos_l),
+        )
+        verified = phrase_verify(
+            {t: (decoded[t][0], decoded[t][1], decoded[t][3]) for t in distinct},
+            seq,
+            0,
+            next_term_data=nxt,
+        )
+        if len(verified) == 0:
+            return empty
+        return _score_verified(decoded, distinct, idfs, avgdl, verified, k)
 
     return fn

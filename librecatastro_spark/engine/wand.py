@@ -500,6 +500,7 @@ class CompressedIndex:
         min_match: int | None = None,
         exists_cols: list[str] | None = None,
         ids: list[int] | None = None,
+        geo: tuple | None = None,
     ) -> DataFrame:
         """Top-k BM25 (doc_id, score), score DESC / doc_id ASC.
 
@@ -507,6 +508,13 @@ class CompressedIndex:
         ``ids`` the ES ids query (doc-id In list) — both evaluated in
         Catalyst beside the other filters, pushed to the attrs scan
         (IsNotNull / In reach Parquet row-group pruning).
+
+        ``geo`` is the ES geo_distance query over geo_point attr columns:
+        (lon_col, lat_col, lon0, lat0, radius_m) — the shared ops.geo
+        predicate: a conservative radius-derived bbox (simple comparisons,
+        pushed to the attrs Parquet scan) ANDed with the exact Catalyst
+        haversine, evaluated beside the other filter clauses so the
+        scorer cogroup ships only surviving (shard, doc_id) pairs.
 
         ``min_match`` is ES ``minimum_should_match`` on a match query: a
         doc qualifies only if it matches at least that many DISTINCT
@@ -551,6 +559,7 @@ class CompressedIndex:
         local_k = k + offset  # each shard must surface the whole window
         has_filter = bool(
             filters or prefix or ranges or exists_cols or ids is not None
+            or geo is not None
         )
         fn = _shard_topk_fn(
             terms, idfs, self.meta.avgdl, local_k,
@@ -584,6 +593,13 @@ class CompressedIndex:
                 cond = cond & F.col(col).isNotNull()
             if ids is not None:
                 cond = cond & F.col("doc_id").isin([int(i) for i in ids])
+            if geo is not None:
+                from ..ops.geo import geo_distance_cond
+
+                lon_c, lat_c, lon0, lat0, radius_m = geo
+                cond = cond & geo_distance_cond(
+                    F.col(lon_c), F.col(lat_c), lon0, lat0, radius_m
+                )
             allowed = self.attrs.where(cond).select("shard", "doc_id")
             partial = (
                 blocks.groupBy("shard")
@@ -857,6 +873,87 @@ class CompressedIndex:
         from .positions import phrase_topk_fn
 
         fn = phrase_topk_fn(seq, idfs, self.meta.avgdl, k + offset, slop)
+        partial = blocks.groupBy("shard").applyInPandas(
+            lambda key, bl: fn(bl), schema=_RESULT_SCHEMA
+        )
+        ranked = partial.withColumn(
+            "score", F.round("score", ROUND_DECIMALS)
+        ).orderBy(F.desc("score"), F.asc("doc_id"))
+        if offset:
+            ranked = ranked.offset(offset)
+        return ranked.limit(k)
+
+    def match_phrase_prefix_positional(
+        self,
+        text: str,
+        k: int = 10,
+        offset: int = 0,
+    ) -> DataFrame:
+        """ES match_phrase_prefix answered ENTIRELY from the index —
+        requires ``index_options="positions"``. Identical semantics,
+        scoring contract and rank to ``match_phrase_prefix`` (the
+        verify-first path; rank-identity-tested): the complete terms must
+        appear adjacent in order with a token starting with the last
+        analyzed token at the NEXT position; BM25 require_all over the
+        COMPLETE terms only.
+
+        Plan: ONE postings scan covering both roles — In(complete terms)
+        OR the [pfx, successor) vocab range (both predicates push to the
+        term-sorted Parquet files; the range prunes row groups exactly
+        like ``term_prefix_search``), doc-window BETWEEN from the
+        complete terms' block metadata → per-shard grouped map
+        (positions.phrase_prefix_topk_fn: chain the complete positions,
+        then a zero-slop step into the concatenated expansion streams) →
+        global rounded merge. Data volume is O(complete-term postings +
+        window-pruned expansion postings) at any corpus size — the
+        source-table verify scan the type-ahead shape previously paid is
+        gone. The expansion is never collected and never scored, so
+        there is no max_expansions dependence (verify-first semantics
+        preserved exactly). Single-token queries route to
+        ``term_prefix_search`` (index-only already, and the cheaper
+        plan). Falls back conceptually to ``match_phrase_prefix`` when
+        the index lacks positions — callers keep that path for
+        position-less indexes."""
+        if self.meta.index_options != "positions":
+            raise ValueError(
+                "match_phrase_prefix_positional needs index_options="
+                f"'positions' (index has {self.meta.index_options!r}); "
+                "use match_phrase_prefix"
+            )
+        seq = analyze_text(text)
+        if not seq:
+            raise ValueError("phrase analyzes to zero terms")
+        complete, pfx = seq[:-1], seq[-1]
+        if not complete:
+            return self.term_prefix_search(pfx, k=k)
+        terms = sorted(set(complete))
+        idfs = self._idfs(terms)
+        if len(idfs) < len(terms):
+            return self.spark.createDataFrame([], _RESULT_SCHEMA)
+        cblocks = self.postings.where(F.col("term").isin(terms))
+        spans = cblocks.groupBy("term").agg(
+            F.min("first_doc_id").alias("lo"), F.max("last_doc_id").alias("hi")
+        ).collect()
+        if len(spans) < len(terms):
+            return self.spark.createDataFrame([], _RESULT_SCHEMA)
+        lo = max(int(r["lo"]) for r in spans)
+        hi = min(int(r["hi"]) for r in spans)
+        if lo > hi:
+            return self.spark.createDataFrame([], _RESULT_SCHEMA)
+        pfx_hi = _prefix_successor(pfx)
+        exp_cond = F.col("term") >= pfx
+        if pfx_hi is not None:
+            exp_cond = exp_cond & (F.col("term") < pfx_hi)
+        blocks = self.postings.where(
+            (F.col("term").isin(terms) | exp_cond)
+            & (F.col("last_doc_id") >= lo)
+            & (F.col("first_doc_id") <= hi)
+        )
+        from .positions import phrase_prefix_topk_fn
+
+        fn = phrase_prefix_topk_fn(
+            complete, pfx, idfs, self.meta.avgdl, k + offset
+        )
         partial = blocks.groupBy("shard").applyInPandas(
             lambda key, bl: fn(bl), schema=_RESULT_SCHEMA
         )
@@ -1732,8 +1829,29 @@ class CompressedIndex:
             cond = cond & (F.col("term") < hi)
         return self._constant_score_docs(self.postings.where(cond), k)
 
+    def _cap_expansion(self, vocab: DataFrame, max_expansions: int) -> list[str]:
+        """ES ``max_expansions`` contract (default 50 there and here):
+        keep the best ``max_expansions`` matched dictionary terms by df
+        (desc; term asc tiebreak — deterministic), silently dropping the
+        tail like ES. The cut is an ``orderBy().limit()`` —
+        TakeOrderedAndProject, each task keeps only ``max_expansions``
+        candidates — so the driver NEVER materializes O(vocab) terms:
+        a leading wildcard or hot fuzzy stem over a billion-term code
+        vocabulary (the uid tail) collects at most ``max_expansions``
+        rows, not the expansion."""
+        if max_expansions <= 0:
+            raise ValueError("max_expansions must be positive")
+        rows = (
+            vocab.select("term", "df")
+            .orderBy(F.desc("df"), F.asc("term"))
+            .limit(max_expansions)
+            .collect()
+        )
+        return [r["term"] for r in rows]
+
     def fuzzy_term_search(
-        self, term: str, k: int = 10, max_edits: int = 1, prefix_len: int = 0
+        self, term: str, k: int = 10, max_edits: int = 1, prefix_len: int = 0,
+        max_expansions: int = 50,
     ) -> DataFrame:
         """ES ``fuzzy`` query analog (B5 sibling): docs containing ≥1
         indexed term within ``max_edits`` Levenshtein edits of ``term``.
@@ -1745,8 +1863,9 @@ class CompressedIndex:
         is orders of magnitude below O(corpus), embarrassingly parallel,
         and (like ES's ``prefix_length``) an optional common-prefix
         constraint pushes StringStartsWith into the vocab scan. The
-        matched terms (a vocab-bounded, typically tiny list) then push an
-        ``In(term, …)`` filter into the postings scan.
+        matched terms — capped at ``max_expansions`` best-by-df via a
+        distributed TakeOrderedAndProject (see ``_cap_expansion``) —
+        then push an ``In(term, …)`` filter into the postings scan.
 
         Constant score 1.0 with deterministic doc_id order — the same
         contract as ``term_prefix_search`` (ES scores fuzzy matches with
@@ -1759,20 +1878,22 @@ class CompressedIndex:
         if len(q) != 1:
             raise ValueError("fuzzy_term_search takes exactly one analyzed term")
         qt = q[0]
-        vocab = self.term_stats.select("term")
+        vocab = self.term_stats.select("term", "df")
         if prefix_len > 0:
             vocab = vocab.where(F.col("term").startswith(qt[:prefix_len]))
         vocab = vocab.where(
             F.length("term").between(len(qt) - max_edits, len(qt) + max_edits)
         ).where(F.levenshtein(F.col("term"), F.lit(qt)) <= max_edits)
-        cands = [r["term"] for r in vocab.collect()]
+        cands = self._cap_expansion(vocab, max_expansions)
         if not cands:
             return self.spark.createDataFrame([], _RESULT_SCHEMA)
         return self._constant_score_docs(
             self.postings.where(F.col("term").isin(cands)), k
         )
 
-    def wildcard_term_search(self, pattern: str, k: int = 10) -> DataFrame:
+    def wildcard_term_search(
+        self, pattern: str, k: int = 10, max_expansions: int = 50
+    ) -> DataFrame:
         """ES ``wildcard`` query: docs containing ≥1 indexed term matching
         ``pattern``, where ``*`` = any sequence and ``?`` = one character
         (anchored full-term match, ES semantics).
@@ -1782,9 +1903,11 @@ class CompressedIndex:
         prefix before the first wildcard pushes a [prefix, successor)
         range into the vocab Parquet scan (so ``sp*k`` prunes row groups
         like a prefix query; a leading wildcard degrades to a full vocab
-        scan, exactly ES's documented wildcard hazard), the survivors are
-        matched with one codegen'd ``rlike`` on an anchored regex, and
-        the matched terms push ``In(term, …)`` into the postings scan.
+        scan, exactly ES's documented wildcard hazard — the scan stays
+        distributed and the driver holds at most ``max_expansions``
+        survivors via ``_cap_expansion``), the survivors are matched
+        with one codegen'd ``rlike`` on an anchored regex, and the
+        matched terms push ``In(term, …)`` into the postings scan.
         Constant score 1.0, deterministic doc_id order (same contract and
         oracle shape as prefix/fuzzy; ES wildcard is constant-score too).
         """
@@ -1801,7 +1924,7 @@ class CompressedIndex:
             ".*" if c == "*" else "." if c == "?" else re.escape(c)
             for c in pattern.lower()
         ) + "$"
-        vocab = self.term_stats.select("term")
+        vocab = self.term_stats.select("term", "df")
         if lit_prefix:
             hi = _prefix_successor(lit_prefix.lower())
             cond = F.col("term") >= lit_prefix.lower()
@@ -1809,18 +1932,21 @@ class CompressedIndex:
                 cond = cond & (F.col("term") < hi)
             vocab = vocab.where(cond)
         vocab = vocab.where(F.col("term").rlike(rx))
-        cands = [r["term"] for r in vocab.collect()]
+        cands = self._cap_expansion(vocab, max_expansions)
         if not cands:
             return self.spark.createDataFrame([], _RESULT_SCHEMA)
         return self._constant_score_docs(
             self.postings.where(F.col("term").isin(cands)), k
         )
 
-    def regexp_term_search(self, regex: str, k: int = 10) -> DataFrame:
+    def regexp_term_search(
+        self, regex: str, k: int = 10, max_expansions: int = 50
+    ) -> DataFrame:
         """ES ``regexp`` query: docs containing ≥1 indexed term whose
         ENTIRE text matches ``regex`` (ES anchors implicitly; so does
         this). Dictionary-expansion architecture as above — one rlike
-        over the vocab scan, then In(term) into the postings. Patterns
+        over the vocab scan, ``max_expansions``-capped best-by-df
+        (``_cap_expansion``), then In(term) into the postings. Patterns
         must stay in the Java-regex ∩ RE2 common subset (char classes,
         alternation, quantifiers — no backrefs) so the DuckDB twin
         (regexp_full_match) is exact; documented engine contract, same
@@ -1828,10 +1954,10 @@ class CompressedIndex:
         Constant score 1.0, deterministic doc_id order."""
         if not regex:
             raise ValueError("regexp_term_search needs a non-empty regex")
-        vocab = self.term_stats.select("term").where(
+        vocab = self.term_stats.select("term", "df").where(
             F.col("term").rlike(f"^(?:{regex})$")
         )
-        cands = [r["term"] for r in vocab.collect()]
+        cands = self._cap_expansion(vocab, max_expansions)
         if not cands:
             return self.spark.createDataFrame([], _RESULT_SCHEMA)
         return self._constant_score_docs(
@@ -2060,7 +2186,11 @@ class CompressedIndex:
         match set — each (lo, hi) is a half-open [lo, hi) interval, None
         for an open end (the ES from/to contract). Per-shard map-side
         combine, shuffle O(shards × buckets); empty buckets kept with
-        cnt 0. Rows ordered by bucket lower bound (key = "lo-hi")."""
+        cnt 0. Rows come back in CALLER bounds order (key = "lo-hi").
+        Duplicate (lo, hi) bounds are rejected up front: the bucket key
+        doubles as a map key in the ordering expression (duplicate map
+        keys throw under Spark's default mapKeyDedupPolicy=EXCEPTION)
+        and the zero-frame groupBy would silently merge their counts."""
         terms = sorted(set(analyze_text(text)))
         if not terms:
             raise ValueError("query analyzes to zero terms")
@@ -2072,6 +2202,8 @@ class CompressedIndex:
             f"{'*' if lo is None else lo}-{'*' if hi is None else hi}"
             for lo, hi in bounds
         ]
+        if len(set(keys)) != len(keys):
+            raise ValueError(f"duplicate (lo, hi) bounds in {bounds!r}")
         schema = "bucket string, cnt long"
         zero = self.spark.createDataFrame([(k, 0) for k in keys], schema)
         order = {k: i for i, k in enumerate(keys)}
@@ -2362,8 +2494,12 @@ class CompressedIndex:
         its shard while the key still ranks top-n on a best hit living
         elsewhere), so the cap here is the key cardinality, exactly
         facet_counts' bound: shuffle O(shards × distinct keys × j),
-        never O(matches). The global pass re-ranks with two Windows
-        (per-key top-j, then keys by their best) + one final sort."""
+        never O(matches). The global pass re-ranks with one key-
+        partitioned Window (per-key top-j), then picks the winning keys
+        with a map-side-combined groupBy + orderBy().limit(n_groups)
+        (TakeOrderedAndProject) — never a partition-less Window, whose
+        single task would sort O(distinct keys in the match set) rows
+        (millions for a hot query grouped by repo at 100×)."""
         if group_col == "doc_id" or group_col not in self.attrs.columns:
             raise ValueError(f"index attrs lack group column {group_col!r}")
         terms, idfs = self._match_terms(text)
@@ -2410,15 +2546,17 @@ class CompressedIndex:
             partial.withColumn("_rn", F.row_number().over(in_key))
             .where(F.col("_rn") <= k_per_group)
         )
-        key_best = Window.partitionBy("group_key")
-        by_best = ranked.withColumn("_best", F.max("score").over(key_best))
-        # the key ranking runs over ≤ shards × n_groups × j rows (the
-        # partial cap), so the single-partition Window is driver-trivial
-        key_rank = Window.orderBy(F.desc("_best"), F.asc("group_key"))
+        # winning keys = top n_groups by best score: a map-side-combined
+        # groupBy + orderBy().limit() = TakeOrderedAndProject; each task
+        # keeps only n_groups candidates. (group_key is unique per row
+        # after the agg, so this is exactly the old dense_rank cut —
+        # minus the partition-less Window that sorted ALL distinct keys
+        # in the match set on a single task.)
         keys = (
-            by_best.select("group_key", "_best").distinct()
-            .withColumn("_kr", F.dense_rank().over(key_rank))
-            .where(F.col("_kr") <= n_groups)
+            ranked.groupBy("group_key")
+            .agg(F.max("score").alias("_best"))
+            .orderBy(F.desc("_best"), F.asc("group_key"))
+            .limit(n_groups)
             .select("group_key")
         )
         return (

@@ -7,6 +7,8 @@
 * lattice generation over a bbox — the grid-scan source (A22; reference:
   src/librecatastro/scrapping/searchers/coordinates_searcher.py:53-96)
 * geohash encode — base32 geohash as a vectorized pandas_udf
+* geo_distance radius filter — haversine in Catalyst behind a
+  conservative bbox pruner (the ES geo_distance query over geo_point)
 
 The exact polygon test is a numpy-vectorized ray cast inside a pandas_udf
 (shapely is not in this image; the algorithm is the textbook even-odd
@@ -16,11 +18,16 @@ row-group skipping applies before any Python runs.
 
 from __future__ import annotations
 
+import math
+
 import numpy as np
 import pandas as pd
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import BooleanType, StringType
+
+#: mean Earth radius in meters — the ES/Lucene arc-distance default
+EARTH_RADIUS_M = 6_371_000.0
 
 
 def cell_agg(
@@ -46,6 +53,69 @@ def bbox_filter(df: DataFrame, bbox: tuple[float, float, float, float],
         (F.col(lon_col) >= x0) & (F.col(lon_col) < x1)
         & (F.col(lat_col) >= y0) & (F.col(lat_col) < y1)
     )
+
+
+def haversine_m(lon_col: Column, lat_col: Column, lon0: float, lat0: float) -> Column:
+    """Great-circle distance (meters) from each row's point to a fixed
+    center — pure Catalyst: radians/sin/cos/asin/sqrt are codegen
+    intrinsics, so the whole expression stays JVM-side in the scan
+    projection (no Python anywhere). Same haversine the DuckDB oracle
+    twin spells out, so the two engines agree to float ulps."""
+    dlat = F.radians(lat_col - F.lit(float(lat0)))
+    dlon = F.radians(lon_col - F.lit(float(lon0)))
+    a = (
+        F.sin(dlat / 2) * F.sin(dlat / 2)
+        + F.cos(F.radians(F.lit(float(lat0))))
+        * F.cos(F.radians(lat_col))
+        * F.sin(dlon / 2) * F.sin(dlon / 2)
+    )
+    return F.lit(2.0 * EARTH_RADIUS_M) * F.asin(F.sqrt(a))
+
+
+def geo_distance(
+    df: DataFrame, lon0: float, lat0: float, radius_m: float,
+    lon_col: str = "lon", lat_col: str = "lat",
+) -> DataFrame:
+    """ES ``geo_distance`` query: rows within ``radius_m`` meters of
+    (lon0, lat0). Coarse-to-fine like ``points_in_polygon`` (A23): a
+    conservative lat/lon bbox derived from the radius prunes FIRST as a
+    plain Catalyst predicate (pushed to the Parquet scan — at 100 TB the
+    bbox eliminates almost every row group before any trig runs), then
+    the exact haversine test filters the survivors. The reference maps
+    ``location`` as geo_point (src/utils/elasticsearch_utils.py:35-37);
+    radius search is the canonical query against that type.
+
+    The bbox is CONSERVATIVE only: near the poles (cos(lat) → 0) or when
+    the lon window would cross the antimeridian, the lon constraint is
+    dropped rather than wrapped — correctness always comes from the
+    haversine predicate, the bbox is purely a pruner."""
+    return df.where(
+        geo_distance_cond(F.col(lon_col), F.col(lat_col), lon0, lat0, radius_m)
+    )
+
+
+def geo_distance_cond(
+    lon_col: Column, lat_col: Column, lon0: float, lat0: float, radius_m: float
+) -> Column:
+    """The geo_distance filter as ONE Catalyst predicate — conservative
+    radius-derived bbox comparisons (simple, Parquet-pushable) ANDed with
+    the exact haversine test. Shared by ``geo_distance`` and the search
+    engines' ``geo`` filter clause so the semantics can't fork."""
+    if radius_m <= 0:
+        raise ValueError("radius_m must be positive")
+    dlat = math.degrees(radius_m / EARTH_RADIUS_M)
+    lat_lo, lat_hi = lat0 - dlat, lat0 + dlat
+    cond = (lat_col >= F.lit(lat_lo)) & (lat_col <= F.lit(lat_hi))
+    max_abs_lat = min(max(abs(lat_lo), abs(lat_hi)), 89.999999)
+    cos_min = math.cos(math.radians(max_abs_lat))
+    if cos_min > 1e-9:
+        dlon = math.degrees(radius_m / (EARTH_RADIUS_M * cos_min))
+        if dlon < 180.0 and lon0 - dlon >= -180.0 and lon0 + dlon <= 180.0:
+            cond = cond & (lon_col >= F.lit(lon0 - dlon)) & (
+                lon_col <= F.lit(lon0 + dlon)
+            )
+    dist = haversine_m(lon_col, lat_col, lon0, lat0)
+    return cond & (dist <= F.lit(float(radius_m)))
 
 
 def polygon_bbox(polygon: list[tuple[float, float]]) -> tuple[float, float, float, float]:

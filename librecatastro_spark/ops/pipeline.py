@@ -17,12 +17,13 @@ cadaster_entry.py:53-77); the LLM-pipeline stages are the engine's
 from-scratch extension per the build brief.
 
 Determinism/gating: the near-dup stage uses the SAME minhash-LSH
-parameters as the gated ``dedup_minhash_lsh`` (16 single-hash bands,
-j ≥ 0.5), whose candidate recall at that threshold is
-1 − (1−j)^16 ≥ 0.99998 per qualifying pair and which hash-matches the
-exact-Jaccard oracle on every shipped corpus (FIXTURES.md cross-scale
-run); the SQL twin therefore drops exact-Jaccard pairs, mirroring the
-gated query's oracle contract.
+parameters as the gated ``dedup_minhash_lsh`` (32 hashes × 16 two-row
+bands, j ≥ 0.5), whose candidate recall at that threshold is
+1 − (1−j²)^16 ≥ 0.99 per qualifying pair (BENCH.md's S-curve; the
+two-row banding is the r3 zipfian-skew fix that collapsed the hot
+bucket) and which hash-matches the exact-Jaccard oracle on every
+shipped corpus (FIXTURES.md cross-scale run); the SQL twin therefore
+drops exact-Jaccard pairs, mirroring the gated query's oracle contract.
 """
 
 from __future__ import annotations

@@ -75,6 +75,50 @@ def test_regexp_matches_reference(corpus, wand):
     assert got
 
 
+def test_expansion_cap_bounds_driver_and_keeps_best_df(corpus, wand):
+    """ES max_expansions on a leading-* pattern matching the WHOLE
+    vocabulary: the driver materializes at most max_expansions terms
+    (best-N by df desc, term asc — a distributed TakeOrderedAndProject),
+    never O(vocab); the result is exactly the docs containing ≥1 of that
+    capped set. A 10^12-file code corpus has a vocab in the billions
+    (the uid tail), so an uncapped collect here is a driver OOM."""
+    n = 5
+    exp = [
+        r["term"] for r in wand.term_stats
+        .orderBy(F.desc("df"), F.asc("term")).limit(n).collect()
+    ]
+    assert wand._cap_expansion(wand.term_stats, n) == exp
+    got = [r["doc_id"] for r in
+           wand.wildcard_term_search("*", k=10_000, max_expansions=n).collect()]
+    want = [
+        r["doc_id"] for r in corpus.select(
+            "doc_id", F.explode(tokenize_expr("content")).alias("t")
+        ).where(F.col("t").isin(exp)).select("doc_id").distinct()
+        .orderBy("doc_id").collect()
+    ]
+    assert got == want and got
+    # same cap semantics on the regexp expansion path
+    exp_rx = [
+        r["term"] for r in wand.term_stats
+        .where(F.col("term").rlike("^(?:[a-z]+)$"))
+        .orderBy(F.desc("df"), F.asc("term")).limit(n).collect()
+    ]
+    got_rx = [r["doc_id"] for r in
+              wand.regexp_term_search("[a-z]+", k=10_000, max_expansions=n)
+              .collect()]
+    want_rx = [
+        r["doc_id"] for r in corpus.select(
+            "doc_id", F.explode(tokenize_expr("content")).alias("t")
+        ).where(F.col("t").isin(exp_rx)).select("doc_id").distinct()
+        .orderBy("doc_id").collect()
+    ]
+    assert got_rx == want_rx and got_rx
+    with pytest.raises(ValueError):
+        wand.wildcard_term_search("*", max_expansions=0)
+    with pytest.raises(ValueError):
+        wand.fuzzy_term_search("def", max_expansions=-1)
+
+
 def _match_docs(exact, text):
     return exact.match_scores(text).select("doc_id")
 
@@ -409,3 +453,17 @@ def test_range_agg_vs_reference(wand, exact, corpus):
     assert [c for _, c in got] == want
     assert got[-1][1] == 0  # out-of-domain bucket kept, empty
     assert sum(c for _, c in got[:3]) == joined.count()
+
+
+def test_range_agg_caller_order_and_duplicate_bounds(wand):
+    """Rows come back in CALLER bounds order (not sorted by lower bound),
+    and duplicate (lo, hi) bounds are rejected up front — the bucket key
+    doubles as a map key in the ordering expression, which would throw
+    mid-query under mapKeyDedupPolicy=EXCEPTION, and the zero-frame
+    groupBy would silently merge the duplicates' counts."""
+    bounds = [(120, None), (None, 50), (50, 120)]  # deliberately unsorted
+    got = [r["bucket"] for r in
+           wand.range_agg("def return", "doc_id", bounds).collect()]
+    assert got == ["120-*", "*-50", "50-120"]
+    with pytest.raises(ValueError, match="duplicate"):
+        wand.range_agg("def return", "doc_id", [(None, 50), (None, 50)])

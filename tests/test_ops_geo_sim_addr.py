@@ -6,7 +6,9 @@ from pyspark.sql import functions as F
 
 from librecatastro_spark.ops.address import parse_address
 from librecatastro_spark.ops.geo import (
+    EARTH_RADIUS_M,
     cell_agg,
+    geo_distance,
     geohash_udf,
     lattice,
     points_in_polygon,
@@ -53,6 +55,87 @@ def test_cell_agg(spark):
     )
     got = {(r["cell_lon"], r["cell_lat"]): r["n"] for r in cell_agg(df, scale=10).collect()}
     assert got == {(0, 0): 2, (1, 0): 1, (-1, 0): 1}
+
+
+def _haversine_ref(lon, lat, lon0, lat0):
+    import math
+
+    p1, p2 = math.radians(lat0), math.radians(lat)
+    dp = math.radians(lat - lat0)
+    dl = math.radians(lon - lon0)
+    a = (math.sin(dp / 2) ** 2
+         + math.cos(p1) * math.cos(p2) * math.sin(dl / 2) ** 2)
+    return 2 * EARTH_RADIUS_M * math.asin(math.sqrt(a))
+
+
+def test_geo_distance_matches_brute_force(spark):
+    """ES geo_distance: membership equals the textbook haversine ≤ r
+    test on every lattice point — the bbox pruner must be conservative
+    (never drop a true member)."""
+    df = lattice(spark, (-30.0, -30.0, 30.0, 30.0), scale=1)
+    got = {(r["lon"], r["lat"]) for r in
+           geo_distance(df, 5.0, 10.0, 1_500_000.0).collect()}
+    pts = [(r["lon"], r["lat"]) for r in df.collect()]
+    want = {(x, y) for x, y in pts
+            if _haversine_ref(x, y, 5.0, 10.0) <= 1_500_000.0}
+    assert got == want and got
+
+
+def test_geo_distance_pole_and_antimeridian_conservative(spark):
+    """Near a pole (cos lat → 0) and across the antimeridian the lon
+    bbox constraint must be DROPPED, not wrapped wrongly — membership
+    still exact via the haversine predicate."""
+    df = spark.createDataFrame(
+        [(-179.5, 0.0), (179.5, 0.0), (0.0, 89.5), (180.0 - 0.5, 89.5),
+         (10.0, 0.0)],
+        "lon double, lat double",
+    )
+    # center just west of the antimeridian: (-179.5, 0) is ~0 km away,
+    # (179.5, 0) is ~111 km away across the line — both within 200 km
+    got = {(r["lon"], r["lat"]) for r in
+           geo_distance(df, -179.9, 0.0, 200_000.0).collect()}
+    assert got == {(-179.5, 0.0), (179.5, 0.0)}
+    # polar center: every lon at lat 89.5 is within ~56 km of the pole
+    got = {(r["lon"], r["lat"]) for r in
+           geo_distance(df, 0.0, 90.0, 100_000.0).collect()}
+    assert got == {(0.0, 89.5), (179.5, 89.5)}
+    with pytest.raises(ValueError):
+        geo_distance(df, 0.0, 0.0, 0.0)
+
+
+def test_geo_filter_search_paths_identical(spark, tmp_path):
+    """ES geo_distance as a search filter clause: exact engine and the
+    compressed index agree rank-for-rank, and membership equals the
+    unfiltered search intersected with the brute-force radius set."""
+    from librecatastro_spark.corpus import assign_doc_ids, generate_corpus
+    from librecatastro_spark.engine import ExactBM25
+    from librecatastro_spark.engine.wand import CompressedIndex
+    from librecatastro_spark.index.builder import build_index
+
+    docs = assign_doc_ids(
+        generate_corpus(spark, 200, min_tokens=20, max_tokens=80, partitions=2)
+    ).withColumn(
+        "lon", (F.col("doc_id") % 360).cast("double") - 180.0
+    ).withColumn(
+        "lat", ((F.col("doc_id") * 7) % 180).cast("double") - 90.0
+    ).cache()
+    geo = ("lon", "lat", 20.0, 10.0, 3_000_000.0)
+    exact = ExactBM25(docs, attr_cols=("lon", "lat"))
+    out = str(tmp_path / "gidx")
+    build_index(spark, docs, out, attr_cols=("lon", "lat"), n_shards=2,
+                block_size=16, salt_threshold=1000, n_salts=2)
+    cidx = CompressedIndex(spark, out)
+    e = [(r["doc_id"], r["score"]) for r in
+         exact.search("def return", k=10_000, geo=geo).collect()]
+    c = [(r["doc_id"], r["score"]) for r in
+         cidx.search("def return", k=10_000, geo=geo).collect()]
+    assert e == c and e
+    base = {r["doc_id"] for r in exact.search("def return", k=10_000).collect()}
+    inside = {
+        r["doc_id"] for r in docs.collect()
+        if _haversine_ref(r["lon"], r["lat"], 20.0, 10.0) <= 3_000_000.0
+    }
+    assert {d for d, _ in e} == base & inside
 
 
 def test_geohash_known_values(spark):

@@ -187,7 +187,67 @@ def test_append_preserves_positions(spark, corpus, tmp_path_factory):
     for phrase, slop in (("def return", 0), ("def return", 1)):
         a = rows(idx.match_phrase_positional(phrase, k=10_000, slop=slop))
         b = rows(fresh.match_phrase_positional(phrase, k=10_000, slop=slop))
-        assert {d for d, _ in a} == {d for d, _ in b}
+        # FULL (doc_id, score) row equality: append merges term stats, so
+        # df/cf/avgdl — and therefore every BM25 weight — must equal the
+        # fresh build's exactly; a set-only check would let score/rank
+        # drift after append_batch go undetected (r3 ADVICE)
+        assert a == b and a
+
+
+# ------------------------------------------- match_phrase_prefix (r4) ----
+
+PREFIX_QUERIES = [
+    "def re",       # hot complete term + hot prefix
+    "spark sessio", # selective: exactly one matching doc
+    "import d",
+    "def return",   # prefix == a complete indexed term
+    "return retu",  # repeated-stem: complete term also matches pfx
+]
+
+
+@pytest.mark.parametrize("q", PREFIX_QUERIES)
+def test_phrase_prefix_positional_matches_verify_first(pidx, corpus, q):
+    """The index-only type-ahead path must be RANK-IDENTICAL to the
+    verify-first match_phrase_prefix (scores included — both score BM25
+    require_all over the complete terms only)."""
+    vf = rows(
+        pidx.match_phrase_prefix(q, corpus, k=10_000, source_text_col="content")
+    )
+    po = rows(pidx.match_phrase_prefix_positional(q, k=10_000))
+    assert po == vf and vf
+
+
+def test_phrase_prefix_positional_topk_offset_and_edges(pidx, corpus):
+    full = rows(
+        pidx.match_phrase_prefix(
+            "def re", corpus, k=20, source_text_col="content"
+        )
+    )
+    assert rows(pidx.match_phrase_prefix_positional("def re", k=20)) == full
+    assert (
+        rows(pidx.match_phrase_prefix_positional("def re", k=5, offset=5))
+        == full[5:10]
+    )
+    # single token routes to term_prefix_search (constant score, id ASC)
+    a = rows(pidx.match_phrase_prefix_positional("retu", k=15))
+    b = rows(pidx.term_prefix_search("retu", k=15))
+    assert a == b and a
+    # absent complete term / absent prefix -> empty
+    assert rows(pidx.match_phrase_prefix_positional("zzznope re")) == []
+    assert rows(pidx.match_phrase_prefix_positional("def zzznope")) == []
+    with pytest.raises(ValueError):
+        pidx.match_phrase_prefix_positional("!!!")
+
+
+def test_freqs_index_refuses_phrase_prefix_positional(spark, corpus, tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("fidx2"))
+    build_index(
+        spark, corpus, out, attr_cols=("repo",),
+        n_shards=2, block_size=16, salt_threshold=120, n_salts=4,
+    )
+    idx = CompressedIndex(spark, out)
+    with pytest.raises(ValueError):
+        idx.match_phrase_prefix_positional("def re")
 
 
 def test_positional_build_is_rank_identical_on_keyword_queries(pidx, spark):

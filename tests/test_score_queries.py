@@ -190,3 +190,33 @@ def test_function_score_nonnumeric_field_is_missing_zero(exact, cidx):
     assert e == c and e
     # log1p(0) == 0 and boost_mode=multiply -> every score is 0.0
     assert all(s == 0.0 for _, s in e)
+
+
+@pytest.mark.parametrize("modifier", ["sqrt", "log1p"])
+def test_function_score_negative_product_clamped(exact, cidx, modifier):
+    """Negative field*factor is clamped to 0 before sqrt/log1p on every
+    path — without the clamp it yields NaN, which numpy's lexsort drops
+    from per-shard top-k while Spark's desc ordering ranks NaN FIRST,
+    silently breaking cross-path rank identity on legal inputs (ES
+    rejects NaN function_score results outright)."""
+    e = rows(exact.function_score("def return", "stars", k=25,
+                                  modifier=modifier, factor=-2.0))
+    c = rows(cidx.function_score("def return", "stars", k=25,
+                                 modifier=modifier, factor=-2.0))
+    assert e == c and e
+    # clamp -> factor term is 0 for every doc -> multiply zeroes all scores
+    assert all(s == 0.0 for _, s in e)
+    assert not any(math.isnan(s) for _, s in e)
+
+
+def test_function_score_negative_sum_mode_no_nan(exact, cidx):
+    """boost_mode=sum with a negative product: the clamped factor adds 0,
+    so scores equal the plain BM25 ranking — and stay NaN-free."""
+    base = rows(exact.search("def return", k=25))
+    e = rows(exact.function_score("def return", "stars", k=25,
+                                  modifier="sqrt", factor=-1.5,
+                                  boost_mode="sum"))
+    c = rows(cidx.function_score("def return", "stars", k=25,
+                                 modifier="sqrt", factor=-1.5,
+                                 boost_mode="sum"))
+    assert e == c == base

@@ -49,6 +49,7 @@ CHECKS = {
     "arrow_eval": "ArrowEvalPython",
     "grouped_map": "FlatMapGroupsInPandas",
     "cogrouped_map": "FlatMapCoGroupsInPandas",
+    "single_partition": "Exchange SinglePartition",
 }
 
 
@@ -183,6 +184,24 @@ def main() -> int:
     sections.append(s); problems += p
 
     s, p = audit(
+        "match_phrase_prefix positional index-only plan (r4)",
+        pindex.match_phrase_prefix_positional("the sc", k=10),
+        {
+            "pushed_filter": True, "take_ordered": True, "cartesian": False,
+            "arrow_eval": False, "grouped_map": True,
+        },
+        "Index-only type-ahead: ONE postings scan covers both roles — "
+        "In(complete terms) OR the [pfx, successor) range, both pushed "
+        "to the term-sorted Parquet files, doc-window BETWEEN from the "
+        "complete terms' block metadata. NO ArrowEvalPython (the source "
+        "table is never scanned — the cost verify-first pays on every "
+        "type-ahead keystroke); the expansion streams chain inside the "
+        "per-shard grouped map with a zero-slop step and are never "
+        "collected. Merge is TakeOrderedAndProject.",
+    )
+    sections.append(s); problems += p
+
+    s, p = audit(
         "function_score field-boost plan (r3 compound scoring)",
         index.function_score("the scan", "n_chars", k=10),
         {
@@ -269,6 +288,19 @@ def main() -> int:
         "keys (exact by pigeonhole even though keys span shards), so the "
         "key-partitioned Window re-collapse and the TakeOrderedAndProject "
         "merge see O(shards x k) rows, never the match set.",
+    )
+    sections.append(s); problems += p
+
+    s, p = audit(
+        "top_hits terms-bucket plan (r4 de-serialized key rank)",
+        index.top_hits_agg("the scan", "lang", k_per_group=2, n_groups=3),
+        {"window": True, "single_partition": False, "take_ordered": True,
+         "cartesian": False},
+        "Per-key top-j is a key-PARTITIONED Window; the winning keys are "
+        "a map-side-combined groupBy + orderBy().limit(n_groups) "
+        "(TakeOrderedAndProject) semi-joined back — NO partition-less "
+        "Window (Exchange SinglePartition absent), so no single task "
+        "ever sorts the O(distinct group keys) frame of a hot query.",
     )
     sections.append(s); problems += p
 
