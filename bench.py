@@ -177,12 +177,12 @@ def main() -> None:
     # ---- round-3 DSL extensions (phrase / fuzzy / MLT / highlight) ------
     # Timed as their own block, NOT folded into queries/value/query_p95_ms:
     # those aggregates are compared round-over-round (BENCH_r01/r02) and
-    # changing their composition would fake a regression. The DSL shapes
-    # are distributed-path-only APIs (each needs the source table or the
-    # term dictionary), so there is no fastpath twin to assert against;
-    # determinism across parallelism levels is covered by their gated
-    # oracle rows instead. BENCH_DSL=0 (tools/scaling.py) skips the block
-    # so scaling reps keep the committed composition and fingerprints.
+    # changing their composition would fake a regression. Phrase/MLT/
+    # highlight are distributed-path APIs (they need the source table);
+    # fuzzy and composite have coordinator twins (r4), timed below into
+    # fastpath_ms with rank/bucket identity asserted. BENCH_DSL=0
+    # (tools/scaling.py) skips the block so scaling reps keep the
+    # committed composition and fingerprints.
     dsl_ms: dict[str, float] = {}
     if os.environ.get("BENCH_DSL", "1") != "0":
         dsl_queries = {
@@ -225,6 +225,36 @@ def main() -> None:
                 run_q().collect()
                 times.append(time.time() - t)
             dsl_ms[name] = round(statistics.mean(times) * 1000, 2)
+
+        # coordinator twins for the DSL shapes that allow one (r4):
+        # fuzzy (resident-dictionary expansion + term-dictionary seek)
+        # and composite (doc-values columnar read) — rank/bucket identity
+        # vs the distributed path asserted on the warm run
+        d_rows = [(r["doc_id"], r["score"]) for r in
+                  index.fuzzy_term_search("brodcast", k=10, max_edits=1)
+                  .collect()]
+        lo = index.fuzzy_term_search_local("brodcast", k=10, max_edits=1)
+        assert list(zip(lo["doc_id"].tolist(),
+                        lo["score"].tolist())) == d_rows, "fuzzy local diverged"
+        c_rows = [(r["facet_key"], r["cnt"]) for r in
+                  index.composite_agg("def return", "lang", size=4, after="a")
+                  .collect()]
+        co = index.composite_agg_local("def return", "lang", size=4, after="a")
+        assert list(zip(co["facet_key"].tolist(),
+                        co["cnt"].tolist())) == c_rows, "composite local diverged"
+        for name, run_l in (
+            ("q_fuzzy_local", lambda: index.fuzzy_term_search_local(
+                "brodcast", k=10, max_edits=1)),
+            ("q_composite_local", lambda: index.composite_agg_local(
+                "def return", "lang", size=4, after="a")),
+        ):
+            run_l()  # warm
+            times = []
+            for _ in range(runs):
+                t = time.time()
+                run_l()
+                times.append(time.time() - t)
+            fastpath_ms[name] = round(statistics.mean(times) * 1000, 2)
 
     # ---- positional postings (index_options="positions") ----------------
     # A second index with positions enabled: its build overhead vs the

@@ -43,6 +43,37 @@ def tokenize_expr(col: Column | str) -> Column:
     return F.filter(F.split(F.lower(c), TOKEN_SPLIT_RE), lambda x: x != F.lit(""))
 
 
+class Analyzer:
+    """A parameterized tokenization spec — the per-field analyzer hook ES
+    mappings give (``analyzer: …`` per field). Shape is FROZEN to the
+    engine's one chain (lowercase → regex split → drop empties) so every
+    path can evaluate it identically (Python re, Catalyst split, Arrow
+    split_pattern_regex all take the same RE2-compatible pattern); only
+    the boundary pattern varies. ``Analyzer()`` IS the default code
+    analyzer — ``analyze("x") == analyze_text("x")`` by construction.
+
+    An index records its pattern in meta.json (``analyzer_re``), and the
+    query side analyzes with the INDEX's analyzer (ES match semantics) —
+    so a per-field custom analyzer can never silently mismatch its own
+    postings. Custom analyzers are out of oracle scope (the DuckDB twins
+    pin the default chain); MultiFieldIndex threads one per field."""
+
+    def __init__(self, split_re: str | None = None):
+        self.split_re = split_re or TOKEN_SPLIT_RE
+        self._rx = re.compile(self.split_re)
+
+    def analyze(self, text: str) -> list[str]:
+        if text is None:
+            return []
+        return [t for t in self._rx.split(text.lower()) if t]
+
+    def tokenize_expr(self, col: Column | str) -> Column:
+        c = F.col(col) if isinstance(col, str) else col
+        return F.filter(
+            F.split(F.lower(c), self.split_re), lambda x: x != F.lit("")
+        )
+
+
 @F.pandas_udf(ArrayType(StringType()))
 def tokenize_udf(s: pd.Series) -> pd.Series:
     """Arrow-vectorized tokenizer — semantically identical to tokenize_expr.

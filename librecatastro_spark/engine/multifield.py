@@ -79,17 +79,42 @@ class MultiFieldIndex:
 
     @staticmethod
     def build(spark: SparkSession, docs: DataFrame, out_dir: str,
-              fields: Iterable[str], **build_kwargs) -> "MultiFieldIndex":
+              fields: Iterable[str],
+              analyzers: dict[str, str] | None = None,
+              **build_kwargs) -> "MultiFieldIndex":
         """Build one sub-index per field over the same docs frame; every
         build sees the same doc_ids and n_shards, so the range split —
-        and hence each doc's shard — is identical across fields."""
+        and hence each doc's shard — is identical across fields.
+
+        ``analyzers`` is the ES per-field analyzer hook: {field:
+        split_re} (the analyzer boundary pattern, see analyzer.Analyzer;
+        fields absent from the dict keep the default code analyzer). The
+        pattern is recorded in each sub-index's meta and the query side
+        analyzes per field with ITS index's analyzer — ES multi_match
+        semantics, where each field analyzes the query its own way."""
         fields = list(fields)
+        analyzers = analyzers or {}
+        unknown = set(analyzers) - set(fields)
+        if unknown:
+            raise ValueError(f"analyzers for unknown fields: {sorted(unknown)}")
         for f in fields:
             build_index(
                 spark, docs, os.path.join(out_dir, f"field={f}"),
-                text_col=f, **build_kwargs,
+                text_col=f, analyzer_re=analyzers.get(f), **build_kwargs,
             )
         return MultiFieldIndex(spark, out_dir, fields)
+
+    def _analyze_per_field(self, text: str) -> dict[str, list[str]]:
+        """ES multi_match semantics: the query text is analyzed PER FIELD
+        with that field's analyzer (each sub-index's meta.analyzer_re —
+        the per-field analyzer hook). With all-default analyzers every
+        field sees identical terms, exactly the pre-seam behavior."""
+        per_field = {
+            f: sorted(set(self.sub[f]._analyze(text))) for f in self.fields
+        }
+        if not any(per_field.values()):
+            raise ValueError("query analyzes to zero terms")
+        return per_field
 
     def multi_match(
         self,
@@ -105,13 +130,12 @@ class MultiFieldIndex:
             tb = float(tie_breaker)
         else:
             raise ValueError(f"unsupported multi_match type: {match_type}")
-        terms = sorted(set(analyze_text(text)))
-        if not terms:
-            raise ValueError("query analyzes to zero terms")
+        per_field = self._analyze_per_field(text)
         local_k = k + offset
         fns, parts = {}, []
         for f in self.fields:
             s = self.sub[f]
+            terms = per_field[f]
             idfs = s._idfs(terms)
             live = [t for t in terms if t in idfs]
             if not live:
@@ -188,14 +212,13 @@ class MultiFieldIndex:
         term) pair — a per-term weight IS that term's single-term score
         — takes the per-term max across fields, and sums per doc.
         """
-        terms = sorted(set(analyze_text(text)))
-        if not terms:
-            raise ValueError("query analyzes to zero terms")
+        per_field = self._analyze_per_field(text)
         local_k = k + offset
         fns: dict[tuple[str, str], object] = {}
         parts = []
         for f in self.fields:
             s = self.sub[f]
+            terms = per_field[f]
             idfs = s._idfs(terms)
             live = [t for t in terms if t in idfs]
             if not live:
@@ -280,12 +303,11 @@ class MultiFieldIndex:
             tb = float(tie_breaker)
         else:
             raise ValueError(f"unsupported multi_match type: {match_type}")
-        terms = sorted(set(analyze_text(text)))
-        if not terms:
-            raise ValueError("query analyzes to zero terms")
+        per_field = self._analyze_per_field(text)
         ids_l, w_l = [], []
         for f in self.fields:
             s = self.sub[f]
+            terms = per_field[f]
             idfs = s._idfs(terms)
             live = [t for t in terms if t in idfs]
             if not live:

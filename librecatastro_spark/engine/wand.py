@@ -52,7 +52,7 @@ import pyarrow.parquet as pq
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..analyzer import analyze_text, tokenize_expr
+from ..analyzer import Analyzer, tokenize_expr
 from ..bm25 import B, K1, ROUND_DECIMALS
 from ..index.builder import (
     load_attrs,
@@ -84,6 +84,36 @@ def _empty() -> pd.DataFrame:
     return pd.DataFrame(
         {"doc_id": pd.Series(dtype="int64"), "score": pd.Series(dtype="float64")}
     )
+
+
+def _lev_within(a: str, b: str, max_edits: int) -> bool:
+    """Classic Levenshtein distance(a, b) <= max_edits — full DP with a
+    per-row early exit (once every cell of a row exceeds the bound no
+    path can come back under it). Same metric as F.levenshtein/DuckDB
+    levenshtein, so the coordinator fuzzy expansion matches the
+    distributed one term-for-term. Tokens are short (analyzer-bounded),
+    so the O(len a × len b) row loop is ns-scale per candidate."""
+    la, lb = len(a), len(b)
+    if abs(la - lb) > max_edits:
+        return False
+    prev = list(range(lb + 1))
+    for i in range(1, la + 1):
+        ca = a[i - 1]
+        cur = [i] + [0] * lb
+        best = i
+        for j in range(1, lb + 1):
+            v = min(
+                prev[j] + 1,
+                cur[j - 1] + 1,
+                prev[j - 1] + (ca != b[j - 1]),
+            )
+            cur[j] = v
+            if v < best:
+                best = v
+        if best > max_edits:
+            return False
+        prev = cur
+    return prev[lb] <= max_edits
 
 
 def _impact(tfs: np.ndarray, dls: np.ndarray, avgdl: float) -> np.ndarray:
@@ -434,6 +464,16 @@ class CompressedIndex:
         queries see the new N/avgdl/df and the appended posting files."""
         spark, out_dir = self.spark, self.out_dir
         self.meta = read_meta(out_dir)
+        # query analysis uses the INDEX's analyzer (meta.analyzer_re, the
+        # ES per-field analyzer hook) — ES match semantics: the query text
+        # is analyzed with the field's analyzer, so a custom-analyzer
+        # index can never silently mismatch its own postings. Note the
+        # verify-first phrase paths additionally regex-verify against the
+        # SOURCE with the default chain's pattern, so custom-analyzer
+        # phrase queries should use the positional (index-only) paths.
+        self._analyze = Analyzer(
+            getattr(self.meta, "analyzer_re", None)
+        ).analyze
         self.postings = load_postings(spark, out_dir)
         self.attrs = load_attrs(spark, out_dir)
         self.term_stats = load_term_stats(spark, out_dir)
@@ -540,16 +580,16 @@ class CompressedIndex:
         engines rank by (mutually exclusive with ``offset``)."""
         if search_after is not None and offset:
             raise ValueError("offset and search_after are mutually exclusive")
-        terms = sorted(set(analyze_text(text)))
+        terms = sorted(set(self._analyze(text)))
         if not terms:
             raise ValueError("query analyzes to zero terms")
         should_terms = [
-            t for t in sorted(set(analyze_text(should_text or ""))) if t not in terms
+            t for t in sorted(set(self._analyze(should_text or ""))) if t not in terms
         ]
         idfs = self._idfs(terms + should_terms)
         terms = [t for t in terms if t in idfs]  # drop zero-df terms
         should_terms = [t for t in should_terms if t in idfs]
-        must_not_terms = sorted(set(analyze_text(must_not_text or "")))
+        must_not_terms = sorted(set(self._analyze(must_not_text or "")))
         if min_match is not None and (min_match < 1 or require_all):
             raise ValueError("min_match must be >= 1 and not combine with require_all")
         if not terms or (min_match or 1) > len(terms):
@@ -677,7 +717,7 @@ class CompressedIndex:
         DuckDB oracle. ES's phrase-frequency scoring is intentionally not
         reproduced (documented divergence).
         """
-        seq = analyze_text(text)
+        seq = self._analyze(text)
         if not seq:
             raise ValueError("phrase analyzes to zero terms")
         from ..analyzer import phrase_match_udf
@@ -765,7 +805,7 @@ class CompressedIndex:
         shard scorer with the top-k cut enabled — every intermediate
         O(phrase-prefix matches), merge O(shards × (k+offset)).
         """
-        seq = analyze_text(text)
+        seq = self._analyze(text)
         if not seq:
             raise ValueError("phrase analyzes to zero terms")
         from ..analyzer import phrase_prefix_match_udf
@@ -850,7 +890,7 @@ class CompressedIndex:
                 "match_phrase_positional needs index_options='positions' "
                 f"(index has {self.meta.index_options!r}); use match_phrase"
             )
-        seq = analyze_text(text)
+        seq = self._analyze(text)
         if not seq:
             raise ValueError("phrase analyzes to zero terms")
         terms = sorted(set(seq))
@@ -920,7 +960,7 @@ class CompressedIndex:
                 f"'positions' (index has {self.meta.index_options!r}); "
                 "use match_phrase_prefix"
             )
-        seq = analyze_text(text)
+        seq = self._analyze(text)
         if not seq:
             raise ValueError("phrase analyzes to zero terms")
         complete, pfx = seq[:-1], seq[-1]
@@ -983,7 +1023,7 @@ class CompressedIndex:
             raise ValueError(
                 "match_phrase_local needs index_options='positions'"
             )
-        seq = analyze_text(text)
+        seq = self._analyze(text)
         if not seq:
             raise ValueError("phrase analyzes to zero terms")
         terms = sorted(set(seq))
@@ -1275,16 +1315,16 @@ class CompressedIndex:
         import pyarrow.compute as pc
         import pyarrow.dataset as pads
 
-        terms = sorted(set(analyze_text(text)))
+        terms = sorted(set(self._analyze(text)))
         if not terms:
             raise ValueError("query analyzes to zero terms")
         should_terms = [
-            t for t in sorted(set(analyze_text(should_text or ""))) if t not in terms
+            t for t in sorted(set(self._analyze(should_text or ""))) if t not in terms
         ]
         idfs = self._idfs(terms + should_terms)
         terms = [t for t in terms if t in idfs]  # drop zero-df terms
         should_terms = [t for t in should_terms if t in idfs]
-        must_not_terms = sorted(set(analyze_text(must_not_text or "")))
+        must_not_terms = sorted(set(self._analyze(must_not_text or "")))
         if min_match is not None and (min_match < 1 or require_all):
             raise ValueError("min_match must be >= 1 and not combine with require_all")
         if not terms or (min_match or 1) > len(terms):
@@ -1428,7 +1468,7 @@ class CompressedIndex:
         )
         if not row:
             return self.spark.createDataFrame([], _RESULT_SCHEMA)
-        toks = analyze_text(row[0][0])
+        toks = self._analyze(row[0][0])
         want = sorted(set(toks))
         if self._df_local is not None:
             dfs = {t: self._df_local[t] for t in want if t in self._df_local}
@@ -1468,7 +1508,7 @@ class CompressedIndex:
         from .highlight import highlight_snippets
 
         hits = self.search(text, k=k, **kwargs)
-        terms = sorted(set(analyze_text(text)))
+        terms = sorted(set(self._analyze(text)))
         cand = source.join(
             F.broadcast(
                 hits.withColumnRenamed("doc_id", source_id_col).select(source_id_col)
@@ -1528,7 +1568,7 @@ class CompressedIndex:
         the SHUFFLE) and joins the shard's attrs slice for the key column
         — the same cogroup shape as a filtered query.
         """
-        terms = sorted(set(analyze_text(text)))
+        terms = sorted(set(self._analyze(text)))
         if not terms:
             raise ValueError("query analyzes to zero terms")
         if collapse_col not in self.attrs.columns:
@@ -1627,7 +1667,7 @@ class CompressedIndex:
         _check(modifier, boost_mode)
         if field not in self.attrs.columns:
             raise ValueError(f"index attrs lack column {field!r}")
-        terms = sorted(set(analyze_text(text)))
+        terms = sorted(set(self._analyze(text)))
         if not terms:
             raise ValueError("query analyzes to zero terms")
         idfs = self._idfs(terms)
@@ -1666,7 +1706,7 @@ class CompressedIndex:
 
         if not texts:
             raise ValueError("dis_max needs at least one clause")
-        clause_terms = [sorted(set(analyze_text(t))) for t in texts]
+        clause_terms = [sorted(set(self._analyze(t))) for t in texts]
         if any(not ct for ct in clause_terms):
             raise ValueError("a dis_max clause analyzes to zero terms")
         all_terms = sorted({t for ct in clause_terms for t in ct})
@@ -1703,8 +1743,8 @@ class CompressedIndex:
         to ExactBM25.boosting (tested)."""
         from .score_queries import boosting_fn
 
-        pos_terms = sorted(set(analyze_text(positive)))
-        neg_terms = sorted(set(analyze_text(negative)))
+        pos_terms = sorted(set(self._analyze(positive)))
+        neg_terms = sorted(set(self._analyze(negative)))
         if not pos_terms:
             raise ValueError("positive clause analyzes to zero terms")
         idfs = self._idfs(pos_terms + neg_terms)
@@ -1772,7 +1812,7 @@ class CompressedIndex:
         truncation) — because emitting every shard-local (value, count)
         pair costs a bounded cardinality, not a ranking guarantee.
         """
-        terms = sorted(set(analyze_text(text)))
+        terms = sorted(set(self._analyze(text)))
         if not terms:
             raise ValueError("query analyzes to zero terms")
         if facet_col not in self.attrs.columns:
@@ -1829,6 +1869,128 @@ class CompressedIndex:
             cond = cond & (F.col("term") < hi)
         return self._constant_score_docs(self.postings.where(cond), k)
 
+    def _constant_score_local(self, cands: list[str], k: int) -> pd.DataFrame:
+        """Coordinator twin of ``_constant_score_docs``: term-dictionary
+        seek of the candidate terms' posting blocks (pyarrow row-group
+        pruning, no Spark job), distinct doc ids, constant score 1.0,
+        doc_id ASC head-k — the shared tail of the local term-expansion
+        queries."""
+        if not cands:
+            return _empty()
+        blocks = self._seek_blocks(cands)
+        if len(blocks) == 0:
+            return _empty()
+        parts = [delta_decode(decode_varbyte(e)) for e in blocks["docs_enc"]]
+        ids = np.unique(np.concatenate(parts))[:k]
+        return pd.DataFrame(
+            {"doc_id": ids.astype(np.int64),
+             "score": np.full(len(ids), 1.0, dtype=np.float64)}
+        )
+
+    def fuzzy_term_search_local(
+        self, term: str, k: int = 10, max_edits: int = 1, prefix_len: int = 0,
+        max_expansions: int = 50,
+    ) -> pd.DataFrame:
+        """Coordinator fast path for ``fuzzy_term_search`` — identical
+        semantics and results (rank-identity-tested), no Spark job: the
+        expansion walks the RESIDENT term dictionary (``_df_local``, the
+        Lucene-FST-analog snapshot the index keeps when term_stats fits
+        the local cap) with a length band + early-exit bounded
+        Levenshtein, caps at ``max_expansions`` best-by-df exactly like
+        ``_cap_expansion``, and reads only the matched terms' posting
+        blocks via the term-dictionary seek. This is the serving story
+        for the fuzzy DSL shape: ms-latency typo queries off the same
+        index the cluster built."""
+        q = self._analyze(term)
+        if len(q) != 1:
+            raise ValueError("fuzzy_term_search takes exactly one analyzed term")
+        if max_expansions <= 0:
+            raise ValueError("max_expansions must be positive")
+        if self._df_local is None:
+            raise ValueError(
+                "fuzzy_term_search_local needs the resident term dictionary "
+                "(term_stats exceeds the local cap); use fuzzy_term_search"
+            )
+        qt = q[0]
+        pfx = qt[:prefix_len]
+        cands = [
+            (t, d)
+            for t, d in self._df_local.items()
+            if (not prefix_len or t.startswith(pfx))
+            and abs(len(t) - len(qt)) <= max_edits
+            and _lev_within(t, qt, max_edits)
+        ]
+        cands.sort(key=lambda td: (-td[1], td[0]))
+        return self._constant_score_local(
+            [t for t, _ in cands[:max_expansions]], k
+        )
+
+    def composite_agg_local(
+        self,
+        text: str,
+        facet_col: str,
+        size: int = 10,
+        after: str | None = None,
+    ) -> pd.DataFrame:
+        """Coordinator fast path for ``composite_agg`` — identical
+        buckets/counts (equality-tested), no Spark job: the match set
+        decodes from a term-dictionary seek of the query terms' posting
+        blocks (the whole-index run is exact — the facet kernel has no
+        θ pruning, so the shard split cannot change results), and the
+        facet values come from a columnar pyarrow read of the attrs
+        (doc_id, facet_col) pair — the ES doc-values analog, resident on
+        a serving node. Driver bill: O(matches + that one column pair),
+        the same order the facet computation itself costs; use
+        ``composite_agg`` when the corpus-side column no longer fits a
+        coordinator."""
+        import pyarrow as pa
+        import pyarrow.compute as pc
+        import pyarrow.dataset as pads
+
+        terms = sorted(set(self._analyze(text)))
+        if not terms:
+            raise ValueError("query analyzes to zero terms")
+        if facet_col not in self.attrs.columns:
+            raise ValueError(f"index attrs lack column {facet_col!r}")
+        empty = pd.DataFrame(
+            {"facet_key": pd.Series(dtype="object"),
+             "cnt": pd.Series(dtype="int64")}
+        )
+        idfs = self._idfs(terms)
+        terms = [t for t in terms if t in idfs]
+        if not terms:
+            return empty
+        blocks = self._seek_blocks(terms)
+        if len(blocks) == 0:
+            return empty
+        fd = _shard_topk_fn(
+            terms, idfs, self.meta.avgdl, 1 << 60, filtered=False,
+            must_not_terms=[], require_all=False,
+            dense_hint=int(self.meta.n_docs),
+        )
+        r = fd(blocks)
+        if len(r) == 0:
+            return empty
+        if getattr(self, "_pads_attrs", None) is None:
+            self._pads_attrs = pads.dataset(
+                os.path.join(self.out_dir, "attrs"), partitioning="hive"
+            )
+        tbl = self._pads_attrs.to_table(columns=["doc_id", facet_col])
+        m = pc.is_in(
+            tbl.column("doc_id"),
+            value_set=pa.array(r["doc_id"].to_numpy(dtype=np.int64)),
+        )
+        keys = pc.cast(tbl.column(facet_col).filter(m), pa.string()).to_pandas()
+        if after is not None:
+            keys = keys[keys > after]
+        if len(keys) == 0:
+            return empty
+        vc = keys.value_counts().sort_index().iloc[:size]
+        return pd.DataFrame(
+            {"facet_key": vc.index.astype(str),
+             "cnt": vc.to_numpy(dtype=np.int64)}
+        )
+
     def _cap_expansion(self, vocab: DataFrame, max_expansions: int) -> list[str]:
         """ES ``max_expansions`` contract (default 50 there and here):
         keep the best ``max_expansions`` matched dictionary terms by df
@@ -1874,7 +2036,7 @@ class CompressedIndex:
         (Spark == DuckDB); ES additionally counts transpositions as one
         edit by default — documented divergence.
         """
-        q = analyze_text(term)
+        q = self._analyze(term)
         if len(q) != 1:
             raise ValueError("fuzzy_term_search takes exactly one analyzed term")
         qt = q[0]
@@ -2126,7 +2288,7 @@ class CompressedIndex:
         match set to one partial count per bucket, so the shuffle is
         O(shards × buckets). Rows ordered bucket ASC; empty buckets
         reported with cnt 0 (ES keeps them too)."""
-        terms = sorted(set(analyze_text(text)))
+        terms = sorted(set(self._analyze(text)))
         if not terms:
             raise ValueError("query analyzes to zero terms")
         names = sorted(buckets)
@@ -2191,7 +2353,7 @@ class CompressedIndex:
         doubles as a map key in the ordering expression (duplicate map
         keys throw under Spark's default mapKeyDedupPolicy=EXCEPTION)
         and the zero-frame groupBy would silently merge their counts."""
-        terms = sorted(set(analyze_text(text)))
+        terms = sorted(set(self._analyze(text)))
         if not terms:
             raise ValueError("query analyzes to zero terms")
         if num_col not in self.attrs.columns and num_col != "doc_id":
@@ -2277,7 +2439,7 @@ class CompressedIndex:
         final reduce derives avg from (sum, cnt) AFTER the merge
         (parallelism cannot reorder a float accumulation).
         """
-        terms = sorted(set(analyze_text(text)))
+        terms = sorted(set(self._analyze(text)))
         if not terms:
             raise ValueError("query analyzes to zero terms")
         for c in (facet_col, num_col):
@@ -2431,7 +2593,7 @@ class CompressedIndex:
         ``search_after`` (engine/wand.py search), applied to buckets.
         Exact counts (map-side per-shard combine), key ASC.
         """
-        terms = sorted(set(analyze_text(text)))
+        terms = sorted(set(self._analyze(text)))
         if not terms:
             raise ValueError("query analyzes to zero terms")
         if facet_col not in self.attrs.columns:
@@ -2655,7 +2817,7 @@ class CompressedIndex:
     def _match_terms(self, text: str) -> tuple[list[str], dict[str, float]]:
         """Analyzed query terms restricted to the dictionary + their idfs
         (shared head of every full-match-set aggregation)."""
-        terms = sorted(set(analyze_text(text)))
+        terms = sorted(set(self._analyze(text)))
         if not terms:
             raise ValueError("query analyzes to zero terms")
         idfs = self._idfs(terms)

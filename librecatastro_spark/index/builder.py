@@ -52,6 +52,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..analyzer import TOKEN_SPLIT_RE
 from ..bm25 import B, K1
 from .codec import encode_blocks_bulk
 
@@ -76,6 +77,10 @@ class IndexMeta:
     # "freqs" = docs+tf+norms (the default); "positions" additionally
     # stores per-occurrence token positions (ES index_options analog)
     index_options: str = "freqs"
+    # the field's analyzer boundary pattern (ES per-field analyzer hook);
+    # queries against this index analyze with THIS pattern, never the
+    # global default (engine.wand refresh -> Analyzer(meta.analyzer_re))
+    analyzer_re: str | None = None
 
 
 # ------------------------------------------------------------- manifest --
@@ -367,6 +372,7 @@ def build_index(
     n_buckets: int = 128,
     resume: bool = True,
     index_options: str = "freqs",
+    analyzer_re: str | None = None,
 ) -> IndexMeta:
     """Build (or resume building) the index at out_dir. Idempotent: a
     completed out_dir is a no-op; a partially built one finishes only the
@@ -388,7 +394,7 @@ def build_index(
         return _build_index(
             spark, docs, out_dir, id_col, text_col, attr_cols, n_shards,
             block_size, salt_threshold, n_salts, shards_per_job, n_buckets,
-            resume, index_options,
+            resume, index_options, analyzer_re,
         )
     finally:
         spark.conf.set("spark.sql.adaptive.enabled", prev_aqe)
@@ -409,6 +415,7 @@ def _build_index(
     n_buckets: int,
     resume: bool,
     index_options: str,
+    analyzer_re: str | None = None,
 ) -> IndexMeta:
     if index_options not in ("freqs", "positions"):
         raise ValueError("index_options must be 'freqs' or 'positions'")
@@ -456,6 +463,7 @@ def _build_index(
             staged = term_freqs_arrow(
                 docs_tok, id_col, text_col,
                 positions=(index_options == "positions"),
+                split_re=analyzer_re or TOKEN_SPLIT_RE,
             ).withColumn("shard", shard_expr)
             with _small_arrow_batches(spark):
                 staged.write.mode("overwrite").partitionBy("shard").parquet(
@@ -493,6 +501,7 @@ def _build_index(
             attr_cols=attr_cols,
             n_buckets=n_buckets,
             index_options=index_options,
+            analyzer_re=analyzer_re,
         )
         with open(os.path.join(out_dir, "meta.json"), "w") as fh:
             json.dump(asdict(meta), fh)

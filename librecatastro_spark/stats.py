@@ -67,6 +67,7 @@ def term_freqs_arrow(
     id_col: str = "doc_id",
     text_col: str = "content",
     positions: bool = False,
+    split_re: str = TOKEN_SPLIT_RE,
 ) -> DataFrame:
     """(doc_id, term, tf, dl) via ONE fused Arrow pass — the builder's hot
     path. Semantically identical to term_freqs (equality-tested), but:
@@ -119,7 +120,7 @@ def term_freqs_arrow(
             if text.null_count:
                 text = pc.coalesce(text, pa.scalar("", pa.string()))
             low = pc.utf8_lower(text)
-            toks = pc.split_pattern_regex(low, TOKEN_SPLIT_RE)
+            toks = pc.split_pattern_regex(low, split_re)
             parent = pc.list_parent_indices(toks)
             flat = pc.list_flatten(toks)
             mask = pc.not_equal(flat, "")

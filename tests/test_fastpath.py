@@ -60,6 +60,45 @@ def test_fastpath_rank_identical(index, qi):
     assert _local_rows(index, q) == _spark_rows(index, q)
 
 
+def test_fuzzy_local_rank_identical(index):
+    """Coordinator fuzzy twin (r4): resident-dictionary expansion +
+    term-dictionary-seek postings read must equal the distributed
+    vocab-scan path exactly — including the max_expansions best-by-df
+    cap order, and under prefix_len pinning."""
+    for kw in (
+        dict(max_edits=1),
+        dict(max_edits=2),
+        dict(max_edits=1, prefix_len=1),
+        dict(max_edits=2, max_expansions=3),
+    ):
+        d = [(r["doc_id"], r["score"]) for r in
+             index.fuzzy_term_search("quer", k=10_000, **kw).collect()]
+        lo = index.fuzzy_term_search_local("quer", k=10_000, **kw)
+        assert list(zip(lo["doc_id"].tolist(), lo["score"].tolist())) == d
+        assert d
+    with pytest.raises(ValueError):
+        index.fuzzy_term_search_local("quer", max_expansions=0)
+    with pytest.raises(ValueError):
+        index.fuzzy_term_search_local("two words")
+
+
+def test_composite_local_identical(index):
+    """Coordinator composite twin (r4): same buckets/counts/page order
+    as the distributed keyset-paged aggregation, on first and deep
+    pages."""
+    for after in (None, "src1"):
+        d = [(r["facet_key"], r["cnt"]) for r in
+             index.composite_agg("query scan", "source", size=4,
+                                 after=after).collect()]
+        lo = index.composite_agg_local("query scan", "source", size=4,
+                                       after=after)
+        assert list(zip(lo["facet_key"].tolist(),
+                        lo["cnt"].tolist())) == d
+        assert d or after is not None
+    with pytest.raises(ValueError):
+        index.composite_agg_local("query", "nosuchcol")
+
+
 def test_fastpath_nonempty(index):
     assert len(_local_rows(index, GOLDEN[0])) == 10
 

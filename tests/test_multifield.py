@@ -172,3 +172,60 @@ def test_cross_fields_offset_pages_tile(exact_engines, mf):
     p1 = rows(mf.multi_match_cross_fields("def mod4", k=10))
     p2 = rows(mf.multi_match_cross_fields("def mod4", k=10, offset=10))
     assert p1 + p2 == full
+
+
+def test_per_field_analyzer_seam(spark, tmp_path):
+    """ES per-field analyzer hook (r4): a field built with a custom
+    boundary pattern tokenizes its OWN way at build, append, and query
+    time — queries analyze per field with that field's recorded
+    analyzer (meta.analyzer_re), so dotted tokens match the dotted
+    field without perturbing the default field."""
+    from librecatastro_spark.engine.wand import CompressedIndex
+    from librecatastro_spark.index.builder import read_meta
+
+    DOT_RE = "[^a-z0-9_.]+"  # keeps '.' inside tokens
+    docs = spark.createDataFrame(
+        [
+            (0, "alpha beta gamma", "pkg.mod"),
+            (1, "alpha.beta delta", "pkgmod"),
+            (2, "epsilon zeta", "other.thing"),
+        ],
+        "doc_id long, body string, path string",
+    )
+    out = str(tmp_path / "mfa")
+    mf = MultiFieldIndex.build(
+        spark, docs, out, fields=("body", "path"),
+        analyzers={"path": DOT_RE}, n_shards=2, block_size=16,
+    )
+    assert read_meta(os.path.join(out, "field=path")).analyzer_re == DOT_RE
+    assert read_meta(os.path.join(out, "field=body")).analyzer_re is None
+    # 'pkg.mod' under the path analyzer is ONE token -> only doc 0's
+    # path contains it; under body's default it splits to pkg+mod,
+    # absent from every body
+    got = {d for d, _ in rows(mf.multi_match("pkg.mod", k=10))}
+    assert got == {0}
+    # 'alpha.beta': body default splits -> docs 0 and 1 match via body;
+    # the path field's single dotted token matches nothing
+    got = {d for d, _ in rows(mf.multi_match("alpha.beta", k=10))}
+    assert got == {0, 1}
+    # local twin agrees under per-field analysis
+    lo = mf.multi_match_local("pkg.mod", k=10)
+    assert list(lo["doc_id"]) == [0]
+    # default-analyzer fields are untouched by the seam: a pure-body
+    # query scores identically through the single-field index
+    single = CompressedIndex(spark, os.path.join(out, "field=body"))
+    assert rows(mf.multi_match("gamma", k=10)) == [
+        (r["doc_id"], r["score"]) for r in single.search("gamma", k=10).collect()
+    ]
+    # append honors the custom analyzer: a new doc with a dotted path
+    # becomes searchable under the SAME dotted token rules
+    from librecatastro_spark.streaming.incremental import append_batch
+
+    extra = spark.createDataFrame(
+        [(3, "eta theta", "pkg.mod")], "doc_id long, body string, path string"
+    )
+    append_batch(spark, os.path.join(out, "field=path"), extra,
+                 text_col="path")
+    pidx = CompressedIndex(spark, os.path.join(out, "field=path"))
+    got = {r["doc_id"] for r in pidx.search("pkg.mod", k=10).collect()}
+    assert got == {0, 3}
