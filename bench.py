@@ -302,15 +302,15 @@ def main() -> None:
                 times.append(time.time() - t)
             pos_ms[name] = round(statistics.mean(times) * 1000, 2)
         # rank-identity vs the verify-first type-ahead path (r4)
-        vf = [
+        pp_vf = [
             (r["doc_id"], r["score"])
             for r in index.match_phrase_prefix("def re", docs, k=10).collect()
         ]
-        po = [
+        pp_po = [
             (r["doc_id"], r["score"])
             for r in pindex.match_phrase_prefix_positional("def re", k=10).collect()
         ]
-        assert po == vf, "positional phrase-prefix diverged"
+        assert pp_po == pp_vf, "positional phrase-prefix diverged"
         # rank-identity vs the verify-first path (source-scan based)
         for text in ("def return", "id0042 merge"):
             vf = [
@@ -326,16 +326,24 @@ def main() -> None:
             assert [
                 (int(r.doc_id), float(r.score)) for r in lo.itertuples()
             ] == vf, f"positional fast path diverged: {text}"
-        # serving fast path for phrases (driver-side, no Spark job)
-        for name, text in (
-            ("q_phrase_pos_local", "def return"),
-            ("q_phrase_pos_sel_local", "id0042 merge"),
+        # serving fast path for phrases (driver-side, no Spark job);
+        # the type-ahead local twin is rank-identity-asserted first
+        lo = pindex.match_phrase_prefix_local("def re", k=10)
+        assert list(zip(lo["doc_id"].tolist(), lo["score"].tolist())) == pp_vf, \
+            "phrase-prefix local diverged"
+        for name, run_l in (
+            ("q_phrase_pos_local",
+             lambda: pindex.match_phrase_local("def return", k=10)),
+            ("q_phrase_pos_sel_local",
+             lambda: pindex.match_phrase_local("id0042 merge", k=10)),
+            ("q_phrase_prefix_pos_local",
+             lambda: pindex.match_phrase_prefix_local("def re", k=10)),
         ):
-            pindex.match_phrase_local(text, k=10)  # warm
+            run_l()  # warm
             times = []
             for _ in range(runs):
                 t = time.time()
-                pindex.match_phrase_local(text, k=10)
+                run_l()
                 times.append(time.time() - t)
             pos_ms[name] = round(statistics.mean(times) * 1000, 2)
 

@@ -1043,6 +1043,60 @@ class CompressedIndex:
         ).iloc[offset : offset + k]
         return out.reset_index(drop=True)
 
+    def match_phrase_prefix_local(
+        self,
+        text: str,
+        k: int = 10,
+        offset: int = 0,
+    ) -> pd.DataFrame:
+        """Coordinator fast path for ``match_phrase_prefix_positional`` —
+        the same kernel (positions.phrase_prefix_topk_fn) over a
+        term-dictionary-seek pyarrow read of the complete terms' AND the
+        [pfx, …) expansion terms' posting+position blocks, run once
+        whole-index on the driver (no θ pruning in the phrase kernel, so
+        the shard split cannot change results; rank-identity tested).
+        The expansion enumerates the RESIDENT term dictionary
+        (``_df_local`` — required, like the fuzzy coordinator twin);
+        single-token queries fall back to the constant-score local tail.
+        This is the type-ahead serving story: ms-latency per keystroke,
+        no Spark job, no source scan."""
+        if self.meta.index_options != "positions":
+            raise ValueError(
+                "match_phrase_prefix_local needs index_options='positions'"
+            )
+        seq = self._analyze(text)
+        if not seq:
+            raise ValueError("phrase analyzes to zero terms")
+        complete, pfx = seq[:-1], seq[-1]
+        if self._df_local is None:
+            raise ValueError(
+                "match_phrase_prefix_local needs the resident term "
+                "dictionary; use match_phrase_prefix_positional"
+            )
+        expansion = [t for t in self._df_local if t.startswith(pfx)]
+        if not complete:
+            return self._constant_score_local(sorted(expansion), k)
+        terms = sorted(set(complete))
+        idfs = self._idfs(terms)
+        if len(idfs) < len(terms) or not expansion:
+            return _empty()
+        blocks = self._seek_blocks(
+            sorted(set(terms) | set(expansion)), extra_cols=("pos_enc",)
+        )
+        if len(blocks) == 0:
+            return _empty()
+        from .positions import phrase_prefix_topk_fn
+
+        fn = phrase_prefix_topk_fn(
+            complete, pfx, idfs, self.meta.avgdl, k + offset
+        )
+        out = fn(blocks)
+        out["score"] = out["score"].round(ROUND_DECIMALS)
+        out = out.sort_values(
+            ["score", "doc_id"], ascending=[False, True], kind="mergesort"
+        ).iloc[offset : offset + k]
+        return out.reset_index(drop=True)
+
     _SEEK_COLS = (
         "term", "n_docs", "docs_enc", "tfs_enc", "dls_enc",
         "block_max_w", "idf_build", "first_doc_id", "last_doc_id",

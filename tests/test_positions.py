@@ -209,12 +209,23 @@ PREFIX_QUERIES = [
 def test_phrase_prefix_positional_matches_verify_first(pidx, corpus, q):
     """The index-only type-ahead path must be RANK-IDENTICAL to the
     verify-first match_phrase_prefix (scores included — both score BM25
-    require_all over the complete terms only)."""
+    require_all over the complete terms only); the coordinator twin
+    (match_phrase_prefix_local) likewise."""
     vf = rows(
         pidx.match_phrase_prefix(q, corpus, k=10_000, source_text_col="content")
     )
     po = rows(pidx.match_phrase_prefix_positional(q, k=10_000))
     assert po == vf and vf
+    lo = lrows(pidx.match_phrase_prefix_local(q, k=10_000))
+    assert lo == vf
+
+
+def test_phrase_prefix_local_single_token_and_offset(pidx):
+    a = lrows(pidx.match_phrase_prefix_local("retu", k=15))
+    b = rows(pidx.term_prefix_search("retu", k=15))
+    assert a == b and a
+    full = rows(pidx.match_phrase_prefix_positional("def re", k=20))
+    assert lrows(pidx.match_phrase_prefix_local("def re", k=5, offset=5)) == full[5:10]
 
 
 def test_phrase_prefix_positional_topk_offset_and_edges(pidx, corpus):
