@@ -1841,6 +1841,14 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # conservative bbox pruner (ops/geo.py geo_distance; reference
         # maps location as geo_point, elasticsearch_utils.py:35-37)
         "geo_distance_search": _q_geo_distance,
+        # ES geo_bounding_box query (r4): the pure-Catalyst bbox filter
+        # (half-open [lo, hi) bounds pushed to the scan — ops/geo.py
+        # bbox_filter, the same predicate the polygon/radius pruners use)
+        "geo_bbox_search": lambda spark, sf: __import__(
+            "librecatastro_spark.ops.geo", fromlist=["bbox_filter"]
+        ).bbox_filter(
+            _synth_points(spark, sf), (-70.0, -10.0, -40.0, 15.0)
+        ).select("c_custkey").orderBy("c_custkey"),
     }
 
 
@@ -2419,6 +2427,15 @@ d AS (
 )
 SELECT c_custkey, round(dist_m, 2) AS dist_m
 FROM d WHERE dist_m <= 2000000.0
+ORDER BY c_custkey
+""",
+        "geo_bbox_search": """
+SELECT c_custkey FROM (
+  SELECT c_custkey,
+         (c_custkey % 3600) / 10.0 - 180.0 AS lon,
+         ((c_custkey * 7) % 1800) / 10.0 - 90.0 AS lat
+  FROM customer
+) WHERE lon >= -70.0 AND lon < -40.0 AND lat >= -10.0 AND lat < 15.0
 ORDER BY c_custkey
 """,
         "geohash_bucket_join": """

@@ -1352,6 +1352,7 @@ class CompressedIndex:
         min_match: int | None = None,
         exists_cols: list[str] | None = None,
         ids: list[int] | None = None,
+        geo: tuple | None = None,
     ) -> pd.DataFrame:
         """Coordinator fast path: identical semantics and the SAME numpy
         kernel as ``search`` (rank-identity tested in test_fastpath), but
@@ -1393,6 +1394,7 @@ class CompressedIndex:
         attrs = None
         has_filter = bool(
             filters or prefix or ranges or exists_cols or ids is not None
+            or geo is not None
         )
         if has_filter:
             # predicates pushed into the pyarrow scan (row-group stats +
@@ -1435,15 +1437,45 @@ class CompressedIndex:
             if ids is not None:
                 e = pc.field("doc_id").isin([int(i) for i in ids])
                 expr = e if expr is None else expr & e
+            if geo is not None:
+                # conservative radius bbox pushed into the pyarrow scan
+                # (same shared box as the Catalyst path — ops.geo); the
+                # exact haversine re-check runs below on the survivors
+                from ..ops.geo import radius_bbox
+
+                g_lon, g_lat, lon0, lat0, radius_m = geo
+                lat_lo, lat_hi, lon_lo, lon_hi = radius_bbox(
+                    lon0, lat0, radius_m
+                )
+                e = (pc.field(g_lat) >= lat_lo) & (pc.field(g_lat) <= lat_hi)
+                if lon_lo is not None:
+                    e = e & (pc.field(g_lon) >= lon_lo) & (
+                        pc.field(g_lon) <= lon_hi
+                    )
+                expr = e if expr is None else expr & e
             cols = ["shard", "doc_id"]
             if prefix is not None:
                 cols.append(prefix[0])
+            if geo is not None:
+                cols += [c for c in (geo[0], geo[1]) if c not in cols]
             tbl = self._pads_attrs.to_table(columns=cols, filter=expr)
             if prefix is not None:
                 tbl = tbl.filter(
                     pc.starts_with(pc.field(prefix[0]), prefix[1])
-                ).select(["shard", "doc_id"])
-            attrs = tbl.to_pandas()
+                )
+            if geo is not None:
+                from ..ops.geo import haversine_np
+
+                g_lon, g_lat, lon0, lat0, radius_m = geo
+                dist = haversine_np(
+                    tbl.column(g_lon).to_numpy(zero_copy_only=False),
+                    tbl.column(g_lat).to_numpy(zero_copy_only=False),
+                    lon0, lat0,
+                )
+                import pyarrow as pa
+
+                tbl = tbl.filter(pa.array(dist <= float(radius_m)))
+            attrs = tbl.select(["shard", "doc_id"]).to_pandas()
         local_k = k + offset
         decoder = None
         if len(blocks) and int(os.environ.get("LC_POSTING_CACHE_MB", "512")) > 0:

@@ -94,6 +94,43 @@ def geo_distance(
     )
 
 
+def radius_bbox(
+    lon0: float, lat0: float, radius_m: float
+) -> tuple[float, float, float | None, float | None]:
+    """(lat_lo, lat_hi, lon_lo, lon_hi) of the CONSERVATIVE prune box for
+    a radius query — lon bounds are None near a pole or when the window
+    would cross the antimeridian (drop the constraint rather than wrap
+    it; the exact haversine test restores correctness). Shared by the
+    Catalyst predicate and the pyarrow fast path so the box can't fork."""
+    if radius_m <= 0:
+        raise ValueError("radius_m must be positive")
+    dlat = math.degrees(radius_m / EARTH_RADIUS_M)
+    lat_lo, lat_hi = lat0 - dlat, lat0 + dlat
+    lon_lo = lon_hi = None
+    max_abs_lat = min(max(abs(lat_lo), abs(lat_hi)), 89.999999)
+    cos_min = math.cos(math.radians(max_abs_lat))
+    if cos_min > 1e-9:
+        dlon = math.degrees(radius_m / (EARTH_RADIUS_M * cos_min))
+        if dlon < 180.0 and lon0 - dlon >= -180.0 and lon0 + dlon <= 180.0:
+            lon_lo, lon_hi = lon0 - dlon, lon0 + dlon
+    return lat_lo, lat_hi, lon_lo, lon_hi
+
+
+def haversine_np(
+    lon: np.ndarray, lat: np.ndarray, lon0: float, lat0: float
+) -> np.ndarray:
+    """numpy twin of ``haversine_m`` (same formula term-for-term) — the
+    coordinator fast path's exact re-check after the bbox scan prune."""
+    dlat = np.radians(lat - lat0)
+    dlon = np.radians(lon - lon0)
+    a = (
+        np.sin(dlat / 2) ** 2
+        + math.cos(math.radians(lat0)) * np.cos(np.radians(lat))
+        * np.sin(dlon / 2) ** 2
+    )
+    return 2.0 * EARTH_RADIUS_M * np.arcsin(np.sqrt(a))
+
+
 def geo_distance_cond(
     lon_col: Column, lat_col: Column, lon0: float, lat0: float, radius_m: float
 ) -> Column:
@@ -101,19 +138,10 @@ def geo_distance_cond(
     radius-derived bbox comparisons (simple, Parquet-pushable) ANDed with
     the exact haversine test. Shared by ``geo_distance`` and the search
     engines' ``geo`` filter clause so the semantics can't fork."""
-    if radius_m <= 0:
-        raise ValueError("radius_m must be positive")
-    dlat = math.degrees(radius_m / EARTH_RADIUS_M)
-    lat_lo, lat_hi = lat0 - dlat, lat0 + dlat
+    lat_lo, lat_hi, lon_lo, lon_hi = radius_bbox(lon0, lat0, radius_m)
     cond = (lat_col >= F.lit(lat_lo)) & (lat_col <= F.lit(lat_hi))
-    max_abs_lat = min(max(abs(lat_lo), abs(lat_hi)), 89.999999)
-    cos_min = math.cos(math.radians(max_abs_lat))
-    if cos_min > 1e-9:
-        dlon = math.degrees(radius_m / (EARTH_RADIUS_M * cos_min))
-        if dlon < 180.0 and lon0 - dlon >= -180.0 and lon0 + dlon <= 180.0:
-            cond = cond & (lon_col >= F.lit(lon0 - dlon)) & (
-                lon_col <= F.lit(lon0 + dlon)
-            )
+    if lon_lo is not None:
+        cond = cond & (lon_col >= F.lit(lon_lo)) & (lon_col <= F.lit(lon_hi))
     dist = haversine_m(lon_col, lat_col, lon0, lat0)
     return cond & (dist <= F.lit(float(radius_m)))
 

@@ -130,6 +130,8 @@ def test_geo_filter_search_paths_identical(spark, tmp_path):
     c = [(r["doc_id"], r["score"]) for r in
          cidx.search("def return", k=10_000, geo=geo).collect()]
     assert e == c and e
+    lo = cidx.search_local("def return", k=10_000, geo=geo)
+    assert list(zip(lo["doc_id"].tolist(), lo["score"].tolist())) == e
     base = {r["doc_id"] for r in exact.search("def return", k=10_000).collect()}
     inside = {
         r["doc_id"] for r in docs.collect()
