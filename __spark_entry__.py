@@ -1231,6 +1231,33 @@ def _q_polygon_filter(spark, sf):
     return points_in_polygon(_synth_points(spark, sf), _SQUARE).select("c_custkey")
 
 
+def _geo_index(spark, sf_dir: str):
+    """documents + synthesized geo_point attrs (lon/lat derived from
+    doc_id, half-degree lattice) — the ES mapping with location enabled;
+    powers the geo_distance aggregation entry. Built once per sf_dir
+    (resume=True + mtime-keyed cache dir, like _pos_index)."""
+    import hashlib
+
+    src = f"{sf_dir}/documents.parquet"
+    mtime = int(os.path.getmtime(src)) if os.path.exists(src) else 0
+    key = hashlib.sha256(f"{sf_dir}:{mtime}:geo-v1".encode()).hexdigest()[:16]
+    out = os.path.join("/tmp", f"lc_geoindex_{key}")
+    docs = _docs(spark, sf_dir).withColumn(
+        "lon", (F.col("doc_id") % 720) / 2.0 - 180.0
+    ).withColumn(
+        "lat", ((F.col("doc_id") * 7) % 360) / 2.0 - 90.0
+    )
+    build_index(
+        spark, docs, out, id_col="doc_id", text_col="text",
+        attr_cols=("lon", "lat"), n_shards=4,
+        block_size=128, salt_threshold=5_000, n_salts=8, resume=True,
+    )
+    return CompressedIndex(spark, out)
+
+
+_GEO_RINGS = [(None, 3000000.0), (3000000.0, 8000000.0), (8000000.0, None)]
+
+
 def _q_geo_distance(spark, sf):
     # ES geo_distance: points within 2,000 km of (60°W, 0°N) — bbox
     # prune in Catalyst (pushed to the scan), exact haversine on the
@@ -1849,6 +1876,12 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ).bbox_filter(
             _synth_points(spark, sf), (-70.0, -10.0, -40.0, 15.0)
         ).select("c_custkey").orderBy("c_custkey"),
+        # ES geo_distance AGGREGATION (r4): distance-ring buckets from an
+        # origin over the match set — range_agg's map-side-combine shape
+        # with the shared haversine as the ring metric (engine/wand.py
+        # geo_distance_agg over the lon/lat-attr geo index)
+        "geo_distance_ring_agg": lambda spark, sf: _geo_index(spark, sf)
+        .geo_distance_agg("spark", "lon", "lat", 0.0, 0.0, _GEO_RINGS),
     }
 
 
@@ -2428,6 +2461,35 @@ d AS (
 SELECT c_custkey, round(dist_m, 2) AS dist_m
 FROM d WHERE dist_m <= 2000000.0
 ORDER BY c_custkey
+""",
+        "geo_distance_ring_agg": f"""
+WITH {_TOKS_CTE},
+matched AS (SELECT DISTINCT doc_id FROM toks WHERE term = 'spark'),
+geo AS (
+  SELECT doc_id,
+         (doc_id % 720) / 2.0 - 180.0 AS lon,
+         ((doc_id * 7) % 360) / 2.0 - 90.0 AS lat
+  FROM matched
+),
+d AS (
+  SELECT 2.0 * 6371000.0 * asin(sqrt(
+             sin(radians(lat - 0.0) / 2) * sin(radians(lat - 0.0) / 2)
+           + cos(radians(0.0)) * cos(radians(lat))
+             * sin(radians(lon - 0.0) / 2) * sin(radians(lon - 0.0) / 2)
+         )) AS dist
+  FROM geo
+)
+SELECT b.bucket, coalesce(c.cnt, 0)::BIGINT AS cnt
+FROM (VALUES ('*-3000000.0', 0), ('3000000.0-8000000.0', 1),
+             ('8000000.0-*', 2)) b(bucket, ord)
+LEFT JOIN (
+  SELECT CASE WHEN dist < 3000000.0 THEN '*-3000000.0'
+              WHEN dist < 8000000.0 THEN '3000000.0-8000000.0'
+              ELSE '8000000.0-*' END AS bucket,
+         count(*)::BIGINT AS cnt
+  FROM d GROUP BY 1
+) c USING (bucket)
+ORDER BY b.ord
 """,
         "geo_bbox_search": """
 SELECT c_custkey FROM (

@@ -2506,6 +2506,96 @@ class CompressedIndex:
             .select("bucket", "cnt")
         )
 
+    def geo_distance_agg(
+        self,
+        text: str,
+        lon_col: str,
+        lat_col: str,
+        origin_lon: float,
+        origin_lat: float,
+        bounds: list[tuple],
+    ) -> DataFrame:
+        """ES ``geo_distance`` aggregation: distance-ring buckets from an
+        origin over the match set — each (lo, hi) a half-open [lo, hi)
+        ring in METERS, None for an open end, rows in caller bounds
+        order (key = "lo-hi"), empty rings kept with cnt 0. The ring
+        metric is the same haversine as the geo_distance query
+        (ops.geo.haversine_np — numpy twin of the Catalyst/SQL formula),
+        evaluated inside the per-shard kernel on each shard's own
+        matched (lon, lat) pairs, so the shape is exactly ``range_agg``:
+        per-shard map-side combine, shuffle O(shards × rings), never
+        O(matches). Duplicate bounds rejected like range_agg (the bucket
+        key doubles as an ordering-map key)."""
+        from ..ops.geo import haversine_np
+
+        terms = sorted(set(self._analyze(text)))
+        if not terms:
+            raise ValueError("query analyzes to zero terms")
+        for c in (lon_col, lat_col):
+            if c not in self.attrs.columns:
+                raise ValueError(f"index attrs lack column {c!r}")
+        idfs = self._idfs(terms)
+        terms = [t for t in terms if t in idfs]
+        keys = [
+            f"{'*' if lo is None else lo}-{'*' if hi is None else hi}"
+            for lo, hi in bounds
+        ]
+        if len(set(keys)) != len(keys):
+            raise ValueError(f"duplicate (lo, hi) bounds in {bounds!r}")
+        schema = "bucket string, cnt long"
+        zero = self.spark.createDataFrame([(k, 0) for k in keys], schema)
+        order = {k: i for i, k in enumerate(keys)}
+        oexpr = F.element_at(
+            F.create_map(*[F.lit(x) for k in keys for x in (k, order[k])]),
+            F.col("bucket"),
+        )
+        if not terms:
+            return zero.orderBy(oexpr).select("bucket", "cnt")
+        blocks = self.postings.where(F.col("term").isin(terms))
+        fd = _shard_topk_fn(
+            terms, idfs, self.meta.avgdl, 1 << 60, filtered=False,
+            must_not_terms=[], require_all=False,
+            dense_hint=int(self.meta.n_docs),
+        )
+        bspec = list(zip(keys, bounds))
+
+        def fn(bl: pd.DataFrame, at: pd.DataFrame) -> pd.DataFrame:
+            empty = pd.DataFrame(
+                {"bucket": pd.Series(dtype="object"),
+                 "cnt": pd.Series(dtype="int64")}
+            )
+            r = fd(bl)
+            if len(r) == 0 or len(at) == 0:
+                return empty
+            m = r.merge(at[["doc_id", lon_col, lat_col]], on="doc_id")
+            v = haversine_np(
+                m[lon_col].to_numpy(dtype=np.float64),
+                m[lat_col].to_numpy(dtype=np.float64),
+                origin_lon, origin_lat,
+            )
+            rows = []
+            for kk, (lo, hi) in bspec:
+                mask = np.ones(len(v), dtype=bool)
+                if lo is not None:
+                    mask &= v >= lo
+                if hi is not None:
+                    mask &= v < hi
+                rows.append((kk, int(mask.sum())))
+            return pd.DataFrame(rows, columns=["bucket", "cnt"])
+
+        allowed = self.attrs.select("shard", "doc_id", lon_col, lat_col)
+        partial = (
+            blocks.groupBy("shard")
+            .cogroup(allowed.groupBy("shard"))
+            .applyInPandas(fn, schema=schema)
+        )
+        return (
+            partial.unionByName(zero)
+            .groupBy("bucket").agg(F.sum("cnt").alias("cnt"))
+            .orderBy(oexpr)
+            .select("bucket", "cnt")
+        )
+
     def facet_metric_agg(
         self,
         text: str,

@@ -138,6 +138,32 @@ def test_geo_filter_search_paths_identical(spark, tmp_path):
         if _haversine_ref(r["lon"], r["lat"], 20.0, 10.0) <= 3_000_000.0
     }
     assert {d for d, _ in e} == base & inside
+    # geo_distance AGGREGATION over the same index: ring counts equal a
+    # brute-force recompute; caller ring order; duplicate bounds rejected
+    rings = [(None, 3e6), (3e6, 9e6), (9e6, None)]
+    got = [(r["bucket"], r["cnt"]) for r in
+           cidx.geo_distance_agg("def return", "lon", "lat", 20.0, 10.0,
+                                 rings).collect()]
+    dists = {
+        r["doc_id"]: _haversine_ref(r["lon"], r["lat"], 20.0, 10.0)
+        for r in docs.collect()
+    }
+    want = []
+    for lo_b, hi_b in rings:
+        n = sum(
+            1 for d in base
+            if (lo_b is None or dists[d] >= lo_b)
+            and (hi_b is None or dists[d] < hi_b)
+        )
+        want.append(n)
+    assert [c for _, c in got] == want and sum(want) == len(base)
+    assert [b for b, _ in got] == ["*-3000000.0", "3000000.0-9000000.0",
+                                   "9000000.0-*"]
+    with pytest.raises(ValueError):
+        cidx.geo_distance_agg("def return", "lon", "lat", 0.0, 0.0,
+                              [(None, 1.0), (None, 1.0)])
+    with pytest.raises(ValueError):
+        cidx.geo_distance_agg("def return", "lon", "nope", 0.0, 0.0, rings)
 
 
 def test_geohash_known_values(spark):
