@@ -70,6 +70,10 @@ def main(argv: list[str] | None = None) -> int:
     s.add_argument("--search-after", default=None, metavar="SCORE,DOC_ID",
                    help="keyset cursor: last hit's score,doc_id "
                         "(mutually exclusive with --offset)")
+    s.add_argument("--geo", default=None,
+                   metavar="LON_COL,LAT_COL,LON0,LAT0,RADIUS_M",
+                   help="ES geo_distance filter clause: keep hits within "
+                        "RADIUS_M meters of (LON0, LAT0)")
     s.add_argument("--fast", action="store_true",
                    help="serve from the coordinator fast path "
                         "(search_local) instead of a cluster job")
@@ -90,6 +94,9 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--fast", action="store_true",
                    help="with --positional: serve from the coordinator "
                         "fast path (no Spark job)")
+    p.add_argument("--type-ahead", action="store_true",
+                   help="match_phrase_prefix: the last token is an open "
+                        "prefix (slop must stay 0)")
 
     fsq = sub.add_parser("fscore", help="function_score / field_value_factor")
     fsq.add_argument("--index", required=True)
@@ -122,6 +129,11 @@ def main(argv: list[str] | None = None) -> int:
     fz.add_argument("--k", type=int, default=10)
     fz.add_argument("--max-edits", type=int, default=1)
     fz.add_argument("--prefix-len", type=int, default=0)
+    fz.add_argument("--max-expansions", type=int, default=50,
+                    help="ES-style cap: best-N-by-df matched terms")
+    fz.add_argument("--fast", action="store_true",
+                    help="coordinator fast path (resident-dictionary "
+                         "expansion, no Spark job)")
 
     m = sub.add_parser("mlt", help="more_like_this seeded from one document")
     m.add_argument("--index", required=True)
@@ -285,12 +297,22 @@ def main(argv: list[str] | None = None) -> int:
                     return x
 
             ranges[col] = (_b(lo_s), _b(hi_s))
+        geo = None
+        if args.geo:
+            parts = args.geo.split(",")
+            if len(parts) != 5:
+                raise SystemExit(
+                    f"--geo expects LON_COL,LAT_COL,LON0,LAT0,RADIUS_M, "
+                    f"got {args.geo!r}"
+                )
+            geo = (parts[0], parts[1], float(parts[2]), float(parts[3]),
+                   float(parts[4]))
         kw = dict(
             ranges=ranges or None,
             k=args.k, offset=args.offset, require_all=args.require_all,
             filters=_parse_filters(args.filter) or None, prefix=prefix,
             must_not_text=args.must_not, should_text=args.should,
-            search_after=cursor,
+            search_after=cursor, geo=geo,
         )
         if args.fast:
             pdf = idx.search_local(args.text, **kw)
@@ -306,23 +328,39 @@ def main(argv: list[str] | None = None) -> int:
         from .engine.wand import CompressedIndex
 
         idx = CompressedIndex(spark, args.index)
+        if args.type_ahead and args.slop:
+            raise SystemExit("--type-ahead does not take --slop")
         if args.positional and args.fast:
-            pdf = idx.match_phrase_local(args.text, k=args.k, slop=args.slop)
+            pdf = (
+                idx.match_phrase_prefix_local(args.text, k=args.k)
+                if args.type_ahead
+                else idx.match_phrase_local(args.text, k=args.k, slop=args.slop)
+            )
             for r in pdf.itertuples(index=False):
                 print(json.dumps({"doc_id": int(r.doc_id),
                                   "score": float(r.score)}))
             return 0
         if args.positional:
-            rows = idx.match_phrase_positional(
-                args.text, k=args.k, slop=args.slop
+            rows = (
+                idx.match_phrase_prefix_positional(args.text, k=args.k)
+                if args.type_ahead
+                else idx.match_phrase_positional(args.text, k=args.k,
+                                                 slop=args.slop)
             ).collect()
         else:
             if not args.input:
                 raise SystemExit("phrase needs --input unless --positional")
             docs = read_docs_table(spark, args.input)
-            rows = idx.match_phrase(
-                args.text, docs, k=args.k, slop=args.slop,
-                source_id_col=args.id_col, source_text_col=args.text_col,
+            rows = (
+                idx.match_phrase_prefix(
+                    args.text, docs, k=args.k,
+                    source_id_col=args.id_col, source_text_col=args.text_col,
+                )
+                if args.type_ahead
+                else idx.match_phrase(
+                    args.text, docs, k=args.k, slop=args.slop,
+                    source_id_col=args.id_col, source_text_col=args.text_col,
+                )
             ).collect()
         for r in rows:
             print(json.dumps({"doc_id": r["doc_id"], "score": r["score"]}))
@@ -364,10 +402,17 @@ def main(argv: list[str] | None = None) -> int:
         from .engine.wand import CompressedIndex
 
         idx = CompressedIndex(spark, args.index)
-        rows = idx.fuzzy_term_search(
-            args.term, k=args.k, max_edits=args.max_edits,
-            prefix_len=args.prefix_len,
-        ).collect()
+        kwf = dict(k=args.k, max_edits=args.max_edits,
+                   prefix_len=args.prefix_len,
+                   max_expansions=args.max_expansions)
+        if args.fast:
+            pdf = idx.fuzzy_term_search_local(args.term, **kwf)
+            for r in pdf.itertuples(index=False):
+                print(json.dumps(
+                    {"doc_id": int(r.doc_id), "score": float(r.score)}
+                ))
+            return 0
+        rows = idx.fuzzy_term_search(args.term, **kwf).collect()
         for r in rows:
             print(json.dumps({"doc_id": r["doc_id"], "score": r["score"]}))
         return 0

@@ -290,6 +290,71 @@ def test_cli_positional_phrase(cli_env, spark, tmp_path, capsys):
     # non-positional phrase without --input is a usage error
     with pytest.raises(SystemExit):
         main(["phrase", "--index", pidx, "--text", "data model"])
+    # r4 type-ahead: --type-ahead on all three routes agrees
+    # ("key ord": complete term "key" + prefix of "order", a hot bigram
+    # in this corpus slice — non-empty asserted below)
+    rc = main([
+        "phrase", "--index", pidx, "--input", cli_env["corpus"],
+        "--text", "key ord", "--k", "10", "--type-ahead",
+    ])
+    ta_vf = [(r["doc_id"], r["score"]) for r in _json_lines(capsys)]
+    rc2 = main([
+        "phrase", "--index", pidx, "--text", "key ord", "--k", "10",
+        "--positional", "--type-ahead",
+    ])
+    ta_po = [(r["doc_id"], r["score"]) for r in _json_lines(capsys)]
+    rc3 = main([
+        "phrase", "--index", pidx, "--text", "key ord", "--k", "10",
+        "--positional", "--type-ahead", "--fast",
+    ])
+    ta_fp = [(r["doc_id"], r["score"]) for r in _json_lines(capsys)]
+    assert rc == rc2 == rc3 == 0
+    assert ta_po == ta_vf and ta_fp == ta_vf and ta_vf
+    with pytest.raises(SystemExit):
+        main(["phrase", "--index", pidx, "--text", "key ord",
+              "--positional", "--type-ahead", "--slop", "1"])
+
+
+def test_cli_fuzzy_fast_and_geo_search(cli_env, spark, tmp_path, capsys):
+    """r4 CLI surface: fuzzy --fast/--max-expansions equals the
+    distributed path; search --geo filters by radius identically on the
+    cluster and coordinator routes."""
+    idx = cli_env["index"]
+    rc = main(["fuzzy", "--index", idx, "--term", "modell", "--k", "5",
+               "--max-expansions", "10"])
+    d = [(r["doc_id"], r["score"]) for r in _json_lines(capsys)]
+    rc2 = main(["fuzzy", "--index", idx, "--term", "modell", "--k", "5",
+                "--max-expansions", "10", "--fast"])
+    f = [(r["doc_id"], r["score"]) for r in _json_lines(capsys)]
+    assert rc == rc2 == 0 and d == f
+    # geo: index with lon/lat attrs
+    gidx = str(tmp_path / "geoidx")
+    gsrc = str(tmp_path / "geosrc.parquet")
+    spark.read.parquet(cli_env["corpus"]).withColumn(
+        "lon", (F.col("doc_id") % 720) / 2.0 - 180.0
+    ).withColumn(
+        "lat", ((F.col("doc_id") * 7) % 360) / 2.0 - 90.0
+    ).write.parquet(gsrc)
+    rc = main([
+        "build", "--input", gsrc, "--out", gidx, "--text-col", "text",
+        "--attr-cols", "lon,lat", "--shards", "2",
+    ])
+    assert rc == 0
+    _json_lines(capsys)  # drain
+    geo = "lon,lat,0.0,0.0,3000000.0"
+    rc = main(["search", "--index", gidx, "--text", "data model",
+               "--k", "1000", "--geo", geo])
+    d = [(r["doc_id"], r["score"]) for r in _json_lines(capsys)]
+    rc2 = main(["search", "--index", gidx, "--text", "data model",
+                "--k", "1000", "--geo", geo, "--fast"])
+    f = [(r["doc_id"], r["score"]) for r in _json_lines(capsys)]
+    rc3 = main(["search", "--index", gidx, "--text", "data model",
+                "--k", "1000"])
+    allhits = [(r["doc_id"], r["score"]) for r in _json_lines(capsys)]
+    assert rc == rc2 == rc3 == 0
+    assert d == f and d and len(d) < len(allhits)
+    with pytest.raises(SystemExit):
+        main(["search", "--index", gidx, "--text", "x", "--geo", "lon,lat,1"])
 
 
 def test_cli_delete_and_update(cli_env, spark, tmp_path, capsys):

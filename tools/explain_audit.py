@@ -455,6 +455,30 @@ def main() -> int:
     )
     sections.append(s); problems += p
 
+    geo_dir = os.path.join(work, "geo_idx")
+    geo_docs = docs.withColumn(
+        "lon", (F.col("doc_id") % 720) / 2.0 - 180.0
+    ).withColumn("lat", ((F.col("doc_id") * 7) % 360) / 2.0 - 90.0)
+    build_index(
+        spark, geo_docs, geo_dir, id_col="doc_id", text_col="text",
+        attr_cols=("lon", "lat"), n_shards=4, shards_per_job=4,
+        salt_threshold=10_000, n_salts=4, resume=False,
+    )
+    geo_index = CompressedIndex(spark, geo_dir)
+    s, p = audit(
+        "geo_distance-FILTERED WAND query (r4)",
+        geo_index.search("the scan", k=10,
+                         geo=("lon", "lat", 0.0, 0.0, 2_000_000.0)),
+        {"pushed_filter": True, "take_ordered": True, "cartesian": False},
+        "The conservative radius bbox is four plain comparisons that "
+        "reach the attrs Parquet scan as PushedFilters (row-group min/"
+        "max pruning eliminates almost every file before any trig); the "
+        "exact haversine predicate evaluates in codegen above the scan, "
+        "and the scorer cogroup ships only surviving (shard, doc_id) "
+        "pairs. Merge is TakeOrderedAndProject.",
+    )
+    sections.append(s); problems += p
+
     s, p = audit(
         "Shard partition pruning (resume-unit read)",
         index.postings.where(F.col("shard") == 2),
