@@ -1231,6 +1231,38 @@ def _q_polygon_filter(spark, sf):
     return points_in_polygon(_synth_points(spark, sf), _SQUARE).select("c_custkey")
 
 
+def _rescore_oracle(text: str, rtext: str, k: int, window: int,
+                    qw: float, rw: float) -> str:
+    """ES rescore twin: primary top-window by BM25, secondary BM25 for
+    the window docs only, final = round(qw*p + rw*coalesce(s, 0)) —
+    the frozen total-mode contract of engine.score_queries.rescore_compose."""
+    t1, t2 = _sql_terms(text), _sql_terms(rtext)
+    w1 = bm25_sql("tf.tf", "dfq.df", "dl.dl", "g.n", "g.avgdl")
+    w2 = bm25_sql("tf.tf", "dfq2.df", "dl.dl", "g.n", "g.avgdl")
+    return f"""
+WITH {_TOKS_CTE},
+dfq AS (SELECT term, count(*)::DOUBLE AS df FROM tf WHERE term IN ({t1}) GROUP BY 1),
+p AS (
+  SELECT tf.doc_id, round(sum({w1}), {ROUND_DECIMALS}) AS pscore
+  FROM tf JOIN dfq USING (term) JOIN dl USING (doc_id) CROSS JOIN g
+  WHERE tf.term IN ({t1}) GROUP BY tf.doc_id
+),
+win AS (SELECT doc_id, pscore FROM p ORDER BY pscore DESC, doc_id ASC LIMIT {window}),
+dfq2 AS (SELECT term, count(*)::DOUBLE AS df FROM tf WHERE term IN ({t2}) GROUP BY 1),
+s AS (
+  SELECT tf.doc_id, round(sum({w2}), {ROUND_DECIMALS}) AS sscore
+  FROM tf JOIN dfq2 USING (term) JOIN dl USING (doc_id) CROSS JOIN g
+  WHERE tf.term IN ({t2}) AND tf.doc_id IN (SELECT doc_id FROM win)
+  GROUP BY tf.doc_id
+)
+SELECT win.doc_id,
+       round({qw!r} * pscore + {rw!r} * coalesce(sscore, 0.0),
+             {ROUND_DECIMALS}) AS score
+FROM win LEFT JOIN s USING (doc_id)
+ORDER BY score DESC, doc_id ASC
+LIMIT {k}"""
+
+
 def _geo_index(spark, sf_dir: str):
     """documents + synthesized geo_point attrs (lon/lat derived from
     doc_id, half-degree lattice) — the ES mapping with location enabled;
@@ -1882,6 +1914,12 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # geo_distance_agg over the lon/lat-attr geo index)
         "geo_distance_ring_agg": lambda spark, sf: _geo_index(spark, sf)
         .geo_distance_agg("spark", "lon", "lat", 0.0, 0.0, _GEO_RINGS),
+        # ES rescore (r4): re-rank the primary top-window by a weighted
+        # total with a secondary query's BM25 — shared composition on
+        # both engines (engine/score_queries.py rescore_compose)
+        "rescore_window": lambda spark, sf: _index(spark, sf)
+        .rescore("table query", "spark merge", k=10, window_size=30,
+                 query_weight=0.7, rescore_query_weight=1.3),
     }
 
 
@@ -2462,6 +2500,9 @@ SELECT c_custkey, round(dist_m, 2) AS dist_m
 FROM d WHERE dist_m <= 2000000.0
 ORDER BY c_custkey
 """,
+        "rescore_window": _rescore_oracle(
+            "table query", "spark merge", k=10, window=30, qw=0.7, rw=1.3
+        ),
         "geo_distance_ring_agg": f"""
 WITH {_TOKS_CTE},
 matched AS (SELECT DISTINCT doc_id FROM toks WHERE term = 'spark'),

@@ -449,6 +449,22 @@ class ExactBM25:
             .limit(k)
         )
 
+    def rescore(self, text: str, rescore_text: str, k: int = 10,
+                window_size: int = 50, query_weight: float = 1.0,
+                rescore_query_weight: float = 1.0,
+                score_mode: str = "total") -> DataFrame:
+        """ES ``rescore`` — the shared composition
+        (engine.score_queries.rescore_compose), so this twin is
+        structurally rank-identical to the compressed path."""
+        from .score_queries import rescore_compose
+
+        return rescore_compose(
+            self, text, rescore_text, k=k, window_size=window_size,
+            query_weight=query_weight,
+            rescore_query_weight=rescore_query_weight,
+            score_mode=score_mode,
+        )
+
     def fuzzy_term_search(
         self, term: str, k: int = 10, max_edits: int = 1, prefix_len: int = 0
     ) -> DataFrame:

@@ -185,3 +185,59 @@ def boosting_fn(
         return _topk(uids, sums, k)
 
     return fn
+
+
+def rescore_compose(engine, text: str, rescore_text: str, k: int = 10,
+                    window_size: int = 50, query_weight: float = 1.0,
+                    rescore_query_weight: float = 1.0,
+                    score_mode: str = "total"):
+    """ES ``rescore`` (query rescorer), one frozen composition shared by
+    BOTH engines (each passes itself — anything with ``.search(text, k,
+    ids=…)`` and ``.spark`` works, so exact↔compressed rank identity is
+    structural):
+
+      1. window = top ``window_size`` hits of the primary query (the
+         engine's own rounded ranking);
+      2. secondary BM25 computed for the WINDOW docs only (an ids
+         filter — the secondary query's cost is O(window), never a
+         second corpus-wide match; the window ids transit the driver,
+         O(window_size) like any ES coordinator);
+      3. final = round(qw·p + rw·s, ROUND_DECIMALS) for
+         ``score_mode="total"`` (missing secondary → 0), or
+         round((qw·p)·(rw·s)) with missing secondary leaving the
+         weighted primary unchanged (factor 1) for ``"multiply"`` —
+         the frozen contract, mirrored in the DuckDB twin.
+
+    Docs below the primary window NEVER enter the result regardless of
+    their secondary score — the ES window semantics (k ≤ window_size
+    enforced). Primary and secondary scores are the engines' rounded
+    outputs; combining rounded terms and rounding once more is
+    deterministic and identical across engines by construction."""
+    from pyspark.sql import functions as F
+
+    if score_mode not in ("total", "multiply"):
+        raise ValueError("score_mode must be 'total' or 'multiply'")
+    if k > window_size:
+        raise ValueError("k must not exceed window_size")
+    win = engine.search(text, k=window_size)
+    win_ids = [int(r["doc_id"]) for r in win.select("doc_id").collect()]
+    if not win_ids:
+        return engine.spark.createDataFrame([], "doc_id long, score double")
+    sec = engine.search(rescore_text, k=window_size, ids=win_ids)
+    j = win.select("doc_id", F.col("score").alias("_p")).join(
+        sec.select("doc_id", F.col("score").alias("_s")), "doc_id", "left"
+    )
+    qw, rw = float(query_weight), float(rescore_query_weight)
+    if score_mode == "total":
+        comb = F.lit(qw) * F.col("_p") + F.lit(rw) * F.coalesce(
+            F.col("_s"), F.lit(0.0)
+        )
+    else:
+        comb = (F.lit(qw) * F.col("_p")) * F.coalesce(
+            F.lit(rw) * F.col("_s"), F.lit(1.0)
+        )
+    return (
+        j.select("doc_id", F.round(comb, ROUND_DECIMALS).alias("score"))
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(k)
+    )

@@ -1955,6 +1955,23 @@ class CompressedIndex:
             cond = cond & (F.col("term") < hi)
         return self._constant_score_docs(self.postings.where(cond), k)
 
+    def rescore(self, text: str, rescore_text: str, k: int = 10,
+                window_size: int = 50, query_weight: float = 1.0,
+                rescore_query_weight: float = 1.0,
+                score_mode: str = "total") -> DataFrame:
+        """ES ``rescore``: re-rank the primary query's top
+        ``window_size`` hits by a weighted combination with a secondary
+        query's BM25 — see engine.score_queries.rescore_compose (the one
+        frozen composition both engines share)."""
+        from .score_queries import rescore_compose
+
+        return rescore_compose(
+            self, text, rescore_text, k=k, window_size=window_size,
+            query_weight=query_weight,
+            rescore_query_weight=rescore_query_weight,
+            score_mode=score_mode,
+        )
+
     def _constant_score_local(self, cands: list[str], k: int) -> pd.DataFrame:
         """Coordinator twin of ``_constant_score_docs``: term-dictionary
         seek of the candidate terms' posting blocks (pyarrow row-group

@@ -220,3 +220,51 @@ def test_function_score_negative_sum_mode_no_nan(exact, cidx):
                                  modifier="sqrt", factor=-1.5,
                                  boost_mode="sum"))
     assert e == c == base
+
+
+# --------------------------------------------------------------- rescore --
+
+def test_rescore_paths_identical(exact, cidx):
+    for mode in ("total", "multiply"):
+        e = rows(exact.rescore("def return", "import class", k=10,
+                               window_size=40, query_weight=0.7,
+                               rescore_query_weight=1.3, score_mode=mode))
+        c = rows(cidx.rescore("def return", "import class", k=10,
+                              window_size=40, query_weight=0.7,
+                              rescore_query_weight=1.3, score_mode=mode))
+        assert e == c and e
+
+
+def test_rescore_semantics(exact):
+    """Window restriction + weighted-total math: the result set is a
+    subset of the primary top-window, and each final score equals
+    qw*primary + rw*secondary (0 when the doc misses the rescore
+    query)."""
+    win = rows(exact.search("def return", k=25))
+    prim = dict(win)
+    sec = dict(rows(exact.search("import class", k=10_000,
+                                 ids=[d for d, _ in win])))
+    out = rows(exact.rescore("def return", "import class", k=25,
+                             window_size=25, query_weight=0.5,
+                             rescore_query_weight=2.0))
+    assert {d for d, _ in out} <= set(prim)
+    for d, s in out:
+        want = round(0.5 * prim[d] + 2.0 * sec.get(d, 0.0), ROUND_DECIMALS)
+        assert s == pytest.approx(want, abs=10 ** (-ROUND_DECIMALS))
+    # multiply mode: a doc missing the secondary keeps qw*primary
+    out_m = dict(rows(exact.rescore("def return", "import class", k=25,
+                                    window_size=25, query_weight=0.5,
+                                    rescore_query_weight=2.0,
+                                    score_mode="multiply")))
+    missing = [d for d in prim if d not in sec]
+    for d in missing[:5]:
+        assert out_m[d] == pytest.approx(
+            round(0.5 * prim[d], ROUND_DECIMALS), abs=10 ** (-ROUND_DECIMALS)
+        )
+
+
+def test_rescore_rejects_bad_args(exact):
+    with pytest.raises(ValueError):
+        exact.rescore("def", "import", k=20, window_size=10)
+    with pytest.raises(ValueError):
+        exact.rescore("def", "import", score_mode="avg")
