@@ -1231,6 +1231,12 @@ def _q_polygon_filter(spark, sf):
     return points_in_polygon(_synth_points(spark, sf), _SQUARE).select("c_custkey")
 
 
+def _q_search_fetch_fields(spark, sf):
+    idx = _index(spark, sf)
+    return idx.fetch_fields(idx.search("table query", k=10),
+                            ["lang", "source"])
+
+
 def _rescore_oracle(text: str, rtext: str, k: int, window: int,
                     qw: float, rw: float) -> str:
     """ES rescore twin: primary top-window by BM25, secondary BM25 for
@@ -1920,6 +1926,10 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rescore_window": lambda spark, sf: _index(spark, sf)
         .rescore("table query", "spark merge", k=10, window_size=30,
                  query_weight=0.7, rescore_query_weight=1.3),
+        # ES _source/docvalue_fields (r4): top-k hits decorated with
+        # stored attr columns — In(doc_id) pushed to the attrs scan,
+        # O(hits) row groups at any corpus size
+        "search_fetch_fields": _q_search_fetch_fields,
     }
 
 
@@ -2503,6 +2513,22 @@ ORDER BY c_custkey
         "rescore_window": _rescore_oracle(
             "table query", "spark merge", k=10, window=30, qw=0.7, rw=1.3
         ),
+        "search_fetch_fields": f"""
+WITH {_TOKS_CTE},
+dfq AS (SELECT term, count(*)::DOUBLE AS df FROM tf
+        WHERE term IN ({_sql_terms('table query')}) GROUP BY 1),
+p AS (
+  SELECT tf.doc_id,
+         round(sum({bm25_sql("tf.tf", "dfq.df", "dl.dl", "g.n", "g.avgdl")}),
+               {ROUND_DECIMALS}) AS score
+  FROM tf JOIN dfq USING (term) JOIN dl USING (doc_id) CROSS JOIN g
+  WHERE tf.term IN ({_sql_terms('table query')}) GROUP BY tf.doc_id
+),
+topk AS (SELECT doc_id, score FROM p ORDER BY score DESC, doc_id ASC LIMIT 10)
+SELECT topk.doc_id, topk.score, d.lang, d.source
+FROM topk JOIN documents d USING (doc_id)
+ORDER BY topk.score DESC, topk.doc_id ASC
+""",
         "geo_distance_ring_agg": f"""
 WITH {_TOKS_CTE},
 matched AS (SELECT DISTINCT doc_id FROM toks WHERE term = 'spark'),

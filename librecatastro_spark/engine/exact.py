@@ -449,6 +449,29 @@ class ExactBM25:
             .limit(k)
         )
 
+    def fetch_fields(
+        self, hits: DataFrame, cols: list[str], max_fetch: int = 10_000
+    ) -> DataFrame:
+        """ES ``_source`` fields analog — same contract as the
+        compressed index's fetch_fields (In(doc_id) pushed to the attrs
+        scan, hit order preserved)."""
+        missing = [c for c in cols if c not in self.attrs.columns]
+        if missing:
+            raise ValueError(f"index attrs lack columns {missing}")
+        ids = [
+            int(r["doc_id"])
+            for r in hits.select("doc_id").limit(max_fetch + 1).collect()
+        ]
+        if len(ids) > max_fetch:
+            raise ValueError(f"fetch_fields over {max_fetch} hits")
+        sel = self.attrs.where(F.col("doc_id").isin(ids)).select(
+            "doc_id", *cols
+        )
+        return (
+            hits.join(F.broadcast(sel), "doc_id", "left")
+            .orderBy(F.desc("score"), F.asc("doc_id"))
+        )
+
     def rescore(self, text: str, rescore_text: str, k: int = 10,
                 window_size: int = 50, query_weight: float = 1.0,
                 rescore_query_weight: float = 1.0,

@@ -1955,6 +1955,37 @@ class CompressedIndex:
             cond = cond & (F.col("term") < hi)
         return self._constant_score_docs(self.postings.where(cond), k)
 
+    def fetch_fields(
+        self, hits: DataFrame, cols: list[str], max_fetch: int = 10_000
+    ) -> DataFrame:
+        """ES ``_source``/``docvalue_fields`` analog: decorate a top-k
+        result frame with stored attr columns — (doc_id, score, *cols),
+        hit order preserved. The hit ids collect to the driver (bounded
+        by ``max_fetch``; a top-k result is coordinator-resident in ES
+        too) and push an ``In(doc_id)`` filter into the attrs Parquet
+        scan — the attrs files carry monotone doc_id row-group stats
+        (builder sorts ("shard", "doc_id")), so the fetch reads O(hits)
+        row groups at any corpus size, never the attrs table."""
+        missing = [c for c in cols if c not in self.attrs.columns]
+        if missing:
+            raise ValueError(f"index attrs lack columns {missing}")
+        ids = [
+            int(r["doc_id"])
+            for r in hits.select("doc_id").limit(max_fetch + 1).collect()
+        ]
+        if len(ids) > max_fetch:
+            raise ValueError(
+                f"fetch_fields over {max_fetch} hits — raise max_fetch or "
+                "join the attrs table directly for batch exports"
+            )
+        sel = self.attrs.where(F.col("doc_id").isin(ids)).select(
+            "doc_id", *cols
+        )
+        return (
+            hits.join(F.broadcast(sel), "doc_id", "left")
+            .orderBy(F.desc("score"), F.asc("doc_id"))
+        )
+
     def rescore(self, text: str, rescore_text: str, k: int = 10,
                 window_size: int = 50, query_weight: float = 1.0,
                 rescore_query_weight: float = 1.0,

@@ -268,3 +268,25 @@ def test_rescore_rejects_bad_args(exact):
         exact.rescore("def", "import", k=20, window_size=10)
     with pytest.raises(ValueError):
         exact.rescore("def", "import", score_mode="avg")
+
+
+# ---------------------------------------------------------- fetch_fields --
+
+def test_fetch_fields_paths(exact, cidx):
+    """ES _source fields analog: (doc_id, score, *attrs) in hit order,
+    identical across engines; unknown columns and over-cap hit frames
+    rejected."""
+    h_e = exact.search("def return", k=8)
+    e = [(r["doc_id"], r["score"], r["repo"], r["lang"])
+         for r in exact.fetch_fields(h_e, ["repo", "lang"]).collect()]
+    h_c = cidx.search("def return", k=8)
+    c = [(r["doc_id"], r["score"], r["repo"], r["lang"])
+         for r in cidx.fetch_fields(h_c, ["repo", "lang"]).collect()]
+    assert e == c and len(e) == 8
+    assert all(x[2] is not None and x[3] is not None for x in e)
+    # hit order preserved == the search ranking
+    assert [(d, s) for d, s, *_ in e] == rows(exact.search("def return", k=8))
+    with pytest.raises(ValueError):
+        cidx.fetch_fields(h_c, ["nosuchcol"])
+    with pytest.raises(ValueError):
+        cidx.fetch_fields(h_c, ["repo"], max_fetch=3)
