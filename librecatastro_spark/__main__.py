@@ -109,6 +109,18 @@ def main(argv: list[str] | None = None) -> int:
                      choices=("multiply", "sum"))
     fsq.add_argument("--k", type=int, default=10)
 
+    rs = sub.add_parser("rescore", help="re-rank the top window with a "
+                                        "secondary query")
+    rs.add_argument("--index", required=True)
+    rs.add_argument("--text", required=True)
+    rs.add_argument("--rescore-text", required=True)
+    rs.add_argument("--k", type=int, default=10)
+    rs.add_argument("--window-size", type=int, default=50)
+    rs.add_argument("--query-weight", type=float, default=1.0)
+    rs.add_argument("--rescore-weight", type=float, default=1.0)
+    rs.add_argument("--score-mode", default="total",
+                    choices=("total", "multiply"))
+
     dm = sub.add_parser("dismax", help="dis_max over match clauses")
     dm.add_argument("--index", required=True)
     dm.add_argument("--text", action="append", required=True,
@@ -373,6 +385,19 @@ def main(argv: list[str] | None = None) -> int:
         for r in idx.function_score(
             args.text, args.field, k=args.k, modifier=args.modifier,
             factor=args.factor, boost_mode=args.boost_mode,
+        ).collect():
+            print(json.dumps({"doc_id": r["doc_id"], "score": r["score"]}))
+        return 0
+
+    if args.cmd == "rescore":
+        from .engine.wand import CompressedIndex
+
+        idx = CompressedIndex(spark, args.index)
+        for r in idx.rescore(
+            args.text, args.rescore_text, k=args.k,
+            window_size=args.window_size, query_weight=args.query_weight,
+            rescore_query_weight=args.rescore_weight,
+            score_mode=args.score_mode,
         ).collect():
             print(json.dumps({"doc_id": r["doc_id"], "score": r["score"]}))
         return 0

@@ -258,6 +258,21 @@ def test_cli_compound_score_queries(cli_env, spark, capsys):
     ]
     assert rc == 0 and got == want and got
 
+    rc = main([
+        "rescore", "--index", cli_env["index"], "--text", "data model",
+        "--rescore-text", "merge sort", "--k", "5", "--window-size", "20",
+        "--query-weight", "0.7", "--rescore-weight", "1.3",
+    ])
+    got = [(r["doc_id"], r["score"]) for r in _json_lines(capsys)]
+    want = [
+        (r["doc_id"], r["score"])
+        for r in idx.rescore(
+            "data model", "merge sort", k=5, window_size=20,
+            query_weight=0.7, rescore_query_weight=1.3,
+        ).collect()
+    ]
+    assert rc == 0 and got == want and got
+
 
 def test_cli_positional_phrase(cli_env, spark, tmp_path, capsys):
     """build --index-options positions, then phrase --positional (+--fast)
