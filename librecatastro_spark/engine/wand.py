@@ -2038,26 +2038,68 @@ class CompressedIndex:
         q = self._analyze(term)
         if len(q) != 1:
             raise ValueError("fuzzy_term_search takes exactly one analyzed term")
+        qt = q[0]
+        pfx = qt[:prefix_len]
+        cands = self._expansion_local(
+            lambda t: (not prefix_len or t.startswith(pfx))
+            and abs(len(t) - len(qt)) <= max_edits
+            and _lev_within(t, qt, max_edits),
+            max_expansions,
+        )
+        return self._constant_score_local(cands, k)
+
+    def _expansion_local(self, match_fn, max_expansions: int) -> list[str]:
+        """Shared local-expansion tail: walk the RESIDENT term dictionary
+        with ``match_fn``, cap at ``max_expansions`` best-by-df (same
+        (-df, term) order as ``_cap_expansion``, so local and distributed
+        expansions are term-for-term identical)."""
         if max_expansions <= 0:
             raise ValueError("max_expansions must be positive")
         if self._df_local is None:
             raise ValueError(
-                "fuzzy_term_search_local needs the resident term dictionary "
-                "(term_stats exceeds the local cap); use fuzzy_term_search"
+                "coordinator expansion needs the resident term dictionary "
+                "(term_stats exceeds the local cap); use the distributed path"
             )
-        qt = q[0]
-        pfx = qt[:prefix_len]
-        cands = [
-            (t, d)
-            for t, d in self._df_local.items()
-            if (not prefix_len or t.startswith(pfx))
-            and abs(len(t) - len(qt)) <= max_edits
-            and _lev_within(t, qt, max_edits)
-        ]
+        cands = [(t, d) for t, d in self._df_local.items() if match_fn(t)]
         cands.sort(key=lambda td: (-td[1], td[0]))
-        return self._constant_score_local(
-            [t for t, _ in cands[:max_expansions]], k
+        return [t for t, _ in cands[:max_expansions]]
+
+    def wildcard_term_search_local(
+        self, pattern: str, k: int = 10, max_expansions: int = 50
+    ) -> pd.DataFrame:
+        """Coordinator fast path for ``wildcard_term_search`` — identical
+        results (the anchored translation below is the same regex the
+        distributed rlike evaluates; its ``.*``/``.``/escaped-literal
+        alphabet behaves identically in Java regex and CPython sre), no
+        Spark job: resident-dictionary expansion + term-dictionary-seek
+        postings read."""
+        if not pattern:
+            raise ValueError("wildcard_term_search needs a non-empty pattern")
+        rx = re.compile(
+            "^" + "".join(
+                ".*" if c == "*" else "." if c == "?" else re.escape(c)
+                for c in pattern.lower()
+            ) + "$"
         )
+        cands = self._expansion_local(
+            lambda t: rx.match(t) is not None, max_expansions
+        )
+        return self._constant_score_local(cands, k)
+
+    def regexp_term_search_local(
+        self, regex: str, k: int = 10, max_expansions: int = 50
+    ) -> pd.DataFrame:
+        """Coordinator fast path for ``regexp_term_search`` — identical
+        results within the engine's documented Java∩RE2 pattern subset
+        (char classes, alternation, quantifiers — no backrefs), which
+        CPython sre evaluates identically; no Spark job."""
+        if not regex:
+            raise ValueError("regexp_term_search needs a non-empty regex")
+        rx = re.compile(f"^(?:{regex})$")
+        cands = self._expansion_local(
+            lambda t: rx.match(t) is not None, max_expansions
+        )
+        return self._constant_score_local(cands, k)
 
     def composite_agg_local(
         self,

@@ -82,6 +82,28 @@ def test_fuzzy_local_rank_identical(index):
         index.fuzzy_term_search_local("two words")
 
 
+def test_wildcard_regexp_local_rank_identical(index):
+    """Coordinator twins for the other two expansion queries (r4):
+    resident-dictionary walk + term seek equals the distributed
+    vocab-scan paths exactly, incl. the max_expansions cap, a leading
+    wildcard, and the '*' full-vocab shape."""
+    for pat, kw in (("quer?", {}), ("*ery", {}), ("qu*", {}),
+                    ("*", dict(max_expansions=5))):
+        d = [(r["doc_id"], r["score"]) for r in
+             index.wildcard_term_search(pat, k=10_000, **kw).collect()]
+        lo = index.wildcard_term_search_local(pat, k=10_000, **kw)
+        assert list(zip(lo["doc_id"].tolist(), lo["score"].tolist())) == d
+    for rx, kw in (("quer(y|ies)", {}), ("[a-z]+", dict(max_expansions=4))):
+        d = [(r["doc_id"], r["score"]) for r in
+             index.regexp_term_search(rx, k=10_000, **kw).collect()]
+        lo = index.regexp_term_search_local(rx, k=10_000, **kw)
+        assert list(zip(lo["doc_id"].tolist(), lo["score"].tolist())) == d
+    with pytest.raises(ValueError):
+        index.wildcard_term_search_local("")
+    with pytest.raises(ValueError):
+        index.regexp_term_search_local("x", max_expansions=0)
+
+
 def test_composite_local_identical(index):
     """Coordinator composite twin (r4): same buckets/counts/page order
     as the distributed keyset-paged aggregation, on first and deep
