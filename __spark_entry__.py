@@ -1930,6 +1930,11 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # stored attr columns — In(doc_id) pushed to the attrs scan,
         # O(hits) row groups at any corpus size
         "search_fetch_fields": _q_search_fetch_fields,
+        # ES pinned query (r4): promoted ids first in list order (scores
+        # PINNED_BASE - i, absent ids skipped), organic hits below with
+        # the pinned set excluded (engine/score_queries.py pinned_compose)
+        "pinned_promoted": lambda spark, sf: _index(spark, sf)
+        .pinned([42, 7, 999999999, 13], "table query", k=10),
     }
 
 
@@ -2513,6 +2518,32 @@ ORDER BY c_custkey
         "rescore_window": _rescore_oracle(
             "table query", "spark merge", k=10, window=30, qw=0.7, rw=1.3
         ),
+        "pinned_promoted": f"""
+WITH {_TOKS_CTE},
+dfq AS (SELECT term, count(*)::DOUBLE AS df FROM tf
+        WHERE term IN ({_sql_terms('table query')}) GROUP BY 1),
+p AS (
+  SELECT tf.doc_id,
+         round(sum({bm25_sql("tf.tf", "dfq.df", "dl.dl", "g.n", "g.avgdl")}),
+               {ROUND_DECIMALS}) AS score
+  FROM tf JOIN dfq USING (term) JOIN dl USING (doc_id) CROSS JOIN g
+  WHERE tf.term IN ({_sql_terms('table query')}) GROUP BY tf.doc_id
+),
+organic AS (
+  SELECT doc_id, score FROM p
+  WHERE doc_id NOT IN (42, 7, 999999999, 13)
+  ORDER BY score DESC, doc_id ASC LIMIT 14
+),
+pin AS (
+  SELECT v.doc_id::BIGINT AS doc_id, v.score::DOUBLE AS score
+  FROM (VALUES (42, 1000000000.0), (7, 999999999.0),
+               (999999999, 999999998.0), (13, 999999997.0)) v(doc_id, score)
+  WHERE v.doc_id IN (SELECT doc_id FROM documents)
+)
+SELECT doc_id, score
+FROM (SELECT * FROM pin UNION ALL SELECT * FROM organic)
+ORDER BY score DESC, doc_id ASC LIMIT 10
+""",
         "search_fetch_fields": f"""
 WITH {_TOKS_CTE},
 dfq AS (SELECT term, count(*)::DOUBLE AS df FROM tf

@@ -449,6 +449,13 @@ class ExactBM25:
             .limit(k)
         )
 
+    def pinned(self, ids: list[int], text: str, k: int = 10) -> DataFrame:
+        """ES ``pinned`` query — the shared composition
+        (engine.score_queries.pinned_compose)."""
+        from .score_queries import pinned_compose
+
+        return pinned_compose(self, ids, text, k=k)
+
     def fetch_fields(
         self, hits: DataFrame, cols: list[str], max_fetch: int = 10_000
     ) -> DataFrame:

@@ -241,3 +241,46 @@ def rescore_compose(engine, text: str, rescore_text: str, k: int = 10,
         .orderBy(F.desc("score"), F.asc("doc_id"))
         .limit(k)
     )
+
+
+#: pinned ranks sit far above any BM25 sum (corpus-independent: BM25
+#: sums are bounded by terms × idf_max × (k1+1) — orders of magnitude
+#: below 1e9 for any real query)
+PINNED_BASE = 1.0e9
+
+
+def pinned_compose(engine, ids: list[int], text: str, k: int = 10):
+    """ES ``pinned`` query, one frozen composition shared by both
+    engines: the given ids rank FIRST in list order (doc i scores
+    ``PINNED_BASE - i`` — deterministic and far above any BM25 sum,
+    where ES uses descending floats from FLOAT_MAX), then the organic
+    hits of ``text`` with the pinned ids excluded. Pinned ids absent
+    from the corpus are skipped (the ES behavior); the result still
+    holds at most ``k`` rows overall. The pinned list transits the
+    driver by construction (it is caller input); its existence check is
+    an In(doc_id) pushed to the attrs scan."""
+    from pyspark.sql import functions as F
+
+    if not ids:
+        return engine.search(text, k=k)
+    if len(set(ids)) != len(ids):
+        raise ValueError("duplicate ids in pinned list")
+    # .sparkSession off the attrs frame: works for both engines (the
+    # exact engine holds no session handle of its own)
+    pin = engine.attrs.sparkSession.createDataFrame(
+        [(int(d), float(PINNED_BASE - i)) for i, d in enumerate(ids)],
+        "doc_id long, score double",
+    ).join(
+        engine.attrs.where(F.col("doc_id").isin([int(i) for i in ids]))
+        .select("doc_id"),
+        "doc_id",
+        "left_semi",
+    )
+    organic = engine.search(text, k=k + len(ids)).where(
+        ~F.col("doc_id").isin([int(i) for i in ids])
+    )
+    return (
+        pin.unionByName(organic)
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(k)
+    )

@@ -1955,6 +1955,13 @@ class CompressedIndex:
             cond = cond & (F.col("term") < hi)
         return self._constant_score_docs(self.postings.where(cond), k)
 
+    def pinned(self, ids: list[int], text: str, k: int = 10) -> DataFrame:
+        """ES ``pinned`` query — promoted ids above organic hits; see
+        engine.score_queries.pinned_compose (shared composition)."""
+        from .score_queries import pinned_compose
+
+        return pinned_compose(self, ids, text, k=k)
+
     def fetch_fields(
         self, hits: DataFrame, cols: list[str], max_fetch: int = 10_000
     ) -> DataFrame:

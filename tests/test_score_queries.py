@@ -290,3 +290,27 @@ def test_fetch_fields_paths(exact, cidx):
         cidx.fetch_fields(h_c, ["nosuchcol"])
     with pytest.raises(ValueError):
         cidx.fetch_fields(h_c, ["repo"], max_fetch=3)
+
+
+# --------------------------------------------------------------- pinned --
+
+def test_pinned_paths_identical(exact, cidx):
+    """ES pinned query: promoted ids first in list order (absent ids
+    skipped), organic hits below with pinned excluded — identical across
+    engines."""
+    ids = [42, 7, 999999, 13]  # 999999 absent from the 400-doc corpus
+    e = rows(exact.pinned(ids, "def return", k=10))
+    c = rows(cidx.pinned(ids, "def return", k=10))
+    assert e == c and e
+    # the present pinned ids lead, in list order
+    assert [d for d, _ in e[:3]] == [42, 7, 13]
+    assert all(s > 1e8 for _, s in e[:3]) and all(s < 1e8 for _, s in e[3:])
+    # organic tail excludes the pinned ids and preserves the base ranking
+    organic = [d for d, _ in rows(exact.search("def return", k=14))
+               if d not in ids]
+    assert [d for d, _ in e[3:]] == organic[:7]
+    # empty pin list degrades to plain search
+    assert rows(exact.pinned([], "def return", k=5)) == rows(
+        exact.search("def return", k=5))
+    with pytest.raises(ValueError):
+        exact.pinned([1, 1], "def return")
