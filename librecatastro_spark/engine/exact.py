@@ -104,9 +104,11 @@ class ExactBM25:
         ES exists query (field present = non-null); ``ids`` is the ES ids
         query (explicit doc-id list — an In on the primary key, pushed to
         the scan like every other filter). ``geo`` is the ES geo_distance
-        query: (lon_col, lat_col, lon0, lat0, radius_m) — the shared
-        ops.geo predicate (conservative bbox pushed to the scan + exact
-        haversine, all Catalyst)."""
+        query (lon_col, lat_col, lon0, lat0, radius_m) OR the ES
+        geo_polygon query (lon_col, lat_col, [(lon, lat), …]) — the
+        shared ops.geo.geo_clause_cond predicate: a scan-pushable bbox
+        prune plus the exact test (Catalyst haversine / Arrow ray
+        cast)."""
         if (not filters and not prefix and not ranges and not exists_cols
                 and ids is None and geo is None):
             return None
@@ -130,12 +132,9 @@ class ExactBM25:
         if ids is not None:
             cond = cond & F.col("doc_id").isin([int(i) for i in ids])
         if geo is not None:
-            from ..ops.geo import geo_distance_cond
+            from ..ops.geo import geo_clause_cond
 
-            lon_c, lat_c, lon0, lat0, radius_m = geo
-            cond = cond & geo_distance_cond(
-                F.col(lon_c), F.col(lat_c), lon0, lat0, radius_m
-            )
+            cond = cond & geo_clause_cond(geo)
         return self.attrs.where(cond).select("doc_id")
 
     def match_scores(

@@ -31,7 +31,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from ..analyzer import duckdb_tokens_sql, tokenize_expr
+from ..analyzer import Analyzer, duckdb_tokens_sql
 
 
 def _terms_array(terms: list[str]) -> Column:
@@ -46,10 +46,14 @@ def highlight_snippets(
     frag_tokens: int = 5,
     pre: str = "<em>",
     post: str = "</em>",
+    split_re: str | None = None,
 ) -> DataFrame:
     """(doc_id, snippet) for every doc containing ≥1 of ``terms``.
 
-    terms must already be analyzed (lowercase analyzer tokens).
+    terms must already be analyzed (lowercase analyzer tokens);
+    ``split_re`` selects the index's analyzer (meta.analyzer_re) so the
+    fragment tokenization matches the index's own — ES highlights on the
+    analyzed field with the field's analyzer.
     """
     if not terms:
         raise ValueError("highlight needs at least one term")
@@ -58,7 +62,9 @@ def highlight_snippets(
     #    module docstring — a bare projection would collapse back in)
     toks = docs.select(
         F.col(id_col).alias("doc_id"),
-        F.explode(F.array(tokenize_expr(text_col))).alias("_toks"),
+        F.explode(
+            F.array(Analyzer(split_re).tokenize_expr(text_col))
+        ).alias("_toks"),
     )
     # 2) first matched position (0-based): filter the index sequence, not
     #    the tokens, so the lambda captures only the materialized column

@@ -193,7 +193,7 @@ def rescore_compose(engine, text: str, rescore_text: str, k: int = 10,
                     score_mode: str = "total"):
     """ES ``rescore`` (query rescorer), one frozen composition shared by
     BOTH engines (each passes itself — anything with ``.search(text, k,
-    ids=…)`` and ``.spark`` works, so exact↔compressed rank identity is
+    ids=…)`` and ``.attrs`` works, so exact↔compressed rank identity is
     structural):
 
       1. window = top ``window_size`` hits of the primary query (the
@@ -222,7 +222,11 @@ def rescore_compose(engine, text: str, rescore_text: str, k: int = 10,
     win = engine.search(text, k=window_size)
     win_ids = [int(r["doc_id"]) for r in win.select("doc_id").collect()]
     if not win_ids:
-        return engine.spark.createDataFrame([], "doc_id long, score double")
+        # .sparkSession off the attrs frame, like pinned_compose: the
+        # exact engine holds no .spark handle of its own
+        return engine.attrs.sparkSession.createDataFrame(
+            [], "doc_id long, score double"
+        )
     sec = engine.search(rescore_text, k=window_size, ids=win_ids)
     j = win.select("doc_id", F.col("score").alias("_p")).join(
         sec.select("doc_id", F.col("score").alias("_s")), "doc_id", "left"

@@ -467,10 +467,12 @@ class CompressedIndex:
         # query analysis uses the INDEX's analyzer (meta.analyzer_re, the
         # ES per-field analyzer hook) — ES match semantics: the query text
         # is analyzed with the field's analyzer, so a custom-analyzer
-        # index can never silently mismatch its own postings. Note the
-        # verify-first phrase paths additionally regex-verify against the
-        # SOURCE with the default chain's pattern, so custom-analyzer
-        # phrase queries should use the positional (index-only) paths.
+        # index can never silently mismatch its own postings. The
+        # verify-first phrase paths derive their source-verify regex's
+        # token boundaries from the SAME pattern (analyzer_classes), so
+        # they agree with the index's tokenization too; an analyzer
+        # outside the derivable '[^X]+' shape makes them raise with a
+        # pointer to the positional (index-only) paths.
         self._analyze = Analyzer(
             getattr(self.meta, "analyzer_re", None)
         ).analyze
@@ -549,12 +551,15 @@ class CompressedIndex:
         Catalyst beside the other filters, pushed to the attrs scan
         (IsNotNull / In reach Parquet row-group pruning).
 
-        ``geo`` is the ES geo_distance query over geo_point attr columns:
-        (lon_col, lat_col, lon0, lat0, radius_m) — the shared ops.geo
-        predicate: a conservative radius-derived bbox (simple comparisons,
-        pushed to the attrs Parquet scan) ANDed with the exact Catalyst
-        haversine, evaluated beside the other filter clauses so the
-        scorer cogroup ships only surviving (shard, doc_id) pairs.
+        ``geo`` is the ES geo_distance query over geo_point attr columns
+        — (lon_col, lat_col, lon0, lat0, radius_m) — OR the ES
+        geo_polygon query — (lon_col, lat_col, [(lon, lat), …]), the
+        reference's flagship geo predicate (geo_polygon.py:36-54). Both
+        compile through the shared ops.geo.geo_clause_cond: a
+        scan-pushable bbox prune (radius-derived or vertex bbox) ANDed
+        with the exact test (Catalyst haversine / Arrow ray cast on the
+        bbox survivors), evaluated beside the other filter clauses so
+        the scorer cogroup ships only surviving (shard, doc_id) pairs.
 
         ``min_match`` is ES ``minimum_should_match`` on a match query: a
         doc qualifies only if it matches at least that many DISTINCT
@@ -634,12 +639,9 @@ class CompressedIndex:
             if ids is not None:
                 cond = cond & F.col("doc_id").isin([int(i) for i in ids])
             if geo is not None:
-                from ..ops.geo import geo_distance_cond
+                from ..ops.geo import geo_clause_cond
 
-                lon_c, lat_c, lon0, lat0, radius_m = geo
-                cond = cond & geo_distance_cond(
-                    F.col(lon_c), F.col(lat_c), lon0, lat0, radius_m
-                )
+                cond = cond & geo_clause_cond(geo)
             allowed = self.attrs.where(cond).select("shard", "doc_id")
             partial = (
                 blocks.groupBy("shard")
@@ -751,7 +753,12 @@ class CompressedIndex:
                 F.col(source_text_col).alias("_text"),
             )
             .where(F.col("doc_id").between(lo, hi))
-            .where(phrase_match_udf(seq, slop)(F.col("_text")))
+            .where(
+                phrase_match_udf(
+                    seq, slop,
+                    split_re=getattr(self.meta, "analyzer_re", None),
+                )(F.col("_text"))
+            )
             .select("doc_id")
         )
         allowed = self.attrs.select("shard", "doc_id").where(
@@ -812,7 +819,7 @@ class CompressedIndex:
 
         complete, pfx = seq[:-1], seq[-1]
         if not complete:
-            return self.term_prefix_search(pfx, k=k)
+            return self.term_prefix_search(pfx, k=k, offset=offset)
         terms = sorted(set(complete))
         idfs = self._idfs(terms)
         if len(idfs) < len(terms):
@@ -836,7 +843,12 @@ class CompressedIndex:
                 F.col(source_text_col).alias("_text"),
             )
             .where(F.col("doc_id").between(lo, hi))
-            .where(phrase_prefix_match_udf(complete, pfx)(F.col("_text")))
+            .where(
+                phrase_prefix_match_udf(
+                    complete, pfx,
+                    split_re=getattr(self.meta, "analyzer_re", None),
+                )(F.col("_text"))
+            )
             .select("doc_id")
         )
         allowed = self.attrs.select("shard", "doc_id").where(
@@ -965,7 +977,7 @@ class CompressedIndex:
             raise ValueError("phrase analyzes to zero terms")
         complete, pfx = seq[:-1], seq[-1]
         if not complete:
-            return self.term_prefix_search(pfx, k=k)
+            return self.term_prefix_search(pfx, k=k, offset=offset)
         terms = sorted(set(complete))
         idfs = self._idfs(terms)
         if len(idfs) < len(terms):
@@ -1075,7 +1087,7 @@ class CompressedIndex:
             )
         expansion = [t for t in self._df_local if t.startswith(pfx)]
         if not complete:
-            return self._constant_score_local(sorted(expansion), k)
+            return self._constant_score_local(sorted(expansion), k, offset=offset)
         terms = sorted(set(complete))
         idfs = self._idfs(terms)
         if len(idfs) < len(terms) or not expansion:
@@ -1438,43 +1450,50 @@ class CompressedIndex:
                 e = pc.field("doc_id").isin([int(i) for i in ids])
                 expr = e if expr is None else expr & e
             if geo is not None:
-                # conservative radius bbox pushed into the pyarrow scan
-                # (same shared box as the Catalyst path — ops.geo); the
-                # exact haversine re-check runs below on the survivors
-                from ..ops.geo import radius_bbox
+                # the clause's prune box pushed into the pyarrow scan
+                # (radius: the shared conservative radius_bbox; polygon:
+                # the vertex bbox with strict uppers — byte-identical to
+                # the Catalyst path's prune); the exact re-check
+                # (haversine / ray cast) runs below on the survivors
+                from ..ops.geo import geo_clause_prune_box, parse_geo_clause
 
-                g_lon, g_lat, lon0, lat0, radius_m = geo
-                lat_lo, lat_hi, lon_lo, lon_hi = radius_bbox(
-                    lon0, lat0, radius_m
+                _, g_lon, g_lat, _ = parse_geo_clause(geo)
+                lat_lo, lat_hi, lon_lo, lon_hi, strict = (
+                    geo_clause_prune_box(geo)
                 )
-                e = (pc.field(g_lat) >= lat_lo) & (pc.field(g_lat) <= lat_hi)
+                e = pc.field(g_lat) >= lat_lo
+                e = e & (
+                    (pc.field(g_lat) < lat_hi) if strict
+                    else (pc.field(g_lat) <= lat_hi)
+                )
                 if lon_lo is not None:
-                    e = e & (pc.field(g_lon) >= lon_lo) & (
-                        pc.field(g_lon) <= lon_hi
+                    e = e & (pc.field(g_lon) >= lon_lo)
+                    e = e & (
+                        (pc.field(g_lon) < lon_hi) if strict
+                        else (pc.field(g_lon) <= lon_hi)
                     )
                 expr = e if expr is None else expr & e
             cols = ["shard", "doc_id"]
             if prefix is not None:
                 cols.append(prefix[0])
             if geo is not None:
-                cols += [c for c in (geo[0], geo[1]) if c not in cols]
+                cols += [c for c in (g_lon, g_lat) if c not in cols]
             tbl = self._pads_attrs.to_table(columns=cols, filter=expr)
             if prefix is not None:
                 tbl = tbl.filter(
                     pc.starts_with(pc.field(prefix[0]), prefix[1])
                 )
             if geo is not None:
-                from ..ops.geo import haversine_np
+                from ..ops.geo import geo_clause_mask_np
 
-                g_lon, g_lat, lon0, lat0, radius_m = geo
-                dist = haversine_np(
+                mask = geo_clause_mask_np(
+                    geo,
                     tbl.column(g_lon).to_numpy(zero_copy_only=False),
                     tbl.column(g_lat).to_numpy(zero_copy_only=False),
-                    lon0, lat0,
                 )
                 import pyarrow as pa
 
-                tbl = tbl.filter(pa.array(dist <= float(radius_m)))
+                tbl = tbl.filter(pa.array(mask))
             attrs = tbl.select(["shard", "doc_id"]).to_pandas()
         local_k = k + offset
         decoder = None
@@ -1605,14 +1624,21 @@ class CompressedIndex:
         hl = highlight_snippets(
             cand, terms, id_col=source_id_col, text_col=source_text_col,
             frag_tokens=frag_tokens,
+            split_re=getattr(self.meta, "analyzer_re", None),
         )
         return hits.join(hl, "doc_id", "left").select("doc_id", "score", "snippet")
 
-    def _constant_score_docs(self, blocks: DataFrame, k: int) -> DataFrame:
+    def _constant_score_docs(
+        self, blocks: DataFrame, k: int, offset: int = 0
+    ) -> DataFrame:
         """Distinct doc_ids of the given posting blocks, constant score 1.0,
         deterministic doc_id order — the shared tail of the term-expansion
         queries (prefix, fuzzy). Per-shard decode keeps only its local
-        top-k by doc_id, so the merge shuffles O(shards × k) rows."""
+        top-(k+offset) by doc_id, so the merge shuffles O(shards ×
+        (k+offset)) rows; the page cut (offset → limit) happens after the
+        global doc_id sort, the same keyset-free pagination contract the
+        scored paths use."""
+        n = k + offset
 
         def fn(pdf: pd.DataFrame) -> pd.DataFrame:
             parts = [delta_decode(decode_varbyte(e)) for e in pdf["docs_enc"]]
@@ -1622,13 +1648,16 @@ class CompressedIndex:
                 else np.empty(0, dtype=np.int64)
             )
             return pd.DataFrame(
-                {"doc_id": ids[:k].astype(np.int64), "score": 1.0}
+                {"doc_id": ids[:n].astype(np.int64), "score": 1.0}
             )
 
         partial = blocks.groupBy("shard").applyInPandas(
             lambda key, b: fn(b), schema=_RESULT_SCHEMA
         )
-        return partial.orderBy(F.asc("doc_id")).limit(k)
+        ranked = partial.orderBy(F.asc("doc_id"))
+        if offset:
+            ranked = ranked.offset(offset)
+        return ranked.limit(k)
 
     _COLLAPSE_SCHEMA = "doc_id long, score double, collapse_key string"
 
@@ -1940,12 +1969,16 @@ class CompressedIndex:
             .limit(top_n)
         )
 
-    def term_prefix_search(self, prefix: str, k: int = 10) -> DataFrame:
+    def term_prefix_search(
+        self, prefix: str, k: int = 10, offset: int = 0
+    ) -> DataFrame:
         """B5 prefix query as a term-dictionary RANGE scan: the predicate
         ``term >= p AND term < p + U+10FFFF`` reaches the Parquet scan as
         min/max row-group pruning (postings are written sorted by term, so
         non-matching row groups are skipped — the Lucene term-dictionary
-        seek analog). Constant-score 1.0, deterministic doc_id order."""
+        seek analog). Constant-score 1.0, deterministic doc_id order;
+        ``offset`` pages within it (the single-token type-ahead routes
+        thread theirs through here)."""
         # [prefix, successor(prefix)) is EXACTLY the startswith set under
         # codepoint-lexicographic comparison (Spark's UTF8String order),
         # with both endpoints plain literals the Parquet scan prunes on
@@ -1953,7 +1986,9 @@ class CompressedIndex:
         cond = F.col("term") >= prefix
         if hi is not None:
             cond = cond & (F.col("term") < hi)
-        return self._constant_score_docs(self.postings.where(cond), k)
+        return self._constant_score_docs(
+            self.postings.where(cond), k, offset=offset
+        )
 
     def pinned(self, ids: list[int], text: str, k: int = 10) -> DataFrame:
         """ES ``pinned`` query — promoted ids above organic hits; see
@@ -2010,19 +2045,21 @@ class CompressedIndex:
             score_mode=score_mode,
         )
 
-    def _constant_score_local(self, cands: list[str], k: int) -> pd.DataFrame:
+    def _constant_score_local(
+        self, cands: list[str], k: int, offset: int = 0
+    ) -> pd.DataFrame:
         """Coordinator twin of ``_constant_score_docs``: term-dictionary
         seek of the candidate terms' posting blocks (pyarrow row-group
         pruning, no Spark job), distinct doc ids, constant score 1.0,
-        doc_id ASC head-k — the shared tail of the local term-expansion
-        queries."""
+        doc_id ASC page [offset, offset+k) — the shared tail of the
+        local term-expansion queries."""
         if not cands:
             return _empty()
         blocks = self._seek_blocks(cands)
         if len(blocks) == 0:
             return _empty()
         parts = [delta_decode(decode_varbyte(e)) for e in blocks["docs_enc"]]
-        ids = np.unique(np.concatenate(parts))[:k]
+        ids = np.unique(np.concatenate(parts))[offset : offset + k]
         return pd.DataFrame(
             {"doc_id": ids.astype(np.int64),
              "score": np.full(len(ids), 1.0, dtype=np.float64)}
@@ -2163,7 +2200,14 @@ class CompressedIndex:
             tbl.column("doc_id"),
             value_set=pa.array(r["doc_id"].to_numpy(dtype=np.int64)),
         )
-        keys = pc.cast(tbl.column(facet_col).filter(m), pa.string()).to_pandas()
+        # mirror the distributed kernel's conversion EXACTLY: Arrow →
+        # pandas → astype(str), so nulls become counted 'None' (object
+        # columns) / 'nan' (numeric-with-null columns) buckets just like
+        # the applyInPandas kernel's m[facet_col].astype(str). A pyarrow
+        # string cast instead would KEEP nulls, which value_counts then
+        # silently drops — breaking the twins' bucket identity on any
+        # nullable facet column.
+        keys = tbl.column(facet_col).filter(m).to_pandas().astype(str)
         if after is not None:
             keys = keys[keys > after]
         if len(keys) == 0:

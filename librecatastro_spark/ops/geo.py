@@ -152,29 +152,43 @@ def polygon_bbox(polygon: list[tuple[float, float]]) -> tuple[float, float, floa
     return (min(xs), min(ys), max(xs), max(ys))
 
 
-def point_in_polygon_udf(polygon: list[tuple[float, float]]):
+def ray_cast_np(
+    x: np.ndarray, y: np.ndarray, polygon: list[tuple[float, float]]
+) -> np.ndarray:
     """Vectorized even-odd ray cast against a fixed polygon (closed
-    implicitly). Matches geo_polygon.py:36-44 semantics (exact test after
-    the bbox prune)."""
+    implicitly) — the ONE membership kernel every polygon path shares
+    (Catalyst-side pandas_udf, coordinator numpy re-check), so the
+    semantics can't fork. Matches geo_polygon.py:36-44."""
     poly = np.asarray(polygon, dtype=np.float64)
+    inside = np.zeros(len(x), dtype=bool)
+    px, py = poly[:, 0], poly[:, 1]
+    n = len(poly)
+    for i in range(n):
+        j = (i - 1) % n
+        if py[j] == py[i]:
+            continue  # horizontal edge never straddles a ray
+        straddles = (py[i] > y) != (py[j] > y)
+        cond = straddles & (
+            x < (px[j] - px[i]) * (y - py[i]) / (py[j] - py[i]) + px[i]
+        )
+        inside ^= cond
+    return inside
+
+
+def point_in_polygon_udf(polygon: list[tuple[float, float]]):
+    """Arrow-vectorized wrapper of ``ray_cast_np`` (exact test after the
+    bbox prune)."""
+    poly = [tuple(p) for p in polygon]
 
     @F.pandas_udf(BooleanType())
     def contains(lon: pd.Series, lat: pd.Series) -> pd.Series:
-        x = lon.to_numpy(dtype=np.float64)
-        y = lat.to_numpy(dtype=np.float64)
-        inside = np.zeros(len(x), dtype=bool)
-        px, py = poly[:, 0], poly[:, 1]
-        n = len(poly)
-        for i in range(n):
-            j = (i - 1) % n
-            straddles = (py[i] > y) != (py[j] > y)
-            if py[j] == py[i]:
-                continue  # horizontal edge never straddles a ray
-            cond = straddles & (
-                x < (px[j] - px[i]) * (y - py[i]) / (py[j] - py[i]) + px[i]
+        return pd.Series(
+            ray_cast_np(
+                lon.to_numpy(dtype=np.float64),
+                lat.to_numpy(dtype=np.float64),
+                poly,
             )
-            inside ^= cond
-        return pd.Series(inside)
+        )
 
     return contains
 
@@ -188,6 +202,90 @@ def points_in_polygon(
     pruned = bbox_filter(df, polygon_bbox(polygon), lon_col, lat_col)
     contains = point_in_polygon_udf(polygon)
     return pruned.where(contains(F.col(lon_col), F.col(lat_col)))
+
+
+def parse_geo_clause(geo: tuple) -> tuple[str, str, str, tuple]:
+    """Parse the search paths' ``geo=`` filter clause into
+    ``(kind, lon_col, lat_col, params)``:
+
+    * radius form  — ``(lon_col, lat_col, lon0, lat0, radius_m)`` →
+      ``("radius", lon_col, lat_col, (lon0, lat0, radius_m))`` — the ES
+      ``geo_distance`` query;
+    * polygon form — ``(lon_col, lat_col, polygon)`` with ``polygon`` a
+      sequence of ≥3 (lon, lat) pairs →
+      ``("polygon", lon_col, lat_col, (polygon,))`` — the ES
+      ``geo_polygon`` query, the reference's flagship geo predicate
+      (reference: src/librecatastro/domain/geometry/geo_polygon.py:36-54,
+      the Spain outline at src/coordinates/spain_polygon.json).
+
+    One parser shared by the exact engine, the distributed WAND path and
+    the coordinator fast path, so the accepted shapes can't fork."""
+    if len(geo) == 5:
+        lon_c, lat_c, lon0, lat0, radius_m = geo
+        return "radius", lon_c, lat_c, (float(lon0), float(lat0), float(radius_m))
+    if len(geo) == 3 and isinstance(geo[2], (list, tuple)):
+        lon_c, lat_c, polygon = geo
+        polygon = [(float(p[0]), float(p[1])) for p in polygon]
+        if len(polygon) < 3:
+            raise ValueError("geo polygon needs at least 3 vertices")
+        return "polygon", lon_c, lat_c, (polygon,)
+    raise ValueError(
+        "geo clause must be (lon_col, lat_col, lon0, lat0, radius_m) or "
+        "(lon_col, lat_col, [(lon, lat), ...])"
+    )
+
+
+def geo_clause_cond(geo: tuple) -> Column:
+    """The ``geo=`` clause as ONE predicate for the Catalyst paths —
+    radius: conservative bbox + exact haversine (all codegen); polygon:
+    bbox prune (plain comparisons, Parquet-pushable) + the exact
+    ray-cast pandas_udf on the survivors (Spark evaluates the cheap
+    conjuncts first and ships only bbox survivors through Arrow)."""
+    kind, lon_c, lat_c, params = parse_geo_clause(geo)
+    lon_col, lat_col = F.col(lon_c), F.col(lat_c)
+    if kind == "radius":
+        lon0, lat0, radius_m = params
+        return geo_distance_cond(lon_col, lat_col, lon0, lat0, radius_m)
+    (polygon,) = params
+    x0, y0, x1, y1 = polygon_bbox(polygon)
+    cond = (
+        (lon_col >= F.lit(x0)) & (lon_col < F.lit(x1))
+        & (lat_col >= F.lit(y0)) & (lat_col < F.lit(y1))
+    )
+    return cond & point_in_polygon_udf(polygon)(lon_col, lat_col)
+
+
+def geo_clause_prune_box(
+    geo: tuple,
+) -> tuple[float, float, float | None, float | None, bool]:
+    """(lat_lo, lat_hi, lon_lo, lon_hi, upper_strict) — the coordinator
+    fast path's scan-prune box for either ``geo=`` form. Radius: the
+    shared conservative ``radius_bbox`` (inclusive bounds). Polygon: the
+    vertex bbox with STRICT upper bounds — byte-identical semantics to
+    ``geo_clause_cond``'s Catalyst prune, so local and distributed
+    results can't diverge on boundary points."""
+    kind, _, _, params = parse_geo_clause(geo)
+    if kind == "radius":
+        lon0, lat0, radius_m = params
+        lat_lo, lat_hi, lon_lo, lon_hi = radius_bbox(lon0, lat0, radius_m)
+        return lat_lo, lat_hi, lon_lo, lon_hi, False
+    (polygon,) = params
+    x0, y0, x1, y1 = polygon_bbox(polygon)
+    return y0, y1, x0, x1, True
+
+
+def geo_clause_mask_np(
+    geo: tuple, lon: np.ndarray, lat: np.ndarray
+) -> np.ndarray:
+    """Exact membership re-check for the coordinator fast path — the
+    numpy twin of ``geo_clause_cond``'s exact conjunct (haversine or ray
+    cast), run on the bbox-pruned survivors."""
+    kind, _, _, params = parse_geo_clause(geo)
+    if kind == "radius":
+        lon0, lat0, radius_m = params
+        return haversine_np(lon, lat, lon0, lat0) <= radius_m
+    (polygon,) = params
+    return ray_cast_np(lon, lat, polygon)
 
 
 def lattice(spark: SparkSession, bbox: tuple[float, float, float, float],

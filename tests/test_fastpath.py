@@ -173,3 +173,35 @@ def test_edge_cases_contract(index, path):
     assert rows(fn("query", k=5, prefix=("source", "zzz"))) == []
     big = rows(fn("query", k=10**6))
     assert 0 < len(big) < 10**6
+
+
+def test_composite_local_null_facet(spark, tmp_path_factory):
+    """Nullable facet column (r5 regression): the distributed kernel's
+    pandas astype(str) counts nulls as a 'None' bucket; the coordinator
+    twin must mirror that conversion exactly — the earlier pyarrow
+    string cast KEPT nulls, which value_counts then silently dropped,
+    breaking the twins' bucket identity on any nullable facet."""
+    docs = spark.createDataFrame(
+        [(0, "query scan alpha", None), (1, "query scan beta", "s1"),
+         (2, "query scan gamma", None), (3, "query scan delta", "s2"),
+         (4, "other words here", None)],
+        "doc_id long, text string, src string",
+    )
+    out = str(tmp_path_factory.mktemp("nullfacet") / "idx")
+    build_index(
+        spark, docs, out, id_col="doc_id", text_col="text",
+        attr_cols=("src",), n_shards=2, shards_per_job=2,
+        salt_threshold=500, n_salts=2, resume=False,
+    )
+    idx = CompressedIndex(spark, out)
+    for after in (None, "None"):
+        d = [(r["facet_key"], r["cnt"]) for r in
+             idx.composite_agg("query scan", "src", size=10,
+                               after=after).collect()]
+        lo = idx.composite_agg_local("query scan", "src", size=10,
+                                     after=after)
+        assert list(zip(lo["facet_key"].tolist(),
+                        lo["cnt"].tolist())) == d
+    full = [(r["facet_key"], r["cnt"]) for r in
+            idx.composite_agg("query scan", "src", size=10).collect()]
+    assert ("None", 2) in full  # doc 4 doesn't match the query

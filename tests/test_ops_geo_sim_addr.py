@@ -350,3 +350,55 @@ def test_address_line_split_13_field_parity(spark):
     a2 = got[2]  # no split → both lines are the whole string (reference quirk)
     assert a2["first_line"] == a2["second_line"] == rows[2][1]
     assert a2["city"] == "Polígono 12 Parcela 345 EL CAMPO"
+
+
+def test_geo_polygon_filter_search_paths_identical(spark, tmp_path):
+    """ES geo_polygon as a search filter clause (r5) — the reference's
+    flagship geo predicate (geo_polygon.py:36-54) available like every
+    other filter: all three search paths agree rank-for-rank, and
+    membership equals the unfiltered search intersected with the
+    brute-force ray-cast set."""
+    from librecatastro_spark.corpus import assign_doc_ids, generate_corpus
+    from librecatastro_spark.engine import ExactBM25
+    from librecatastro_spark.engine.wand import CompressedIndex
+    from librecatastro_spark.index.builder import build_index
+    from librecatastro_spark.ops.geo import ray_cast_np
+
+    docs = assign_doc_ids(
+        generate_corpus(spark, 200, min_tokens=20, max_tokens=80, partitions=2)
+    ).withColumn(
+        "lon", (F.col("doc_id") % 360).cast("double") - 180.0
+    ).withColumn(
+        "lat", ((F.col("doc_id") * 7) % 180).cast("double") - 90.0
+    ).cache()
+    polygon = [(-60.0, -40.0), (80.0, -30.0), (70.0, 60.0), (-50.0, 50.0)]
+    geo = ("lon", "lat", polygon)
+    exact = ExactBM25(docs, attr_cols=("lon", "lat"))
+    out = str(tmp_path / "gpidx")
+    build_index(spark, docs, out, attr_cols=("lon", "lat"), n_shards=2,
+                block_size=16, salt_threshold=1000, n_salts=2)
+    cidx = CompressedIndex(spark, out)
+    e = [(r["doc_id"], r["score"]) for r in
+         exact.search("def return", k=10_000, geo=geo).collect()]
+    c = [(r["doc_id"], r["score"]) for r in
+         cidx.search("def return", k=10_000, geo=geo).collect()]
+    assert e == c and e
+    lo = cidx.search_local("def return", k=10_000, geo=geo)
+    assert list(zip(lo["doc_id"].tolist(), lo["score"].tolist())) == e
+    base = {r["doc_id"] for r in exact.search("def return", k=10_000).collect()}
+    pts = docs.select("doc_id", "lon", "lat").collect()
+    xs = np.array([r["lon"] for r in pts])
+    ys = np.array([r["lat"] for r in pts])
+    inside = {
+        r["doc_id"] for r, ok in zip(pts, ray_cast_np(xs, ys, polygon)) if ok
+    }
+    assert {d for d, _ in e} == base & inside
+    # malformed clauses are rejected on every path
+    for bad in (("lon", "lat", [(0.0, 0.0), (1.0, 1.0)]),
+                ("lon", "lat", 1.0, 2.0)):
+        with pytest.raises(ValueError):
+            exact.search("def", k=5, geo=bad).collect()
+        with pytest.raises(ValueError):
+            cidx.search("def", k=5, geo=bad).collect()
+        with pytest.raises(ValueError):
+            cidx.search_local("def", k=5, geo=bad)

@@ -269,3 +269,23 @@ def test_positional_build_is_rank_identical_on_keyword_queries(pidx, spark):
     a = rows(pidx.search("def return", k=10))
     b = lrows(pidx.search_local("def return", k=10))
     assert a == b
+
+
+def test_single_token_type_ahead_offset_pages(pidx, corpus):
+    """r5 regression: the single-token routes of all four type-ahead
+    paths must THREAD their offset (they silently dropped it, so page 2
+    repeated page 1). All pages tile against the un-paged prefix
+    contract (constant score 1.0, doc_id ASC)."""
+    full = rows(pidx.term_prefix_search("re", k=20))
+    assert len(full) > 10
+    want = full[5:10]
+    assert rows(pidx.term_prefix_search("re", k=5, offset=5)) == want
+    assert rows(
+        pidx.match_phrase_prefix_positional("re", k=5, offset=5)
+    ) == want
+    assert lrows(pidx.match_phrase_prefix_local("re", k=5, offset=5)) == want
+    assert rows(
+        pidx.match_phrase_prefix(
+            "re", corpus, k=5, offset=5, source_text_col="content"
+        )
+    ) == want

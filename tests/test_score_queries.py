@@ -314,3 +314,14 @@ def test_pinned_paths_identical(exact, cidx):
         exact.search("def return", k=5))
     with pytest.raises(ValueError):
         exact.pinned([1, 1], "def return")
+
+
+def test_rescore_empty_window_both_engines(exact, cidx):
+    """A primary query matching zero docs returns an EMPTY (doc_id,
+    score) frame on BOTH engines (r5 regression: the early return used
+    engine.spark, which the exact engine doesn't have — it must use
+    attrs.sparkSession like pinned_compose)."""
+    for eng in (exact, cidx):
+        out = eng.rescore("zzznotindexedterm", "import class", k=5)
+        assert out.columns == ["doc_id", "score"]
+        assert out.count() == 0
