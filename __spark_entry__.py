@@ -209,6 +209,7 @@ def _bm25_oracle(
     phrase_prefix: str | None = None,
     exists_cols: list[str] | None = None,
     ids: list[int] | None = None,
+    raw_doc_cond: str | None = None,
 ) -> str:
     terms = sorted(set(analyze_text(text)))
     should_terms = [
@@ -248,6 +249,10 @@ def _bm25_oracle(
         conds.append(
             "doc_id IN (SELECT doc_id FROM documents WHERE " + " AND ".join(doc_conds) + ")"
         )
+    if raw_doc_cond:
+        # caller-supplied membership SQL (e.g. the geo_polygon diamond's
+        # half-plane form over doc_id-derived lon/lat)
+        conds.append(raw_doc_cond)
     if must_not_text:
         conds.append(
             "doc_id NOT IN (SELECT DISTINCT doc_id FROM toks WHERE term IN ("
@@ -1293,7 +1298,42 @@ def _geo_index(spark, sf_dir: str):
     return CompressedIndex(spark, out)
 
 
+#: the stop list for the stopword-analyzer entry — both appear as real
+#: tokens in the synthetic corpus, and every document keeps plenty of
+#: other tokens (so SQL-side n/avgdl over docs-with-tokens equals the
+#: engine's meta over all docs)
+_STOP_LIST = ("a", "the")
+
+
+def _stop_index(spark, sf_dir: str):
+    """documents indexed with the ES stop token filter (r5): stopwords
+    dropped after segmentation and before dl/tf assignment, recorded in
+    meta.stopwords so query analysis drops them too. Built once per
+    sf_dir (resume=True + mtime-keyed cache dir, like _geo_index)."""
+    import hashlib
+
+    src = f"{sf_dir}/documents.parquet"
+    mtime = int(os.path.getmtime(src)) if os.path.exists(src) else 0
+    key = hashlib.sha256(f"{sf_dir}:{mtime}:stop-v1".encode()).hexdigest()[:16]
+    out = os.path.join("/tmp", f"lc_stopindex_{key}")
+    build_index(
+        spark, _docs(spark, sf_dir), out, id_col="doc_id", text_col="text",
+        attr_cols=("lang", "source"), n_shards=4,
+        block_size=128, salt_threshold=5_000, n_salts=8, resume=True,
+        stopwords=frozenset(_STOP_LIST),
+    )
+    return CompressedIndex(spark, out)
+
+
 _GEO_RINGS = [(None, 3000000.0), (3000000.0, 8000000.0), (8000000.0, None)]
+
+#: convex diamond for geo_polygon_search, centered (10.3, 5.3) with
+#: semi-axes (60.1, 40.1): no half-degree lattice point of the _geo_index
+#: synth lies within 1.7e-3 of an edge (checked over the full 720-point
+#: cycle), so ray-cast membership == the |dx|/a + |dy|/b < 1 half-plane
+#: form the DuckDB oracle uses, with no boundary ambiguity (distinct
+#: from _DIAMOND above, which belongs to the lattice entry)
+_GEO_POLY = [(-49.8, 5.3), (10.3, -34.8), (70.4, 5.3), (10.3, 45.4)]
 
 
 def _q_geo_distance(spark, sf):
@@ -1935,6 +1975,21 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # the pinned set excluded (engine/score_queries.py pinned_compose)
         "pinned_promoted": lambda spark, sf: _index(spark, sf)
         .pinned([42, 7, 999999999, 13], "table query", k=10),
+        # ES geo_polygon as a search FILTER clause (r5): BM25 search with
+        # geo=(lon, lat, polygon) — the reference's flagship geo
+        # predicate (geo_polygon.py:36-54) as a first-class filter;
+        # vertex-bbox prune pushed to the attrs scan, exact Arrow ray
+        # cast on survivors (ops/geo.py geo_clause_cond). The diamond is
+        # convex and lattice-safe, so the ray cast equals the oracle's
+        # half-plane inequality exactly
+        "geo_polygon_search": lambda spark, sf: _geo_index(spark, sf)
+        .search("spark", k=10_000, geo=("lon", "lat", _GEO_POLY)),
+        # stopword analyzer (r5): the ES stop token filter recorded in
+        # meta and honored end-to-end — the query's stopword vanishes at
+        # analysis, and df/dl/avgdl all reflect the FILTERED token
+        # stream (the oracle applies the same NOT IN in its token CTE)
+        "match_stopword_analyzer": lambda spark, sf: _stop_index(spark, sf)
+        .search("the table query", k=10),
     }
 
 
@@ -2517,6 +2572,39 @@ ORDER BY c_custkey
 """,
         "rescore_window": _rescore_oracle(
             "table query", "spark merge", k=10, window=30, qw=0.7, rw=1.3
+        ),
+        # stopword analyzer: same BM25, with the stop filter as a NOT IN
+        # in the token CTE — tf/dl/df/avgdl all derive from the filtered
+        # stream, exactly like the engine's build-time filtering
+        "match_stopword_analyzer": f"""
+WITH toks AS (
+  SELECT doc_id, term FROM (
+    SELECT doc_id, unnest({duckdb_tokens_sql('text')}) AS term FROM documents
+  ) WHERE term NOT IN ({", ".join(f"'{s}'" for s in _STOP_LIST)})
+),
+tf AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM toks GROUP BY 1, 2),
+dl AS (SELECT doc_id, sum(tf) AS dl FROM tf GROUP BY 1),
+g  AS (SELECT count(*)::DOUBLE AS n, avg(dl)::DOUBLE AS avgdl FROM dl),
+dfq AS (SELECT term, count(*)::DOUBLE AS df FROM tf
+        WHERE term IN ('query', 'table') GROUP BY 1)
+SELECT tf.doc_id,
+       round(sum({bm25_sql("tf.tf", "dfq.df", "dl.dl", "g.n", "g.avgdl")}),
+             {ROUND_DECIMALS}) AS score
+FROM tf JOIN dfq USING (term) JOIN dl USING (doc_id) CROSS JOIN g
+WHERE tf.term IN ('query', 'table')
+GROUP BY tf.doc_id
+ORDER BY score DESC, doc_id ASC LIMIT 10
+""",
+        # geo_polygon filter clause: the convex lattice-safe _GEO_POLY's
+        # ray-cast membership equals this half-plane inequality exactly
+        # (see the _GEO_POLY comment), over the same doc_id-derived
+        # lon/lat the _geo_index synthesizes
+        "geo_polygon_search": _bm25_oracle(
+            "spark", k=10_000,
+            raw_doc_cond="""doc_id IN (SELECT doc_id FROM (
+  SELECT doc_id, (doc_id % 720) / 2.0 - 180.0 AS lon,
+         ((doc_id * 7) % 360) / 2.0 - 90.0 AS lat FROM documents)
+  WHERE abs(lon - 10.3) / 60.1 + abs(lat - 5.3) / 40.1 < 1.0)""",
         ),
         "pinned_promoted": f"""
 WITH {_TOKS_CTE},

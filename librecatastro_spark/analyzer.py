@@ -55,23 +55,42 @@ class Analyzer:
     An index records its pattern in meta.json (``analyzer_re``), and the
     query side analyzes with the INDEX's analyzer (ES match semantics) —
     so a per-field custom analyzer can never silently mismatch its own
-    postings. Custom analyzers are out of oracle scope (the DuckDB twins
-    pin the default chain); MultiFieldIndex threads one per field."""
+    postings. Custom split patterns are out of oracle scope (the DuckDB
+    twins pin the default chain); MultiFieldIndex threads one per field.
 
-    def __init__(self, split_re: str | None = None):
+    ``stopwords`` is the ES stop token filter: matching tokens are
+    dropped AFTER segmentation (recorded in meta like ``analyzer_re``
+    and honored by build, append and query analysis; positions index the
+    FILTERED sequence, so phrase adjacency means "adjacent after
+    stopword removal" — the frozen, oracle-expressible contract: the
+    DuckDB twin is a NOT IN filter in the token CTE)."""
+
+    def __init__(
+        self,
+        split_re: str | None = None,
+        stopwords: frozenset[str] | None = None,
+    ):
         self.split_re = split_re or TOKEN_SPLIT_RE
         self._rx = re.compile(self.split_re)
+        self.stopwords = frozenset(stopwords) if stopwords else frozenset()
 
     def analyze(self, text: str) -> list[str]:
         if text is None:
             return []
-        return [t for t in self._rx.split(text.lower()) if t]
+        return [
+            t for t in self._rx.split(text.lower())
+            if t and t not in self.stopwords
+        ]
 
     def tokenize_expr(self, col: Column | str) -> Column:
         c = F.col(col) if isinstance(col, str) else col
-        return F.filter(
+        toks = F.filter(
             F.split(F.lower(c), self.split_re), lambda x: x != F.lit("")
         )
+        if self.stopwords:
+            sw = F.array(*[F.lit(s) for s in sorted(self.stopwords)])
+            toks = F.filter(toks, lambda x: ~F.array_contains(sw, x))
+        return toks
 
 
 @F.pandas_udf(ArrayType(StringType()))

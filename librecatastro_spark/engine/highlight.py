@@ -47,13 +47,16 @@ def highlight_snippets(
     pre: str = "<em>",
     post: str = "</em>",
     split_re: str | None = None,
+    stopwords: frozenset[str] | None = None,
 ) -> DataFrame:
     """(doc_id, snippet) for every doc containing ≥1 of ``terms``.
 
     terms must already be analyzed (lowercase analyzer tokens);
-    ``split_re`` selects the index's analyzer (meta.analyzer_re) so the
-    fragment tokenization matches the index's own — ES highlights on the
-    analyzed field with the field's analyzer.
+    ``split_re``/``stopwords`` select the index's analyzer
+    (meta.analyzer_re / meta.stopwords) so the fragment tokenization
+    matches the index's own — ES highlights on the analyzed field with
+    the field's analyzer (stopwords absent from fragments, like an
+    ES-analyzed stopworded field).
     """
     if not terms:
         raise ValueError("highlight needs at least one term")
@@ -63,7 +66,7 @@ def highlight_snippets(
     toks = docs.select(
         F.col(id_col).alias("doc_id"),
         F.explode(
-            F.array(Analyzer(split_re).tokenize_expr(text_col))
+            F.array(Analyzer(split_re, stopwords).tokenize_expr(text_col))
         ).alias("_toks"),
     )
     # 2) first matched position (0-based): filter the index sequence, not

@@ -81,6 +81,10 @@ class IndexMeta:
     # queries against this index analyze with THIS pattern, never the
     # global default (engine.wand refresh -> Analyzer(meta.analyzer_re))
     analyzer_re: str | None = None
+    # ES stop token filter: tokens dropped after segmentation, recorded
+    # so build/append/query all honor the same list (sorted for
+    # deterministic meta.json bytes); None = no stopwords
+    stopwords: list[str] | None = None
 
 
 # ------------------------------------------------------------- manifest --
@@ -373,6 +377,7 @@ def build_index(
     resume: bool = True,
     index_options: str = "freqs",
     analyzer_re: str | None = None,
+    stopwords: Iterable[str] | None = None,
 ) -> IndexMeta:
     """Build (or resume building) the index at out_dir. Idempotent: a
     completed out_dir is a no-op; a partially built one finishes only the
@@ -394,7 +399,7 @@ def build_index(
         return _build_index(
             spark, docs, out_dir, id_col, text_col, attr_cols, n_shards,
             block_size, salt_threshold, n_salts, shards_per_job, n_buckets,
-            resume, index_options, analyzer_re,
+            resume, index_options, analyzer_re, stopwords,
         )
     finally:
         spark.conf.set("spark.sql.adaptive.enabled", prev_aqe)
@@ -416,6 +421,7 @@ def _build_index(
     resume: bool,
     index_options: str,
     analyzer_re: str | None = None,
+    stopwords: Iterable[str] | None = None,
 ) -> IndexMeta:
     if index_options not in ("freqs", "positions"):
         raise ValueError("index_options must be 'freqs' or 'positions'")
@@ -464,6 +470,7 @@ def _build_index(
                 docs_tok, id_col, text_col,
                 positions=(index_options == "positions"),
                 split_re=analyzer_re or TOKEN_SPLIT_RE,
+                stopwords=frozenset(stopwords) if stopwords else None,
             ).withColumn("shard", shard_expr)
             with _small_arrow_batches(spark):
                 staged.write.mode("overwrite").partitionBy("shard").parquet(
@@ -502,6 +509,7 @@ def _build_index(
             n_buckets=n_buckets,
             index_options=index_options,
             analyzer_re=analyzer_re,
+            stopwords=sorted(stopwords) if stopwords else None,
         )
         with open(os.path.join(out_dir, "meta.json"), "w") as fh:
             json.dump(asdict(meta), fh)

@@ -68,6 +68,7 @@ def term_freqs_arrow(
     text_col: str = "content",
     positions: bool = False,
     split_re: str = TOKEN_SPLIT_RE,
+    stopwords: frozenset[str] | None = None,
 ) -> DataFrame:
     """(doc_id, term, tf, dl) via ONE fused Arrow pass — the builder's hot
     path. Semantically identical to term_freqs (equality-tested), but:
@@ -107,6 +108,14 @@ def term_freqs_arrow(
     cols = docs.select(
         F.col(id_col).cast("long").alias("doc_id"), F.col(text_col).alias("_text")
     )
+    # ES stop token filter: stopwords are removed BEFORE dl/tf/position
+    # assignment, so dl counts indexed tokens only and positions index
+    # the FILTERED sequence (the frozen positional contract — phrase
+    # adjacency means "adjacent after stopword removal"; the DuckDB
+    # twins express the same NOT IN filter in their token CTE)
+    sw_arr = (
+        pa.array(sorted(stopwords), type=pa.string()) if stopwords else None
+    )
 
     def gen(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         for rb in batches:
@@ -127,6 +136,11 @@ def term_freqs_arrow(
             if mask.false_count:  # empties only at non-token doc edges
                 flat = flat.filter(mask)
                 parent = parent.filter(mask)
+            if sw_arr is not None:
+                swm = pc.invert(pc.is_in(flat, value_set=sw_arr))
+                if swm.false_count:
+                    flat = flat.filter(swm)
+                    parent = parent.filter(swm)
             if len(flat) == 0:
                 continue
             dv = flat.dictionary_encode()

@@ -258,8 +258,9 @@ def _append_batch(
         fresh, "doc_id", text_col,
         positions=(meta.index_options == "positions"),
         # appended docs must tokenize with the INDEX's analyzer (the
-        # per-field hook), never the global default
+        # per-field hook, incl. its stop filter), never the global default
         split_re=getattr(meta, "analyzer_re", None) or TOKEN_SPLIT_RE,
+        stopwords=frozenset(getattr(meta, "stopwords", None) or ()) or None,
     ).withColumn("shard", shard_expr).cache()
     # small Arrow batches scoped to the tokenize pass — the same
     # allocation-churn mitigation as the batch build (builder.py:

@@ -289,3 +289,22 @@ def test_single_token_type_ahead_offset_pages(pidx, corpus):
             "re", corpus, k=5, offset=5, source_text_col="content"
         )
     ) == want
+
+
+def test_phrase_local_volume_routing(pidx, monkeypatch):
+    """Cost-based routing (r5): the coordinator phrase twins route to
+    the distributed kernel when the estimated decode volume (Σ df)
+    exceeds the cap — results identical on BOTH routes at every
+    threshold, so only latency ever changes."""
+    want = lrows(pidx.match_phrase_local("def return", k=25))
+    want_pp = lrows(pidx.match_phrase_prefix_local("def re", k=25))
+    for cap in ("0", "1000000000"):
+        monkeypatch.setenv("LC_PHRASE_LOCAL_MAX_POSTINGS", cap)
+        assert lrows(pidx.match_phrase_local("def return", k=25)) == want
+        assert lrows(
+            pidx.match_phrase_prefix_local("def re", k=25)
+        ) == want_pp
+    monkeypatch.delenv("LC_PHRASE_LOCAL_MAX_POSTINGS")
+    # the estimator is exact on the resident dictionary: a hot term's
+    # volume really exceeds a tiny cap, a rare phrase's doesn't
+    assert pidx._postings_volume(["def", "return"]) > 2
