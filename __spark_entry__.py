@@ -1644,13 +1644,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "wand_match_phrase": _q_wand_match_phrase,
         "wand_fuzzy_term": _q_wand_fuzzy_term,
         "glob_source_scan": _q_glob_source_scan,
-        "probe_first_gap": _q_probe_first_gap,
         "wand_match_salted": _q_wand_match_salted,
         "term_prefix_match": _q_term_prefix,
         "sha_invariant_corpus_index": _q_sha_invariant,
-        "scalar_encode_b64_json": _q_scalar_encode,
-        "sample_search_det": _q_sample_search,
         "grid_lattice_polygon": _q_grid_lattice,
+        # r5 gate rotation: the newest production paths sit under the
+        # driver's own 50-entry gate — geo_distance search, rescore and
+        # the positional type-ahead replace three r1-stable scalar/probe
+        # shapes (now extras, still oracle-checked via --extra)
+        "geo_distance_search": _q_geo_distance,
+        "rescore_window": lambda spark, sf: _index(spark, sf)
+        .rescore("table query", "spark merge", k=10, window_size=30,
+                 query_weight=0.7, rescore_query_weight=1.3),
+        "wand_match_phrase_prefix_pos": lambda spark, sf: _pos_index(spark, sf)
+        .match_phrase_prefix_positional("fast s", k=10),
         "flagship_dedup_exists": _q_dedup_exists,
         "hits_total_match": _q_hits_total,
         "term_stats_top20": _q_term_stats,
@@ -1783,12 +1790,12 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "wand_match_phrase_pos": _q_wand_match_phrase_pos,
         "wand_match_phrase_pos_slop": _q_wand_match_phrase_pos_slop,
         # type-ahead phrase, index-only (r4): complete-term position
-        # chain + zero-slop step into the [pfx, successor) vocab-range
-        # expansion streams — no source scan, no expansion collect;
-        # rank-identical to the verify-first wand_match_phrase_prefix,
-        # so it shares that entry's oracle
-        "wand_match_phrase_prefix_pos": lambda spark, sf: _pos_index(spark, sf)
-        .match_phrase_prefix_positional("fast s", k=10),
+        # r5 gate rotation: three r1-stable shapes moved here from the
+        # gated set (their slots now exercise geo/rescore/type-ahead);
+        # still oracle-checked every sweep via --extra
+        "probe_first_gap": _q_probe_first_gap,
+        "scalar_encode_b64_json": _q_scalar_encode,
+        "sample_search_det": _q_sample_search,
         # ES compound scoring queries (engine/score_queries.py): transforms
         # apply to RAW sums with ONE final round (cross-engine protocol)
         "function_score_field": lambda spark, sf: _index(spark, sf)
@@ -1942,10 +1949,6 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ).stratified_sample(
             _docs(spark, sf), {"en": 0.8, "de": 0.25, "fr": 0.5}
         ),
-        # ES geo_distance query (r4): haversine radius filter behind a
-        # conservative bbox pruner (ops/geo.py geo_distance; reference
-        # maps location as geo_point, elasticsearch_utils.py:35-37)
-        "geo_distance_search": _q_geo_distance,
         # ES geo_bounding_box query (r4): the pure-Catalyst bbox filter
         # (half-open [lo, hi) bounds pushed to the scan — ops/geo.py
         # bbox_filter, the same predicate the polygon/radius pruners use)
@@ -1960,12 +1963,6 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # geo_distance_agg over the lon/lat-attr geo index)
         "geo_distance_ring_agg": lambda spark, sf: _geo_index(spark, sf)
         .geo_distance_agg("spark", "lon", "lat", 0.0, 0.0, _GEO_RINGS),
-        # ES rescore (r4): re-rank the primary top-window by a weighted
-        # total with a secondary query's BM25 — shared composition on
-        # both engines (engine/score_queries.py rescore_compose)
-        "rescore_window": lambda spark, sf: _index(spark, sf)
-        .rescore("table query", "spark merge", k=10, window_size=30,
-                 query_weight=0.7, rescore_query_weight=1.3),
         # ES _source/docvalue_fields (r4): top-k hits decorated with
         # stored attr columns — In(doc_id) pushed to the attrs scan,
         # O(hits) row groups at any corpus size
@@ -1984,6 +1981,19 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # half-plane inequality exactly
         "geo_polygon_search": lambda spark, sf: _geo_index(spark, sf)
         .search("spark", k=10_000, geo=("lon", "lat", _GEO_POLY)),
+        # ES nested query WITH scoring (r5): inner docs scored as
+        # independent BM25 documents (the ES nested→Lucene mapping),
+        # matching inner scores combined per parent via score_mode
+        # (engine/nested.py — avg here); parent = doc_id DIV 8 makes the
+        # documents table the inner-doc space, so the oracle reuses the
+        # standard token CTE verbatim
+        "nested_scored_match": lambda spark, sf: __import__(
+            "librecatastro_spark.engine.nested",
+            fromlist=["nested_scored_match"],
+        ).nested_scored_match(
+            _docs(spark, sf).withColumn("parent", F.expr("doc_id DIV 8")),
+            "spark merge", parent_col="parent", k=10, score_mode="avg",
+        ),
         # stopword analyzer (r5): the ES stop token filter recorded in
         # meta and honored end-to-end — the query's stopword vanishes at
         # analysis, and df/dl/avgdl all reflect the FILTERED token
@@ -2573,6 +2583,23 @@ ORDER BY c_custkey
         "rescore_window": _rescore_oracle(
             "table query", "spark merge", k=10, window=30, qw=0.7, rw=1.3
         ),
+        # nested scored: raw inner BM25 sums averaged per parent with ONE
+        # final round (the frozen rounding protocol)
+        "nested_scored_match": f"""
+WITH {_TOKS_CTE},
+dfq AS (SELECT term, count(*)::DOUBLE AS df FROM tf
+        WHERE term IN ({_sql_terms('spark merge')}) GROUP BY 1),
+s AS (
+  SELECT tf.doc_id,
+         sum({bm25_sql("tf.tf", "dfq.df", "dl.dl", "g.n", "g.avgdl")}) AS raw
+  FROM tf JOIN dfq USING (term) JOIN dl USING (doc_id) CROSS JOIN g
+  WHERE tf.term IN ({_sql_terms('spark merge')})
+  GROUP BY tf.doc_id
+)
+SELECT doc_id // 8 AS parent, round(avg(raw), {ROUND_DECIMALS}) AS score
+FROM s GROUP BY 1
+ORDER BY score DESC, parent ASC LIMIT 10
+""",
         # stopword analyzer: same BM25, with the stop filter as a NOT IN
         # in the token CTE — tf/dl/df/avgdl all derive from the filtered
         # stream, exactly like the engine's build-time filtering

@@ -256,6 +256,68 @@ def main() -> None:
                 times.append(time.time() - t)
             fastpath_ms[name] = round(statistics.mean(times) * 1000, 2)
 
+        # ---- r4/r5 serving surface: rescore / pinned / fetch_fields /
+        # geo_distance search / geo ring agg — semantics asserted before
+        # timing, like every other DSL shape. geo_point attrs are a pure
+        # doc_id-derived projection over the SAME index (no third
+        # build); the geo clause and ring kernel read attrs through the
+        # DataFrame path exactly as a corpus with real lon/lat would.
+        gindex = CompressedIndex(spark, idx_dir)
+        gindex.attrs = gindex.attrs.withColumn(
+            "lon", (F.col("doc_id") % 720) / 2.0 - 180.0
+        ).withColumn("lat", ((F.col("doc_id") * 7) % 360) / 2.0 - 90.0)
+        GEO = ("lon", "lat", -60.0, 0.0, 4_000_000.0)
+        RINGS = [(None, 4e6), (4e6, 9e6), (9e6, None)]
+        base = [(r["doc_id"], r["score"])
+                for r in index.search("def return", k=50).collect()]
+        rs = index.rescore("def return", "sort merge", k=10,
+                           window_size=50).collect()
+        assert rs and {r["doc_id"] for r in rs} <= {d for d, _ in base}, \
+            "rescore escaped its primary window"
+        pn = [r["doc_id"] for r in
+              index.pinned([123, 45, 999], "def return", k=10).collect()]
+        assert pn[:3] == [123, 45, 999], "pinned ids not promoted in order"
+        ff = index.fetch_fields(
+            index.search("def return", k=10), ["lang", "repo"]
+        ).collect()
+        assert len(ff) == 10 and all(r["lang"] is not None for r in ff), \
+            "fetch_fields lost hits or attrs"
+        gs = gindex.search("def return", k=10, geo=GEO).collect()
+        assert gs, "geo-filtered search returned no rows"
+        import numpy as _np
+
+        from librecatastro_spark.ops.geo import haversine_np as _hav
+
+        _ids = _np.array([r["doc_id"] for r in gs], dtype=_np.int64)
+        _d = _hav((_ids % 720) / 2.0 - 180.0,
+                  ((_ids * 7) % 360) / 2.0 - 90.0, -60.0, 0.0)
+        assert (_d <= 4_000_000.0).all(), "geo filter admitted an outside hit"
+        rg = [(r["bucket"], r["cnt"]) for r in gindex.geo_distance_agg(
+            "def return", "lon", "lat", -60.0, 0.0, RINGS).collect()]
+        assert len(rg) == 3 and sum(c for _, c in rg) > 0, \
+            "ring agg shape wrong"
+        for name, run_q in {
+            "q_rescore": lambda: index.rescore(
+                "def return", "sort merge", k=10, window_size=50),
+            "q_pinned": lambda: index.pinned(
+                [123, 45, 999], "def return", k=10),
+            # the full ES _source flow: top-k search + attr fetch
+            "q_fetch_fields": lambda: index.fetch_fields(
+                index.search("def return", k=10), ["lang", "repo"]),
+            "q_geo_search": lambda: gindex.search(
+                "def return", k=10, geo=GEO),
+            "q_geo_ring_agg": lambda: gindex.geo_distance_agg(
+                "def return", "lon", "lat", -60.0, 0.0, RINGS),
+        }.items():
+            rows = run_q().collect()  # warm
+            assert rows, f"DSL bench query returned no rows: {name}"
+            times = []
+            for _ in range(runs):
+                t = time.time()
+                run_q().collect()
+                times.append(time.time() - t)
+            dsl_ms[name] = round(statistics.mean(times) * 1000, 2)
+
     # ---- positional postings (index_options="positions") ----------------
     # A second index with positions enabled: its build overhead vs the
     # freqs build is reported (pos_build_sec), and the phrase queries run

@@ -325,3 +325,40 @@ def test_rescore_empty_window_both_engines(exact, cidx):
         out = eng.rescore("zzznotindexedterm", "import class", k=5)
         assert out.columns == ["doc_id", "score"]
         assert out.count() == 0
+
+
+def test_nested_scored_match_semantics(spark, corpus):
+    """ES nested query with score_mode (r5): inner docs score as
+    independent BM25 documents; parents combine MATCHING inner scores
+    via avg/sum/max on RAW sums with one final round, rank (score DESC,
+    parent ASC); parents with no matching inner doc are absent."""
+    from librecatastro_spark.engine.nested import nested_scored_match
+
+    inner = corpus.withColumn("parent", F.expr("doc_id DIV 16"))
+    eng = ExactBM25(inner, text_col="content")
+    raw = {
+        r["doc_id"]: r["score"]
+        for r in eng.match_scores("def return").collect()
+    }
+    pmap = {r["doc_id"]: r["parent"]
+            for r in inner.select("doc_id", "parent").collect()}
+    import collections
+    groups = collections.defaultdict(list)
+    for d, s in raw.items():
+        groups[pmap[d]].append(s)
+    for mode, fn in (("avg", lambda v: sum(v) / len(v)),
+                     ("sum", sum), ("max", max)):
+        got = [(r["parent"], r["score"]) for r in nested_scored_match(
+            inner, "def return", parent_col="parent", k=10_000,
+            text_col="content", score_mode=mode).collect()]
+        want = sorted(
+            ((p, round(fn(v), ROUND_DECIMALS)) for p, v in groups.items()),
+            key=lambda t: (-t[1], t[0]),
+        )
+        assert [p for p, _ in got] == [p for p, _ in want]
+        for (gp, gs), (wp, ws) in zip(got, want):
+            assert gs == pytest.approx(ws, abs=10 ** (-ROUND_DECIMALS))
+        assert set(g for g, _ in got) == set(groups)  # no-match parents absent
+    with pytest.raises(ValueError):
+        nested_scored_match(inner, "def", parent_col="parent",
+                            text_col="content", score_mode="min")
