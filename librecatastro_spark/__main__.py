@@ -51,6 +51,10 @@ def main(argv: list[str] | None = None) -> int:
                    choices=("freqs", "positions"),
                    help="'positions' stores per-occurrence token positions "
                         "(index-only phrase queries)")
+    b.add_argument("--stopwords", default=None, metavar="W1,W2,...",
+                   help="ES stop token filter: drop these analyzed tokens "
+                        "at build (recorded in meta; append and query "
+                        "analysis honor the same list)")
 
     s = sub.add_parser("search", help="top-k BM25 query against an index")
     s.add_argument("--index", required=True)
@@ -74,6 +78,10 @@ def main(argv: list[str] | None = None) -> int:
                    metavar="LON_COL,LAT_COL,LON0,LAT0,RADIUS_M",
                    help="ES geo_distance filter clause: keep hits within "
                         "RADIUS_M meters of (LON0, LAT0)")
+    s.add_argument("--geo-polygon", default=None,
+                   metavar="LON_COL,LAT_COL,X1:Y1,X2:Y2,X3:Y3[,...]",
+                   help="ES geo_polygon filter clause: keep hits inside "
+                        "the lon:lat polygon (>=3 vertices)")
     s.add_argument("--fast", action="store_true",
                    help="serve from the coordinator fast path "
                         "(search_local) instead of a cluster job")
@@ -242,6 +250,9 @@ def main(argv: list[str] | None = None) -> int:
             n_shards=args.shards, block_size=args.block_size,
             salt_threshold=args.salt_threshold, resume=not args.no_resume,
             index_options=args.index_options,
+            stopwords=frozenset(
+                w for w in (args.stopwords or "").split(",") if w
+            ) or None,
         )
         print(json.dumps({"n_docs": meta.n_docs, "avgdl": meta.avgdl,
                           "n_shards": meta.n_shards, "out": args.out}))
@@ -310,6 +321,8 @@ def main(argv: list[str] | None = None) -> int:
 
             ranges[col] = (_b(lo_s), _b(hi_s))
         geo = None
+        if args.geo and args.geo_polygon:
+            raise SystemExit("--geo and --geo-polygon are mutually exclusive")
         if args.geo:
             parts = args.geo.split(",")
             if len(parts) != 5:
@@ -319,6 +332,15 @@ def main(argv: list[str] | None = None) -> int:
                 )
             geo = (parts[0], parts[1], float(parts[2]), float(parts[3]),
                    float(parts[4]))
+        if args.geo_polygon:
+            parts = args.geo_polygon.split(",")
+            if len(parts) < 5 or any(":" not in p for p in parts[2:]):
+                raise SystemExit(
+                    "--geo-polygon expects LON_COL,LAT_COL,X1:Y1,X2:Y2,"
+                    f"X3:Y3[,...], got {args.geo_polygon!r}"
+                )
+            poly = [tuple(float(v) for v in p.split(":")) for p in parts[2:]]
+            geo = (parts[0], parts[1], poly)
         kw = dict(
             ranges=ranges or None,
             k=args.k, offset=args.offset, require_all=args.require_all,

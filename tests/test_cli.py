@@ -399,3 +399,56 @@ def test_cli_delete_and_update(cli_env, spark, tmp_path, capsys):
     rc = main(["search", "--index", idx2, "--text", "zzzcliupd", "--k", "10"])
     got = {r["doc_id"] for r in _json_lines(capsys)}
     assert rc == 0 and got == {0}
+
+
+def test_cli_geo_polygon_and_stopwords(cli_env, spark, tmp_path, capsys):
+    """r5 CLI surface: search --geo-polygon filters to the polygon
+    identically on the cluster and coordinator routes; build --stopwords
+    records the stop list and query analysis honors it."""
+    gidx = str(tmp_path / "gpidx")
+    gsrc = str(tmp_path / "gpsrc.parquet")
+    spark.read.parquet(cli_env["corpus"]).withColumn(
+        "lon", (F.col("doc_id") % 720) / 2.0 - 180.0
+    ).withColumn(
+        "lat", ((F.col("doc_id") * 7) % 360) / 2.0 - 90.0
+    ).write.parquet(gsrc)
+    rc = main([
+        "build", "--input", gsrc, "--out", gidx, "--text-col", "text",
+        "--attr-cols", "lon,lat", "--shards", "2",
+    ])
+    assert rc == 0
+    _json_lines(capsys)  # drain
+    poly = "lon,lat,-60:-40,80:-30,70:60,-50:50"
+    rc = main(["search", "--index", gidx, "--text", "data model",
+               "--k", "1000", "--geo-polygon", poly])
+    d = [(r["doc_id"], r["score"]) for r in _json_lines(capsys)]
+    rc2 = main(["search", "--index", gidx, "--text", "data model",
+                "--k", "1000", "--geo-polygon", poly, "--fast"])
+    f = [(r["doc_id"], r["score"]) for r in _json_lines(capsys)]
+    rc3 = main(["search", "--index", gidx, "--text", "data model",
+                "--k", "1000"])
+    allhits = [(r["doc_id"], r["score"]) for r in _json_lines(capsys)]
+    assert rc == rc2 == rc3 == 0
+    assert d == f and d and len(d) < len(allhits)
+    with pytest.raises(SystemExit):
+        main(["search", "--index", gidx, "--text", "x",
+              "--geo-polygon", "lon,lat,1:2,3:4"])
+    with pytest.raises(SystemExit):
+        main(["search", "--index", gidx, "--text", "x",
+              "--geo", "lon,lat,0,0,1", "--geo-polygon", poly])
+    # --stopwords: the stop token contributes nothing to analysis
+    sidx = str(tmp_path / "swidx")
+    rc = main([
+        "build", "--input", cli_env["corpus"], "--out", sidx,
+        "--text-col", "text", "--attr-cols", "lang",
+        "--shards", "2", "--stopwords", "data,the",
+    ])
+    assert rc == 0
+    _json_lines(capsys)
+    from librecatastro_spark.index.builder import read_meta
+    assert read_meta(sidx).stopwords == ["data", "the"]
+    rc = main(["search", "--index", sidx, "--text", "data merge", "--k", "20"])
+    with_stop = [(r["doc_id"], r["score"]) for r in _json_lines(capsys)]
+    rc2 = main(["search", "--index", sidx, "--text", "merge", "--k", "20"])
+    without = [(r["doc_id"], r["score"]) for r in _json_lines(capsys)]
+    assert rc == rc2 == 0 and with_stop == without and with_stop

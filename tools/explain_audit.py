@@ -480,6 +480,25 @@ def main() -> int:
     sections.append(s); problems += p
 
     s, p = audit(
+        "geo_polygon-FILTERED WAND query (r5)",
+        geo_index.search(
+            "the scan", k=10,
+            geo=("lon", "lat",
+                 [(-60.0, -40.0), (80.0, -30.0), (70.0, 60.0),
+                  (-50.0, 50.0)]),
+        ),
+        {"pushed_filter": True, "take_ordered": True, "cartesian": False,
+         "arrow_eval": True},
+        "The vertex bbox is four plain comparisons that reach the attrs "
+        "Parquet scan as PushedFilters; ONLY the bbox survivors flow "
+        "through the Arrow-batched ray-cast re-check (ArrowEvalPython — "
+        "O(bbox selectivity × corpus) rows cross the Python boundary, "
+        "never the corpus), and the scorer cogroup ships only surviving "
+        "(shard, doc_id) pairs. Merge is TakeOrderedAndProject.",
+    )
+    sections.append(s); problems += p
+
+    s, p = audit(
         "Shard partition pruning (resume-unit read)",
         index.postings.where(F.col("shard") == 2),
         {"pushed_filter": False, "codegen": True, "exchange": False},
