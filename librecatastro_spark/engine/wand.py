@@ -485,6 +485,7 @@ class CompressedIndex:
         self._dec_cache = None
         self._dec_cache_bytes = 0
         self._df_local: dict[str, int] | None = None
+        self._cf_local: dict[str, int] | None = None
         try:
             from ..index.builder import term_stats_sources
 
@@ -500,16 +501,19 @@ class CompressedIndex:
             if size <= self._LOCAL_TERMSTATS_BYTES and files:
                 import pyarrow.dataset as pads
 
-                tbl = pads.dataset(files).to_table(columns=["term", "df"])
-                if merge:  # stats deltas present (post-append)
-                    tbl = tbl.group_by("term").aggregate([("df", "sum")])
-                    tbl = tbl.rename_columns(["term", "df"])
-                self._df_local = dict(
-                    zip(
-                        tbl.column("term").to_pylist(),
-                        tbl.column("df").to_pylist(),
-                    )
+                tbl = pads.dataset(files).to_table(
+                    columns=["term", "df", "cf"]
                 )
+                if merge:  # stats deltas present (post-append)
+                    tbl = tbl.group_by("term").aggregate(
+                        [("df", "sum"), ("cf", "sum")]
+                    )
+                    tbl = tbl.rename_columns(["term", "df", "cf"])
+                terms_l = tbl.column("term").to_pylist()
+                self._df_local = dict(zip(terms_l, tbl.column("df").to_pylist()))
+                # cf (total occurrences) powers the phrase twins' decode-
+                # volume routing — same snapshot, one extra column
+                self._cf_local = dict(zip(terms_l, tbl.column("cf").to_pylist()))
         except OSError:
             pass
         if self._df_local is None:
@@ -1032,23 +1036,44 @@ class CompressedIndex:
         return ranked.limit(k)
 
     #: routing threshold for the coordinator phrase twins: above this
-    #: many total query-term postings (Σ df — the decode volume the
-    #: single-core kernel would pay) the driver kernel loses to the
-    #: distributed path, so the twin transparently routes there and the
-    #: "serving-latency story" claim holds on hot phrases too (measured
-    #: crossover at sf0.1: local 1.53 s vs distributed 0.59 s on a
-    #: ~116k-posting hot bigram; local 65 ms on selective phrases).
+    #: estimated POSITIONS-DECODE volume the single-core driver kernel
+    #: loses to the distributed path, so the twin transparently routes
+    #: there and the "serving-latency story" claim holds on hot phrases
+    #: too. The estimate is window-share × total occurrences:
+    #: (min df / N) × Σ cf — the kernel intersection-prunes every term's
+    #: blocks against the rarest term's candidate windows
+    #: (engine/positions.py), so it decodes roughly the window's share
+    #: of each term's occurrence stream. Neither Σ df (mis-routes the
+    #: hot+rare phrase: its rare window skips almost all hot blocks) nor
+    #: min df alone (blind to tf — hot code keywords run 75-160
+    #: occurrences/doc, so equal candidate counts can differ 100× in
+    #: positions decoded) separates the regimes; the product does, by
+    #: ~170× on the bench shapes (hot-hot ≈ 4.7M, hot+rare ≈ 27k at the
+    #: 20k-doc calibration corpus; measured 1.53 s vs 64 ms local).
     #: Env-overridable (LC_PHRASE_LOCAL_MAX_POSTINGS); results are
     #: identical either way (rank-identity tested), only latency moves.
-    _PHRASE_LOCAL_MAX_POSTINGS = 64_000
+    _PHRASE_LOCAL_MAX_POSTINGS = 1_000_000
 
-    def _postings_volume(self, terms: list[str]) -> int:
-        """Total postings (Σ df) of the given terms — O(terms), answered
-        from the resident term-dictionary snapshot when present."""
-        if self._df_local is not None:
-            return sum(self._df_local.get(t, 0) for t in terms)
-        rows = self.term_stats.where(F.col("term").isin(terms)).collect()
-        return sum(int(r["df"]) for r in rows)
+    def _phrase_decode_estimate(self, terms: list[str]) -> int:
+        """Estimated positions-decode volume of the local phrase kernel:
+        (min df over terms / N) × Σ cf over terms — 0 if any term is
+        unindexed (the result is empty and the local path answers
+        instantly). O(terms), answered from the resident term-stats
+        snapshot when present; one tiny term_stats collect otherwise."""
+        if not terms:
+            return 0
+        if self._df_local is not None and self._cf_local is not None:
+            dfs = [self._df_local.get(t, 0) for t in terms]
+            cfs = [self._cf_local.get(t, 0) for t in terms]
+        else:
+            rows = self.term_stats.where(F.col("term").isin(terms)).collect()
+            by = {r["term"]: (int(r["df"]), int(r["cf"])) for r in rows}
+            dfs = [by.get(t, (0, 0))[0] for t in terms]
+            cfs = [by.get(t, (0, 0))[1] for t in terms]
+        if min(dfs) == 0:
+            return 0
+        n = max(int(self.meta.n_docs), 1)
+        return int(min(dfs) / n * sum(cfs))
 
     def _phrase_local_cap(self) -> int:
         return int(os.environ.get(
@@ -1070,10 +1095,11 @@ class CompressedIndex:
         rank-identity with the distributed path is tested). This is the
         serving-latency story for phrase queries: ms-latency off the
         same index, no Spark job, no source scan — and it stays true on
-        HOT phrases because the twin routes by estimated decode volume
-        (Σ df of the phrase terms, read from the resident dictionary
-        before any data I/O): above ``_PHRASE_LOCAL_MAX_POSTINGS`` it
-        runs the distributed kernel instead, which wins there."""
+        HOT phrases because the twin routes by estimated positions-
+        decode volume ((min df / N) × Σ cf — window share times total
+        occurrences, read from the resident term-stats snapshot before
+        any data I/O): above ``_PHRASE_LOCAL_MAX_POSTINGS`` it runs the
+        distributed kernel instead, which wins there."""
         if self.meta.index_options != "positions":
             raise ValueError(
                 "match_phrase_local needs index_options='positions'"
@@ -1082,7 +1108,7 @@ class CompressedIndex:
         if not seq:
             raise ValueError("phrase analyzes to zero terms")
         terms = sorted(set(seq))
-        if self._postings_volume(terms) > self._phrase_local_cap():
+        if self._phrase_decode_estimate(terms) > self._phrase_local_cap():
             return self.match_phrase_positional(
                 text, k=k, offset=offset, slop=slop
             ).toPandas()
@@ -1136,10 +1162,11 @@ class CompressedIndex:
         if not complete:
             return self._constant_score_local(sorted(expansion), k, offset=offset)
         terms = sorted(set(complete))
-        # same decode-volume routing as match_phrase_local — the
-        # expansion streams count toward the driver kernel's bill too
-        vol = self._postings_volume(sorted(set(terms) | set(expansion)))
-        if vol > self._phrase_local_cap():
+        # same decode-volume routing as match_phrase_local: the
+        # expansion streams are pruned against the COMPLETE terms'
+        # windows, so the rarest complete term's window share bounds
+        # the kernel's work
+        if self._phrase_decode_estimate(terms) > self._phrase_local_cap():
             return self.match_phrase_prefix_positional(
                 text, k=k, offset=offset
             ).toPandas()

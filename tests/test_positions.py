@@ -305,6 +305,11 @@ def test_phrase_local_volume_routing(pidx, monkeypatch):
             pidx.match_phrase_prefix_local("def re", k=25)
         ) == want_pp
     monkeypatch.delenv("LC_PHRASE_LOCAL_MAX_POSTINGS")
-    # the estimator is exact on the resident dictionary: a hot term's
-    # volume really exceeds a tiny cap, a rare phrase's doesn't
-    assert pidx._postings_volume(["def", "return"]) > 2
+    # the estimator is window-share × total occurrences
+    # ((min df / N) × Σ cf): a hot-hot phrase estimates far above a
+    # hot+rare one (the rare window skips the hot blocks), and an
+    # unindexed term estimates 0 (empty result, instant local answer)
+    hot = pidx._phrase_decode_estimate(["def", "return"])
+    mixed = pidx._phrase_decode_estimate(["def", "spark"])
+    assert 0 < mixed < hot
+    assert pidx._phrase_decode_estimate(["def", "zzznotindexed"]) == 0
