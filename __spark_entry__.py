@@ -1305,6 +1305,32 @@ def _geo_index(spark, sf_dir: str):
 _STOP_LIST = ("a", "the")
 
 
+#: replace-form synonym map for the synonym-analyzer entry — both terms
+#: are real corpus tokens, so the mapping exercises a true df/cf merge
+_SYN_MAP = {"join": "merge"}
+
+
+def _syn_index(spark, sf_dir: str):
+    """documents indexed with the ES synonym token filter (r5, replace
+    form): surface tokens map to canonicals before dl/tf/position
+    assignment, recorded in meta.synonyms so query analysis maps the
+    same way. Built once per sf_dir (resume=True + mtime-keyed cache
+    dir, like _stop_index)."""
+    import hashlib
+
+    src = f"{sf_dir}/documents.parquet"
+    mtime = int(os.path.getmtime(src)) if os.path.exists(src) else 0
+    key = hashlib.sha256(f"{sf_dir}:{mtime}:syn-v1".encode()).hexdigest()[:16]
+    out = os.path.join("/tmp", f"lc_synindex_{key}")
+    build_index(
+        spark, _docs(spark, sf_dir), out, id_col="doc_id", text_col="text",
+        attr_cols=("lang", "source"), n_shards=4,
+        block_size=128, salt_threshold=5_000, n_salts=8, resume=True,
+        synonyms=_SYN_MAP,
+    )
+    return CompressedIndex(spark, out)
+
+
 def _stop_index(spark, sf_dir: str):
     """documents indexed with the ES stop token filter (r5): stopwords
     dropped after segmentation and before dl/tf assignment, recorded in
@@ -2000,6 +2026,14 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # stream (the oracle applies the same NOT IN in its token CTE)
         "match_stopword_analyzer": lambda spark, sf: _stop_index(spark, sf)
         .search("the table query", k=10),
+        # synonym analyzer (r5): the ES synonym filter (replace form)
+        # recorded in meta and honored end-to-end — the surface form in
+        # the query maps to its canonical at analysis, and df/cf merge
+        # the two forms' postings (the oracle applies the same CASE WHEN
+        # in its token CTE). Query uses the SURFACE form to prove the
+        # query-side mapping too.
+        "match_synonym_analyzer": lambda spark, sf: _syn_index(spark, sf)
+        .search("join sort", k=10),
     }
 
 
@@ -2583,6 +2617,29 @@ ORDER BY c_custkey
         "rescore_window": _rescore_oracle(
             "table query", "spark merge", k=10, window=30, qw=0.7, rw=1.3
         ),
+        # synonym analyzer: same BM25 over the CASE-WHEN-mapped token
+        # stream — tf/dl/df/avgdl all derive from canonical tokens, and
+        # the query's surface form analyzes to the same canonicals
+        "match_synonym_analyzer": f"""
+WITH toks AS (
+  SELECT doc_id, CASE WHEN term = 'join' THEN 'merge' ELSE term END AS term
+  FROM (
+    SELECT doc_id, unnest({duckdb_tokens_sql('text')}) AS term FROM documents
+  )
+),
+tf AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM toks GROUP BY 1, 2),
+dl AS (SELECT doc_id, sum(tf) AS dl FROM tf GROUP BY 1),
+g  AS (SELECT count(*)::DOUBLE AS n, avg(dl)::DOUBLE AS avgdl FROM dl),
+dfq AS (SELECT term, count(*)::DOUBLE AS df FROM tf
+        WHERE term IN ('merge', 'sort') GROUP BY 1)
+SELECT tf.doc_id,
+       round(sum({bm25_sql("tf.tf", "dfq.df", "dl.dl", "g.n", "g.avgdl")}),
+             {ROUND_DECIMALS}) AS score
+FROM tf JOIN dfq USING (term) JOIN dl USING (doc_id) CROSS JOIN g
+WHERE tf.term IN ('merge', 'sort')
+GROUP BY tf.doc_id
+ORDER BY score DESC, doc_id ASC LIMIT 10
+""",
         # nested scored: raw inner BM25 sums averaged per parent with ONE
         # final round (the frozen rounding protocol)
         "nested_scored_match": f"""

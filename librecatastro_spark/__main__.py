@@ -55,6 +55,10 @@ def main(argv: list[str] | None = None) -> int:
                    help="ES stop token filter: drop these analyzed tokens "
                         "at build (recorded in meta; append and query "
                         "analysis honor the same list)")
+    b.add_argument("--synonyms", default=None, metavar="SRC=DST,SRC2=DST2",
+                   help="ES synonym filter (replace form): map each SRC "
+                        "token to its canonical DST at build (recorded in "
+                        "meta; append and query analysis map identically)")
 
     s = sub.add_parser("search", help="top-k BM25 query against an index")
     s.add_argument("--index", required=True)
@@ -252,6 +256,10 @@ def main(argv: list[str] | None = None) -> int:
             index_options=args.index_options,
             stopwords=frozenset(
                 w for w in (args.stopwords or "").split(",") if w
+            ) or None,
+            synonyms=dict(
+                p.split("=", 1) for p in (args.synonyms or "").split(",")
+                if "=" in p
             ) or None,
         )
         print(json.dumps({"n_docs": meta.n_docs, "avgdl": meta.avgdl,

@@ -63,30 +63,56 @@ class Analyzer:
     and honored by build, append and query analysis; positions index the
     FILTERED sequence, so phrase adjacency means "adjacent after
     stopword removal" — the frozen, oracle-expressible contract: the
-    DuckDB twin is a NOT IN filter in the token CTE)."""
+    DuckDB twin is a NOT IN filter in the token CTE).
+
+    ``synonyms`` is the ES synonym token filter in its replace form
+    (``src => dst``, one token to one token): each source token maps to
+    its canonical target. Frozen chain order: lowercase → split → drop
+    empties → **synonyms** → **stopwords** (so a synonym mapping ONTO a
+    stopword is removed, and the stop list is checked against canonical
+    forms). The 1:1 mapping preserves token count and position, so dl,
+    positions and phrase adjacency are unaffected by which surface form
+    a document used — the DuckDB twin is a CASE WHEN in the token CTE."""
 
     def __init__(
         self,
         split_re: str | None = None,
         stopwords: frozenset[str] | None = None,
+        synonyms: dict[str, str] | None = None,
     ):
         self.split_re = split_re or TOKEN_SPLIT_RE
         self._rx = re.compile(self.split_re)
         self.stopwords = frozenset(stopwords) if stopwords else frozenset()
+        self.synonyms = dict(synonyms) if synonyms else {}
 
     def analyze(self, text: str) -> list[str]:
         if text is None:
             return []
-        return [
-            t for t in self._rx.split(text.lower())
-            if t and t not in self.stopwords
-        ]
+        syn = self.synonyms
+        out = []
+        for t in self._rx.split(text.lower()):
+            if not t:
+                continue
+            t = syn.get(t, t)
+            if t not in self.stopwords:
+                out.append(t)
+        return out
 
     def tokenize_expr(self, col: Column | str) -> Column:
         c = F.col(col) if isinstance(col, str) else col
         toks = F.filter(
             F.split(F.lower(c), self.split_re), lambda x: x != F.lit("")
         )
+        if self.synonyms:
+            # element_at on a map literal is NULL for non-keys; coalesce
+            # keeps unmapped tokens as themselves
+            m = F.create_map(
+                *[F.lit(x) for k in sorted(self.synonyms)
+                  for x in (k, self.synonyms[k])]
+            )
+            toks = F.transform(
+                toks, lambda x: F.coalesce(F.element_at(m, x), x)
+            )
         if self.stopwords:
             sw = F.array(*[F.lit(s) for s in sorted(self.stopwords)])
             toks = F.filter(toks, lambda x: ~F.array_contains(sw, x))
@@ -177,8 +203,29 @@ def analyzer_classes(split_re: str | None = None) -> tuple[str, str]:
     return split_re, f"[{m.group(1)}]+"
 
 
+def _term_alternation(term: str, synonyms: dict[str, str] | None) -> str:
+    """Regex fragment matching every SURFACE form that analyzes to the
+    canonical ``term`` under the (1:1, replace-form) synonym map: the
+    preimage {s : syn.get(s, s) == term}, escaped and alternated. With
+    no synonyms this is just the escaped term. A canonical term whose
+    preimage is empty (it is itself remapped and nothing maps to it)
+    can never appear in a document — a never-matching group."""
+    if not synonyms:
+        return re.escape(term)
+    forms = sorted(
+        {s for s in synonyms if synonyms[s] == term}
+        | ({term} if synonyms.get(term, term) == term else set())
+    )
+    if not forms:
+        return r"(?!)"
+    if len(forms) == 1:
+        return re.escape(forms[0])
+    return "(?:" + "|".join(re.escape(f) for f in forms) + ")"
+
+
 def _phrase_body(
-    terms_seq: list[str], slop: int = 0, split_re: str | None = None
+    terms_seq: list[str], slop: int = 0, split_re: str | None = None,
+    synonyms: dict[str, str] | None = None,
 ) -> str:
     """Shared regex body for the phrase predicates: terms in order, each
     inter-term gap = one non-token run plus up to ``slop`` intervening
@@ -192,13 +239,17 @@ def _phrase_body(
     ``split_re`` selects the INDEX's analyzer (meta.analyzer_re): the
     gap/token classes derive from it via ``analyzer_classes``, and terms
     are regex-escaped (a custom token class may admit regex metachars
-    like ``.``; escaping is a no-op for default-chain terms)."""
+    like ``.``; escaping is a no-op for default-chain terms).
+    ``synonyms`` (the index's replace-form map) turns each canonical
+    term into the alternation of its surface forms — the 1:1 map
+    preserves token positions, so surface adjacency IS canonical
+    adjacency and the verify regex stays exact."""
     if not terms_seq:
         raise ValueError("phrase needs at least one term")
     gap, token = analyzer_classes(split_re)
     if slop > 0:
         gap = gap + "(?:%s%s){0,%d}" % (token, gap, slop)
-    return gap.join(re.escape(t) for t in terms_seq)
+    return gap.join(_term_alternation(t, synonyms) for t in terms_seq)
 
 
 def phrase_rlike_expr(
@@ -236,7 +287,8 @@ def phrase_rlike_expr(
 
 
 def phrase_match_udf(
-    terms_seq: list[str], slop: int = 0, split_re: str | None = None
+    terms_seq: list[str], slop: int = 0, split_re: str | None = None,
+    synonyms: dict[str, str] | None = None,
 ):
     """Arrow-vectorized twin of ``phrase_rlike_expr`` — the PRODUCTION
     phrase verify. Same regex (Python spells end-of-input ``\\Z`` where
@@ -247,9 +299,10 @@ def phrase_match_udf(
     ``token_count_udf`` above. Equality with the Catalyst forms is
     pinned in tests/test_phrase.py. ``split_re`` = the index's analyzer
     pattern (meta.analyzer_re) — boundary classes derive from it, so the
-    verify agrees with the index's own tokenization."""
+    verify agrees with the index's own tokenization; ``synonyms`` =
+    the index's replace-form map (surface-form alternation)."""
     gap, _ = analyzer_classes(split_re)
-    body = _phrase_body(terms_seq, slop, split_re)
+    body = _phrase_body(terms_seq, slop, split_re, synonyms)
     bcls = gap[:-1]  # the single-char boundary class (strip the '+')
     pat = re.compile(r"(?:\A|" + bcls + r")" + body + r"(?:" + bcls + r"|\Z)")
 

@@ -48,6 +48,7 @@ def highlight_snippets(
     post: str = "</em>",
     split_re: str | None = None,
     stopwords: frozenset[str] | None = None,
+    synonyms: dict[str, str] | None = None,
 ) -> DataFrame:
     """(doc_id, snippet) for every doc containing ≥1 of ``terms``.
 
@@ -66,7 +67,10 @@ def highlight_snippets(
     toks = docs.select(
         F.col(id_col).alias("doc_id"),
         F.explode(
-            F.array(Analyzer(split_re, stopwords).tokenize_expr(text_col))
+            F.array(
+                Analyzer(split_re, stopwords, synonyms)
+                .tokenize_expr(text_col)
+            )
         ).alias("_toks"),
     )
     # 2) first matched position (0-based): filter the index sequence, not

@@ -476,6 +476,7 @@ class CompressedIndex:
         self._analyze = Analyzer(
             getattr(self.meta, "analyzer_re", None),
             stopwords=frozenset(getattr(self.meta, "stopwords", None) or ()),
+            synonyms=getattr(self.meta, "synonyms", None),
         ).analyze
         self.postings = load_postings(spark, out_dir)
         self.attrs = load_attrs(spark, out_dir)
@@ -769,6 +770,7 @@ class CompressedIndex:
                 phrase_match_udf(
                     seq, slop,
                     split_re=getattr(self.meta, "analyzer_re", None),
+                    synonyms=getattr(self.meta, "synonyms", None),
                 )(F.col("_text"))
             )
             .select("doc_id")
@@ -833,6 +835,14 @@ class CompressedIndex:
                 "the positional path (match_phrase_prefix_positional / "
                 "_local) — a source regex cannot express adjacency after "
                 "stopword removal"
+            )
+        if getattr(self.meta, "synonyms", None):
+            raise ValueError(
+                "match_phrase_prefix on a synonym-analyzer index needs "
+                "the positional path (match_phrase_prefix_positional / "
+                "_local) — the prefix expands over CANONICAL dictionary "
+                "terms, whose surface preimages a source regex cannot "
+                "enumerate"
             )
         from ..analyzer import phrase_prefix_match_udf
 
@@ -1708,6 +1718,7 @@ class CompressedIndex:
             split_re=getattr(self.meta, "analyzer_re", None),
             stopwords=frozenset(getattr(self.meta, "stopwords", None) or ())
             or None,
+            synonyms=getattr(self.meta, "synonyms", None),
         )
         return hits.join(hl, "doc_id", "left").select("doc_id", "score", "snippet")
 

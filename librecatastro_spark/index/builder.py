@@ -85,6 +85,10 @@ class IndexMeta:
     # so build/append/query all honor the same list (sorted for
     # deterministic meta.json bytes); None = no stopwords
     stopwords: list[str] | None = None
+    # ES synonym filter (replace form, src -> canonical dst), applied
+    # BEFORE the stop filter (frozen chain order — analyzer.Analyzer);
+    # recorded sorted-by-key for deterministic meta.json bytes
+    synonyms: dict[str, str] | None = None
 
 
 # ------------------------------------------------------------- manifest --
@@ -378,6 +382,7 @@ def build_index(
     index_options: str = "freqs",
     analyzer_re: str | None = None,
     stopwords: Iterable[str] | None = None,
+    synonyms: dict[str, str] | None = None,
 ) -> IndexMeta:
     """Build (or resume building) the index at out_dir. Idempotent: a
     completed out_dir is a no-op; a partially built one finishes only the
@@ -399,7 +404,7 @@ def build_index(
         return _build_index(
             spark, docs, out_dir, id_col, text_col, attr_cols, n_shards,
             block_size, salt_threshold, n_salts, shards_per_job, n_buckets,
-            resume, index_options, analyzer_re, stopwords,
+            resume, index_options, analyzer_re, stopwords, synonyms,
         )
     finally:
         spark.conf.set("spark.sql.adaptive.enabled", prev_aqe)
@@ -422,6 +427,7 @@ def _build_index(
     index_options: str,
     analyzer_re: str | None = None,
     stopwords: Iterable[str] | None = None,
+    synonyms: dict[str, str] | None = None,
 ) -> IndexMeta:
     if index_options not in ("freqs", "positions"):
         raise ValueError("index_options must be 'freqs' or 'positions'")
@@ -471,6 +477,7 @@ def _build_index(
                 positions=(index_options == "positions"),
                 split_re=analyzer_re or TOKEN_SPLIT_RE,
                 stopwords=frozenset(stopwords) if stopwords else None,
+                synonyms=synonyms or None,
             ).withColumn("shard", shard_expr)
             with _small_arrow_batches(spark):
                 staged.write.mode("overwrite").partitionBy("shard").parquet(
@@ -510,6 +517,8 @@ def _build_index(
             index_options=index_options,
             analyzer_re=analyzer_re,
             stopwords=sorted(stopwords) if stopwords else None,
+            synonyms={k: synonyms[k] for k in sorted(synonyms)}
+            if synonyms else None,
         )
         with open(os.path.join(out_dir, "meta.json"), "w") as fh:
             json.dump(asdict(meta), fh)

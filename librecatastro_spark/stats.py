@@ -69,6 +69,7 @@ def term_freqs_arrow(
     positions: bool = False,
     split_re: str = TOKEN_SPLIT_RE,
     stopwords: frozenset[str] | None = None,
+    synonyms: dict[str, str] | None = None,
 ) -> DataFrame:
     """(doc_id, term, tf, dl) via ONE fused Arrow pass — the builder's hot
     path. Semantically identical to term_freqs (equality-tested), but:
@@ -116,6 +117,10 @@ def term_freqs_arrow(
     sw_arr = (
         pa.array(sorted(stopwords), type=pa.string()) if stopwords else None
     )
+    # ES synonym filter (replace form): applied BEFORE the stop filter
+    # (frozen chain order — analyzer.Analyzer docstring); the 1:1 token
+    # map preserves count and position, so only term identity changes
+    syn_pairs = sorted(synonyms.items()) if synonyms else None
 
     def gen(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         for rb in batches:
@@ -136,6 +141,13 @@ def term_freqs_arrow(
             if mask.false_count:  # empties only at non-token doc edges
                 flat = flat.filter(mask)
                 parent = parent.filter(mask)
+            if syn_pairs is not None:
+                for src, dst in syn_pairs:
+                    hit = pc.equal(flat, src)
+                    if hit.true_count:
+                        flat = pc.if_else(
+                            hit, pa.scalar(dst, pa.string()), flat
+                        )
             if sw_arr is not None:
                 swm = pc.invert(pc.is_in(flat, value_set=sw_arr))
                 if swm.false_count:

@@ -261,6 +261,7 @@ def _append_batch(
         # per-field hook, incl. its stop filter), never the global default
         split_re=getattr(meta, "analyzer_re", None) or TOKEN_SPLIT_RE,
         stopwords=frozenset(getattr(meta, "stopwords", None) or ()) or None,
+        synonyms=getattr(meta, "synonyms", None) or None,
     ).withColumn("shard", shard_expr).cache()
     # small Arrow batches scoped to the tokenize pass — the same
     # allocation-churn mitigation as the batch build (builder.py:

@@ -452,3 +452,23 @@ def test_cli_geo_polygon_and_stopwords(cli_env, spark, tmp_path, capsys):
     rc2 = main(["search", "--index", sidx, "--text", "merge", "--k", "20"])
     without = [(r["doc_id"], r["score"]) for r in _json_lines(capsys)]
     assert rc == rc2 == 0 and with_stop == without and with_stop
+
+
+def test_cli_synonyms_build(cli_env, tmp_path, capsys):
+    """r5: build --synonyms records the replace-form map; query analysis
+    maps the surface form, so surface and canonical queries agree."""
+    sidx = str(tmp_path / "synidx")
+    rc = main([
+        "build", "--input", cli_env["corpus"], "--out", sidx,
+        "--text-col", "text", "--attr-cols", "lang",
+        "--shards", "2", "--synonyms", "join=merge",
+    ])
+    assert rc == 0
+    _json_lines(capsys)
+    from librecatastro_spark.index.builder import read_meta
+    assert read_meta(sidx).synonyms == {"join": "merge"}
+    rc = main(["search", "--index", sidx, "--text", "join sort", "--k", "20"])
+    surface = [(r["doc_id"], r["score"]) for r in _json_lines(capsys)]
+    rc2 = main(["search", "--index", sidx, "--text", "merge sort", "--k", "20"])
+    canonical = [(r["doc_id"], r["score"]) for r in _json_lines(capsys)]
+    assert rc == rc2 == 0 and surface == canonical and surface
