@@ -80,27 +80,49 @@ class MultiFieldIndex:
     @staticmethod
     def build(spark: SparkSession, docs: DataFrame, out_dir: str,
               fields: Iterable[str],
-              analyzers: dict[str, str] | None = None,
+              analyzers: dict[str, str | dict] | None = None,
               **build_kwargs) -> "MultiFieldIndex":
         """Build one sub-index per field over the same docs frame; every
         build sees the same doc_ids and n_shards, so the range split —
         and hence each doc's shard — is identical across fields.
 
-        ``analyzers`` is the ES per-field analyzer hook: {field:
-        split_re} (the analyzer boundary pattern, see analyzer.Analyzer;
-        fields absent from the dict keep the default code analyzer). The
-        pattern is recorded in each sub-index's meta and the query side
-        analyzes per field with ITS index's analyzer — ES multi_match
-        semantics, where each field analyzes the query its own way."""
+        ``analyzers`` is the ES per-field analyzer hook: {field: spec}
+        where spec is either a split pattern string (the boundary
+        pattern, see analyzer.Analyzer) or a dict with any of
+        ``split_re`` / ``stopwords`` / ``synonyms`` (the full r5 chain —
+        each filter recorded in that sub-index's meta). Fields absent
+        from the dict keep the default code analyzer. The query side
+        analyzes per field with ITS index's full analyzer chain — ES
+        multi_match semantics, where each field analyzes the query its
+        own way."""
         fields = list(fields)
         analyzers = analyzers or {}
         unknown = set(analyzers) - set(fields)
         if unknown:
             raise ValueError(f"analyzers for unknown fields: {sorted(unknown)}")
         for f in fields:
+            spec = analyzers.get(f)
+            if spec is None:
+                spec = {}
+            elif isinstance(spec, str):
+                spec = {"split_re": spec}
+            elif not isinstance(spec, dict):
+                raise ValueError(
+                    f"analyzer spec for {f!r} must be a split pattern "
+                    f"string or a dict, got {type(spec).__name__}"
+                )
+            bad = set(spec) - {"split_re", "stopwords", "synonyms"}
+            if bad:
+                raise ValueError(
+                    f"unknown analyzer spec keys for {f!r}: {sorted(bad)}"
+                )
             build_index(
                 spark, docs, os.path.join(out_dir, f"field={f}"),
-                text_col=f, analyzer_re=analyzers.get(f), **build_kwargs,
+                text_col=f,
+                analyzer_re=spec.get("split_re"),
+                stopwords=spec.get("stopwords"),
+                synonyms=spec.get("synonyms"),
+                **build_kwargs,
             )
         return MultiFieldIndex(spark, out_dir, fields)
 

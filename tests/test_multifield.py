@@ -229,3 +229,51 @@ def test_per_field_analyzer_seam(spark, tmp_path):
     pidx = CompressedIndex(spark, os.path.join(out, "field=path"))
     got = {r["doc_id"] for r in pidx.search("pkg.mod", k=10).collect()}
     assert got == {0, 3}
+
+
+def test_per_field_analyzer_full_chain(spark, tmp_path):
+    """r5: the per-field analyzer spec accepts the FULL chain — split
+    pattern, stopwords and synonyms per field — recorded in each
+    sub-index's meta and honored by per-field query analysis."""
+    from librecatastro_spark.index.builder import read_meta
+
+    docs = spark.createDataFrame(
+        [
+            (0, "the quick join path", "pkg.mod"),
+            (1, "slow merge path", "pkgmod"),
+            (2, "the quick stop", "other.thing"),
+        ],
+        "doc_id long, body string, path string",
+    )
+    out = str(tmp_path / "mfc")
+    mf = MultiFieldIndex.build(
+        spark, docs, out, fields=("body", "path"),
+        analyzers={
+            "body": {"stopwords": ["the"], "synonyms": {"join": "merge"}},
+            "path": "[^a-z0-9_.]+",  # plain-string spec still works
+        },
+        n_shards=2, block_size=16,
+    )
+    bm = read_meta(os.path.join(out, "field=body"))
+    assert bm.stopwords == ["the"] and bm.synonyms == {"join": "merge"}
+    assert read_meta(os.path.join(out, "field=path")).analyzer_re == "[^a-z0-9_.]+"
+    # body: "join" analyzes to "merge" -> docs 0 (surface join) and 1
+    got = {d for d, _ in rows(mf.multi_match("join", k=10))}
+    assert got == {0, 1}
+    # stopword vanishes from body analysis: "the merge" == "merge"
+    assert rows(mf.multi_match("the merge", k=10)) == rows(
+        mf.multi_match("merge", k=10)
+    )
+    # dotted path field untouched by body's filters
+    got = {d for d, _ in rows(mf.multi_match("pkg.mod", k=10))}
+    assert got == {0}
+    with pytest.raises(ValueError, match="spec"):
+        MultiFieldIndex.build(
+            spark, docs, str(tmp_path / "bad"), fields=("body",),
+            analyzers={"body": 42}, n_shards=2,
+        )
+    with pytest.raises(ValueError, match="unknown analyzer spec"):
+        MultiFieldIndex.build(
+            spark, docs, str(tmp_path / "bad2"), fields=("body",),
+            analyzers={"body": {"stemmer": "en"}}, n_shards=2,
+        )
